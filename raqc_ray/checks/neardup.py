@@ -1,0 +1,200 @@
+"""Near-duplicate detection on a 64-bit hash column (SURVEY.md §2.5 A10).
+
+Pigeonhole LSH banding: the 64 phash bits split into ``max_hamming + 1``
+bands (widths 22/21/21 for the default Hamming ≤ 2) — any pair within the
+Hamming budget matches exactly in at least one band, so a
+``groupby(band_bucket)`` shuffle co-locates every candidate pair.  Groups
+are scanned all-pairs with numpy popcount (unpackbits), and pairs found in
+multiple bands are deduplicated by a second tiny groupby on the canonical
+pair key.
+
+Skew handling (BASELINE.json:14 "salted keys for hot phash buckets"):
+a pre-aggregated bucket-size pass (partial counts per batch → tiny
+groupby) identifies buckets above ``hot_bucket_cap``; the hot set is
+broadcast via ``ray.put`` and the shuffle key for hot buckets is salted
+with 8 phash bits drawn from *outside* the band, splitting the bucket into
+≤256 sub-buckets that scan independently.  Documented tradeoff: a true
+near-dup pair inside a hot bucket whose differing bits include the salt
+bits can be missed in that band (it is still found via any non-hot band it
+shares); cold buckets have exact pigeonhole recall.  RAQC analog: none —
+nearest is the moving-window block filter taming speckle
+(``[R] raqc/multi_array.py :: PatternFilters.mov_wind2 (rec.)``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+from ..config import NearDupCheck
+from ._util import empty_violations_df
+
+# (start_bit, width) per band for max_hamming=2
+BANDS_3 = ((0, 22), (22, 21), (43, 21))
+# salt bits per band — always outside the band's own bit range
+SALT_SHIFT_3 = (56, 0, 0)
+
+
+def _bands_for(max_hamming: int):
+    nb = max_hamming + 1
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    bands, start = [], 0
+    for w_ in widths:
+        bands.append((start, w_))
+        start += w_
+    salts = [(56 if s == 0 else 0) for s, _ in bands]
+    return tuple(bands), tuple(salts)
+
+
+def _explode(batch: pa.Table, spec: NearDupCheck, pid_fn, bands, salts) -> pa.Table:
+    """(image_id, phash, pid) → one row per band with its bucket key."""
+    pids = pid_fn(batch)
+    ph = batch[spec.column].to_numpy(zero_copy_only=False).astype(np.int64).view(
+        np.uint64
+    )
+    ids = batch["image_id"].cast(pa.string()).to_pylist()
+    n = len(ids)
+    out_bucket, out_salt = [], []
+    out_id, out_ph, out_pid = [], [], []
+    for b, (start, width) in enumerate(bands):
+        mask = np.uint64((1 << width) - 1)
+        val = (ph >> np.uint64(start)) & mask
+        bucket = (np.uint64(b) << np.uint64(22)) | val  # band id above max band width
+        salt = (ph >> np.uint64(salts[b])) & np.uint64(0xFF)
+        out_bucket.append(bucket.view(np.int64))
+        out_salt.append(salt.astype(np.int64))
+        out_id.extend(ids)
+        out_ph.append(ph.view(np.int64))
+        out_pid.append(pids)
+    return pa.table(
+        {
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "salt": pa.array(np.concatenate(out_salt), pa.int64()),
+            "image_id": pa.array(out_id, pa.string()),
+            "phash": pa.array(np.concatenate(out_ph), pa.int64()),
+            "partition_id": pa.array(np.concatenate(out_pid), pa.int64()),
+        }
+    )
+
+
+def _bucket_partial_counts(batch: pa.Table) -> pa.Table:
+    b = batch["bucket"].to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(b, return_counts=True)
+    return pa.table(
+        {"bucket": pa.array(uniq, pa.int64()), "n": pa.array(counts, pa.int64())}
+    )
+
+
+def _popcount_matrix(x: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances of a uint64 vector (all-pairs, vectorized)."""
+    xor = x[:, None] ^ x[None, :]
+    b = xor.view(np.uint8).reshape(len(x), len(x), 8)
+    return np.unpackbits(b, axis=2).sum(axis=2)
+
+
+def _scan_group(g: pd.DataFrame, max_h: int) -> pd.DataFrame:
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame(
+            {"pair_key": pd.Series(dtype="object"),
+             "id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"),
+             "pid_a": pd.Series(dtype="int64"), "pid_b": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="int64")}
+        )
+    ph = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = g["image_id"].to_numpy()
+    pids = g["partition_id"].to_numpy()
+    if n <= 2048:
+        dist = _popcount_matrix(ph)
+        ii, jj = np.nonzero(np.triu(dist <= max_h, k=1))
+        dists = dist[ii, jj]
+    else:
+        # Degenerate sub-group even after salting (e.g. one constant phash
+        # value at scale): sorted-window scan — O(n·W) with bounded memory.
+        order = np.argsort(ph, kind="stable")
+        sph, W = ph[order], 64
+        ii_l, jj_l, dd_l = [], [], []
+        for k in range(1, min(W, n)):
+            x = sph[:-k] ^ sph[k:]
+            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            hit = np.flatnonzero(d <= max_h)
+            ii_l.append(order[hit])
+            jj_l.append(order[hit + k])
+            dd_l.append(d[hit])
+        ii = np.concatenate(ii_l) if ii_l else np.empty(0, np.int64)
+        jj = np.concatenate(jj_l) if jj_l else np.empty(0, np.int64)
+        dists = np.concatenate(dd_l) if dd_l else np.empty(0, np.int64)
+    rows = []
+    for i, j, dij in zip(ii.tolist(), jj.tolist(), dists.tolist()):
+        a, b = (i, j) if str(ids[i]) <= str(ids[j]) else (j, i)
+        rows.append(
+            {
+                "pair_key": f"{ids[a]}|{ids[b]}",
+                "id_a": ids[a],
+                "id_b": ids[b],
+                "pid_a": int(pids[a]),
+                "pid_b": int(pids[b]),
+                "dist": int(dij),
+            }
+        )
+    if not rows:
+        return _scan_group(g.iloc[:1], max_h)  # typed empty frame
+    return pd.DataFrame(rows)
+
+
+def _pairs_to_violations(batch: pa.Table, epoch: str, severity: str) -> pa.Table:
+    df = batch.to_pandas()
+    rows = []
+    for r in df.itertuples(index=False):
+        rows.append((int(r.pid_a), epoch, "near_dup", str(r.id_a), "phash",
+                     f"near-dup of {r.id_b} (hamming={r.dist})", severity))
+        rows.append((int(r.pid_b), epoch, "near_dup", str(r.id_b), "phash",
+                     f"near-dup of {r.id_a} (hamming={r.dist})", severity))
+    if not rows:
+        return pa.Table.from_pandas(empty_violations_df(), preserve_index=False)
+    cols = list(zip(*rows))
+    names = ["partition_id", "epoch", "check", "image_id", "column", "detail",
+             "severity"]
+    return pa.table({nm: pa.array(list(c)) for nm, c in zip(names, cols)})
+
+
+def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
+    """ds projected to [image_id, phash (+path)]. Returns a violations Dataset."""
+    bands, salts = _bands_for(spec.max_hamming)
+    exploded = ds.map_batches(
+        lambda b: _explode(b, spec, pid_fn, bands, salts), batch_format="pyarrow"
+    )
+    # Pre-aggregated bucket sizes → hot set (tiny; only buckets above cap kept).
+    sizes = (
+        exploded.map_batches(_bucket_partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot_tbl = sizes.filter(expr=f"n > {spec.hot_bucket_cap}").to_pandas()
+    hot = set(hot_tbl["bucket"].tolist())
+    hot_ref = ray.put(hot)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        salt = batch["salt"].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(bucket, np.fromiter(hot_set, dtype=np.int64, count=len(hot_set))) \
+            if hot_set else np.zeros(len(bucket), dtype=bool)
+        key = bucket * 257 + np.where(is_hot, salt + 1, 0)
+        return batch.append_column("key", pa.array(key, pa.int64()))
+
+    keyed = exploded.map_batches(add_key, batch_format="pyarrow")
+    pairs = keyed.groupby("key").map_groups(
+        lambda g: _scan_group(g, spec.max_hamming), batch_format="pandas"
+    )
+    # dedup pairs found in multiple bands
+    uniq_pairs = pairs.groupby("pair_key").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return uniq_pairs.map_batches(
+        lambda b: _pairs_to_violations(b, epoch, spec.severity),
+        batch_format="pyarrow",
+    )

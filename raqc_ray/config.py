@@ -1,0 +1,300 @@
+"""Declarative check registry — the engine's user-extension surface.
+
+RAQC's extension surface is a validated ``.ini``: sections select which flag
+stages run and with what thresholds (``[R] raqc/CoreConfig.ini,
+recipes.ini :: [flags]/[difference_arrays]/[histogram_outliers]/
+[block_behavior] (rec., H)``; SURVEY.md §2.10).  Here each section becomes a
+``CheckSpec`` dataclass; a ``RunConfig`` is the list of selected checks plus
+execution knobs.  New checks = new CheckSpec subclasses registered in
+``CHECK_TYPES`` (the UDF hook).
+
+Check kinds and their RAQC analogs:
+
+- ``NullityCheck`` / ``RangeCheck`` — basic + advanced conditional masks
+  (``mask_basic`` / ``mask_advanced``), SURVEY.md §2.2 M3/M4.
+- ``CaptionCheck`` — caption quality predicate (empty / whitespace-only).
+- ``DecodeCheck`` — "pixel is readable" reimagined: payload decodes and
+  matches declared dims (SURVEY.md §2.2 M8; BASELINE.json:15 invariant).
+- ``StatsCheck`` / ``CardinalityCheck`` / ``QuantileCheck`` — per-partition
+  column stats via mergeable partials (SURVEY.md §2.5 A6/A7/A8).
+- ``Hist2DCheck`` — the 2-D histogram (A1); feeds ``DriftCheck``.
+- ``UniquenessCheck`` / ``NearDupCheck`` / ``ReferentialCheck`` — shuffle
+  checks (A9/A10/J2).
+- ``DriftCheck`` — PSI/KS between repeat epochs over the fixed-bin 2-D
+  histogram + moving-window outlier bins (F1/W2 analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CheckSpec:
+    severity: str = "error"
+
+    @property
+    def name(self) -> str:  # check name used in violation/verdict rows
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class NullityCheck(CheckSpec):
+    """Columns that must be non-null. RAQC: nodata mask."""
+
+    columns: tuple[str, ...] = ()
+
+    @property
+    def name(self) -> str:
+        return "nullity"
+
+
+@dataclass(frozen=True)
+class RangeRule:
+    column: str
+    min: float | None = None
+    max: float | None = None
+    # for binary columns: bounds apply to byte length
+    is_binary_length: bool = False
+
+
+@dataclass(frozen=True)
+class RangeCheck(CheckSpec):
+    """Config-driven per-column bounds. RAQC: ``[difference_arrays]``
+    operator/value conditional masks (``[R] mask_advanced (rec.)``)."""
+
+    rules: tuple[RangeRule, ...] = ()
+
+    @property
+    def name(self) -> str:
+        return "range"
+
+
+@dataclass(frozen=True)
+class CaptionCheck(CheckSpec):
+    column: str = "caption"
+
+    @property
+    def name(self) -> str:
+        return "caption"
+
+
+@dataclass(frozen=True)
+class DecodeCheck(CheckSpec):
+    """Decode ``bytes`` per ``fmt``; verify decodability and declared dims.
+
+    Gated like RAQC's mask chain: rows already failing nullity (null/empty
+    bytes) or range (w/h out of bounds) are skipped — each planted
+    corruption surfaces exactly once (FIXTURES.md §3 disjointness).
+    Also computes the per-row ``pixel_mean`` feature for Hist2DCheck.
+    """
+
+    bytes_col: str = "bytes"
+    fmt_col: str = "fmt"
+    w_col: str = "w"
+    h_col: str = "h"
+    w_min: int = 1
+    w_max: int = 16_384
+
+    @property
+    def name(self) -> str:
+        return "decode"
+
+
+@dataclass(frozen=True)
+class StatsCheck(CheckSpec):
+    """Per-partition null count / min / max / mean per column (A6)."""
+
+    columns: tuple[str, ...] = ()
+
+    @property
+    def name(self) -> str:
+        return "stats"
+
+
+@dataclass(frozen=True)
+class CardinalityCheck(CheckSpec):
+    """HyperLogLog distinct estimate of a column per partition + global (A7)."""
+
+    column: str = "image_id"
+    p: int = 12
+
+    @property
+    def name(self) -> str:
+        return f"cardinality:{self.column}"
+
+
+@dataclass(frozen=True)
+class QuantileCheck(CheckSpec):
+    """t-digest quantiles per partition + global (A2/A3/A8).
+
+    ``outlier_percentiles`` mirrors RAQC ``[block_behavior]
+    outlier_percentiles``: the verdict's stats_json reports the fraction of
+    the partition's mass beyond the *global* (basin-wide) quantile
+    thresholds — the F2 ``flag_basin_*`` analog at partition granularity.
+    """
+
+    column: str = "w"
+    quantiles: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95)
+    outlier_percentiles: tuple[float, float] = (0.05, 0.95)
+    delta: int = 200
+
+    @property
+    def name(self) -> str:
+        return f"quantile:{self.column}"
+
+
+@dataclass(frozen=True)
+class Hist2DCheck(CheckSpec):
+    """Fixed-bin 2-D histogram partials per partition (A1).
+
+    ``x``/``y`` name either a physical column or a built-in feature:
+    ``__bytelen_log2__`` (log2 of binary length of ``bytes``) or
+    ``__pixel_mean__`` (mean decoded luma, requires DecodeCheck).
+    Bin edges are fixed by config — shared across epochs, exactly as RAQC
+    fixes ``[histogram_outliers] num_bins`` so repeat histograms align.
+    """
+
+    x: str = "__bytelen_log2__"
+    y: str = "__pixel_mean__"
+    bins: int = 20
+    x_range: tuple[float, float] = (8.0, 24.0)
+    y_range: tuple[float, float] = (0.0, 255.0)
+
+    @property
+    def name(self) -> str:
+        return "hist2d"
+
+
+@dataclass(frozen=True)
+class UniquenessCheck(CheckSpec):
+    """Key must be globally unique (A9): hash-partitioned groupby-count."""
+
+    column: str = "image_id"
+
+    @property
+    def name(self) -> str:
+        return "uniqueness"
+
+
+@dataclass(frozen=True)
+class NearDupCheck(CheckSpec):
+    """Near-duplicate detection on a 64-bit hash column (A10).
+
+    Pigeonhole banding: split the 64 bits into ``max_hamming + 1`` bands —
+    any pair within Hamming ≤ max_hamming matches exactly in ≥ 1 band.
+    Groups larger than ``hot_bucket_cap`` switch from all-pairs to a
+    sorted windowed scan (skew handling; BASELINE.json:14 "salted keys for
+    hot phash buckets" — see checks/neardup.py for the scan contract).
+    """
+
+    column: str = "phash"
+    max_hamming: int = 2
+    hot_bucket_cap: int = 256
+    window: int = 64
+
+    @property
+    def name(self) -> str:
+        return "near_dup"
+
+
+@dataclass(frozen=True)
+class ReferentialCheck(CheckSpec):
+    """Captions ⋈ images on image_id (J2): orphans both ways + equality.
+
+    Caption-equality comparison applies only to 1:1 groups; multi-occurrence
+    ids are UniquenessCheck's responsibility (disjoint reporting).
+    """
+
+    side_path: str = ""  # parquet path(s) of the captions table
+    key: str = "image_id"
+    compare: str = "caption"
+
+    @property
+    def name(self) -> str:
+        return "referential"
+
+
+@dataclass(frozen=True)
+class DriftCheck(CheckSpec):
+    """Epoch-pair drift verdicts from Hist2DCheck partials (F1/W2 analog).
+
+    PSI and KS are computed per later-epoch partition against the earlier
+    epoch's merged histogram; ``psi_threshold`` gates pass/fail.  Outlier
+    bins come from a moving-window low-occupancy scan over the combined
+    histogram (RAQC ``[histogram_outliers] threshold_histogram_space`` /
+    ``outliers_hist`` (rec.)).
+    """
+
+    psi_threshold: float = 0.2
+    ks_threshold: float = 0.2
+    moving_window: int = 3
+    space_threshold: float = 0.16  # fraction of window mass below which a bin is an outlier
+
+    @property
+    def name(self) -> str:
+        return "drift"
+
+
+@dataclass
+class RunConfig:
+    """One validation run over one epoch of one table."""
+
+    checks: list[CheckSpec] = field(default_factory=list)
+    epoch: str = "e1"
+    # partition id source: ("path", regex_group) | ("column", name) | ("none",)
+    partition_from: tuple = ("path", r"part-(\d+)\.parquet")
+    batch_size: int = 256
+    decode_concurrency: int | tuple[int, int] = 4
+    read_columns: tuple[str, ...] | None = None
+
+    def row_stat_checks(self) -> list[CheckSpec]:
+        return [
+            c
+            for c in self.checks
+            if isinstance(
+                c,
+                (
+                    NullityCheck,
+                    RangeCheck,
+                    CaptionCheck,
+                    DecodeCheck,
+                    StatsCheck,
+                    CardinalityCheck,
+                    QuantileCheck,
+                    Hist2DCheck,
+                ),
+            )
+        ]
+
+    def get(self, cls):
+        for c in self.checks:
+            if isinstance(c, cls):
+                return c
+        return None
+
+
+def default_image_config(epoch: str, captions_path: str = "") -> RunConfig:
+    """The full constraint suite over the binding images schema."""
+    checks: list[CheckSpec] = [
+        NullityCheck(columns=("image_id", "bytes", "caption")),
+        RangeCheck(
+            rules=(
+                RangeRule("w", 1, 16_384),
+                RangeRule("h", 1, 16_384),
+                RangeRule("bytes", 1, None, is_binary_length=True),
+            )
+        ),
+        CaptionCheck(),
+        DecodeCheck(),
+        StatsCheck(columns=("w", "h", "phash")),
+        CardinalityCheck(column="image_id"),
+        QuantileCheck(column="w"),
+        Hist2DCheck(),
+        UniquenessCheck(column="image_id"),
+        NearDupCheck(column="phash"),
+        DriftCheck(),
+    ]
+    if captions_path:
+        checks.append(ReferentialCheck(side_path=captions_path))
+    return RunConfig(checks=checks, epoch=epoch)

@@ -1,0 +1,322 @@
+"""Deterministic synthetic image+caption fixtures (FIXTURES.md).
+
+Generates, per epoch, one parquet file per partition (the Lance stand-in;
+SURVEY.md §7) with the binding 7-column images schema, a captions side
+table, and ground-truth expectation files derived from the corruption
+matrix.  All randomness flows from ``numpy.random.default_rng`` seeded with
+``(seed, epoch_index, row_index)`` so any row is reproducible in isolation
+(no wall clock, no external data).
+
+RAQC analog: the two input date1/date2 rasters plus planted outliers that
+the golden run must flag (``[R] raqc/tests fixtures (rec., L)``, SURVEY.md §5).
+``e2`` plants a distribution shift (width p(256) += 0.2, pixel means +15)
+so the drift check has a positive case — the analog of real snow change
+between repeat flights.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codecs import encode_image, phash64, synth_image
+from .schema import CAPTIONS_SCHEMA, IMAGES_SCHEMA
+
+# name -> (rows_per_epoch, rows_per_partition)
+PROFILES = {
+    "t1": (1_000, 250),
+    "t2": (10_000, 1_250),
+    "bench": (100_000, 782),  # 128 partitions: partition-rich for the scaling proxy
+}
+
+DIMS = np.array([32, 64, 96, 128, 256], dtype=np.int32)
+DIM_P_E1 = np.array([0.30, 0.28, 0.20, 0.15, 0.07])
+DIM_P_E2 = np.array([0.25, 0.23, 0.15, 0.10, 0.27])  # p(256) += 0.2 (drift)
+
+VOCAB = (
+    "snow depth basin lidar raster band elevation drift flag pixel mountain "
+    "river watershed melt accumulation survey flight repeat epoch cloud "
+    "forest canopy valley ridge slope aspect sensor array quality check "
+    "image caption pair table column batch stream shuffle partition verdict "
+    "violation sketch digest histogram quantile outlier threshold window "
+    "neighbor block mask overlap clip extent grid cell meter winter spring"
+).split()
+
+
+# ---------------------------------------------------------- corruption plan
+
+
+@dataclass(frozen=True)
+class CorruptionPlan:
+    """Deterministic, disjoint planted-violation row indices (FIXTURES.md §3)."""
+
+    caption_null: tuple = (0, 1, 2, 3, 4)
+    bytes_null: tuple = (5, 6, 7, 8, 9)
+    range_rows: tuple = (10, 11, 12, 13, 14)  # w=0, h=-5, w=20000, h=0, len(bytes)=0
+    caption_empty: tuple = (23, 24, 25, 26, 27)
+    decode_garbage: tuple = (50, 51, 52, 53, 54)
+    decode_dims: tuple = (55, 56, 57, 58, 59)
+    caption_missing: tuple = (60, 61, 62)  # image rows with no caption row
+    caption_mismatch: tuple = (63, 64, 65)
+    neardup_src: tuple = (30, 31, 32, 33, 34, 35)
+    neardup_dst: tuple = (70, 71, 72, 73, 74, 75)
+    hot_bucket: tuple = tuple(range(100, 150))
+    n_orphans: int = 3
+
+    def uniq_pairs(self, rows: int, rp: int) -> list[tuple[int, int]]:
+        """4 duplicated-image_id pairs, within and across partitions."""
+        pairs = [(15, 16)]
+        for k, src in enumerate((17, 18, 19)):
+            dst = ((k + 1) * rp + src) % rows
+            if dst == src:
+                dst = (src + 1) % rows
+            pairs.append((src, dst))
+        return pairs
+
+
+PLAN = CorruptionPlan()
+
+
+def _row_rng(seed: int, epoch_idx: int, i: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence((seed, epoch_idx, i)))
+
+
+def _caption(rng: np.random.Generator) -> str:
+    n = int(rng.integers(3, 31))
+    return " ".join(VOCAB[j] for j in rng.integers(0, len(VOCAB), n))
+
+
+def generate_epoch(
+    out_dir: str,
+    epoch: str,
+    rows: int,
+    rows_per_partition: int,
+    seed: int,
+    drift: bool,
+    sample_pixels_dir: str | None = None,
+    n_pixel_samples: int = 64,
+) -> dict:
+    """Write one epoch's partitioned parquet + captions table.
+
+    Returns a manifest dict: planted ground truth for expectation building.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    epoch_idx = 1 if drift else 0
+    dim_p = DIM_P_E2 if drift else DIM_P_E1
+    brightness = 15 if drift else 0
+    plan = PLAN
+
+    ids = [f"img-{epoch}-{i:09d}" for i in range(rows)]
+    uniq_pairs = plan.uniq_pairs(rows, rows_per_partition)
+    for src, dst in uniq_pairs:
+        ids[dst] = ids[src]
+
+    image_id_arr: list[str | None] = list(ids)
+    bytes_arr: list[bytes | None] = [None] * rows
+    w_arr = np.zeros(rows, dtype=np.int32)
+    h_arr = np.zeros(rows, dtype=np.int32)
+    fmt_arr: list[str] = [""] * rows
+    caption_arr: list[str | None] = [None] * rows
+    phash_arr = np.zeros(rows, dtype=np.int64)
+
+    pixel_sample_idx = set(range(0, rows, max(1, rows // n_pixel_samples)))
+    if sample_pixels_dir:
+        os.makedirs(sample_pixels_dir, exist_ok=True)
+
+    for i in range(rows):
+        rng = _row_rng(seed, epoch_idx, i)
+        di = rng.choice(len(DIMS), p=dim_p)
+        dj = rng.choice(len(DIMS), p=dim_p)
+        w, h = int(DIMS[di]), int(DIMS[dj])
+        fmt = "ppm" if rng.random() < 0.5 else "png"
+        img = synth_image(rng, w, h, brightness=brightness)
+        data = encode_image(img, fmt)
+        ph = phash64(img)
+        w_arr[i], h_arr[i] = w, h
+        fmt_arr[i] = fmt
+        bytes_arr[i] = data
+        caption_arr[i] = _caption(rng)
+        phash_arr[i] = ph
+        if sample_pixels_dir and i in pixel_sample_idx and i >= 200:
+            # clean rows only (corruptions live in low indices)
+            np.save(os.path.join(sample_pixels_dir, f"{ids[i]}.npy"), img)
+
+    # --- plant corruptions (disjoint row sets; FIXTURES.md §3) ---
+    for i in plan.caption_null:
+        caption_arr[i] = None
+    for i in plan.bytes_null:
+        bytes_arr[i] = None
+    rr = plan.range_rows
+    w_arr[rr[0]] = 0
+    h_arr[rr[1]] = -5
+    w_arr[rr[2]] = 20_000
+    h_arr[rr[3]] = 0
+    bytes_arr[rr[4]] = b""
+    for i in plan.caption_empty:
+        caption_arr[i] = ""
+    for i in plan.decode_garbage:
+        orig = bytes_arr[i]
+        rng = _row_rng(seed, epoch_idx, rows + i)  # disjoint stream
+        bytes_arr[i] = (
+            orig[: max(8, len(orig) // 3)] if rng.random() < 0.5 else b"\x00garbage" * 4
+        )
+    for i in plan.decode_dims:
+        # declared dims != decoded dims (valid bytes untouched)
+        w_arr[i] = int(w_arr[i]) + 8
+    for k in range(len(plan.neardup_src)):
+        src, dst = plan.neardup_src[k], plan.neardup_dst[k]
+        nflip = 1 + (k % 2)
+        ph = int(phash_arr[src])
+        for b in range(nflip):
+            ph ^= 1 << (5 + 7 * b + k)
+        phash_arr[dst] = np.int64(np.uint64(ph & 0xFFFFFFFFFFFFFFFF).astype(np.int64))
+    # hot bucket: 50 rows sharing band-0 prefix (top 22 bits), random lower bits
+    hot_rng = _row_rng(seed, epoch_idx, 2 * rows + 7)
+    prefix = np.uint64(0x2ACE5 & 0x3FFFFF) << np.uint64(42)
+    for i in plan.hot_bucket:
+        low = np.uint64(hot_rng.integers(0, 1 << 42, dtype=np.uint64))
+        phash_arr[i] = np.int64((prefix | low).astype(np.int64))
+
+    # --- write one parquet file per partition ---
+    n_parts = (rows + rows_per_partition - 1) // rows_per_partition
+    for pid in range(n_parts):
+        lo, hi = pid * rows_per_partition, min((pid + 1) * rows_per_partition, rows)
+        tbl = pa.table(
+            {
+                "image_id": pa.array(image_id_arr[lo:hi], pa.string()),
+                "bytes": pa.array(bytes_arr[lo:hi], pa.binary()),
+                "w": pa.array(w_arr[lo:hi], pa.int32()),
+                "h": pa.array(h_arr[lo:hi], pa.int32()),
+                "fmt": pa.array(fmt_arr[lo:hi], pa.string()),
+                "caption": pa.array(caption_arr[lo:hi], pa.string()),
+                "phash": pa.array(phash_arr[lo:hi], pa.int64()),
+            },
+            schema=IMAGES_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{pid:05d}.parquet"))
+
+    # --- captions side table (FIXTURES.md §2) ---
+    cap_ids, cap_texts = [], []
+    missing = set(plan.caption_missing)
+    mismatch = set(plan.caption_mismatch)
+    for i in range(rows):
+        if i in missing:
+            continue
+        cap_ids.append(ids[i])
+        if i in mismatch:
+            cap_texts.append((caption_arr[i] or "") + " MISMATCH")
+        else:
+            cap_texts.append(caption_arr[i])
+    for k in range(plan.n_orphans):
+        cap_ids.append(f"orphan-{epoch}-{k}")
+        cap_texts.append(f"orphan caption {k}")
+    cap_tbl = pa.table(
+        {"image_id": pa.array(cap_ids, pa.string()),
+         "caption": pa.array(cap_texts, pa.string())},
+        schema=CAPTIONS_SCHEMA,
+    )
+    pq.write_table(cap_tbl, os.path.join(out_dir, "captions.parquet"))
+
+    return {
+        "epoch": epoch,
+        "rows": rows,
+        "rows_per_partition": rows_per_partition,
+        "n_partitions": n_parts,
+        "uniq_pairs": uniq_pairs,
+        "ids": None,  # too big to keep; recomputable
+    }
+
+
+def generate(root: str, profile: str = "t1", seed: int = 42) -> dict:
+    """Generate both epochs + expectations under ``root``; idempotent via a
+    done-marker. Returns the fixture manifest."""
+    rows, rp = PROFILES[profile]
+    marker = os.path.join(root, "FIXTURE_DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    os.makedirs(root, exist_ok=True)
+    m1 = generate_epoch(
+        os.path.join(root, "e1"), "e1", rows, rp, seed, drift=False,
+        sample_pixels_dir=os.path.join(root, "expected", "pixels", "e1"),
+    )
+    m2 = generate_epoch(
+        os.path.join(root, "e2"), "e2", rows, rp, seed + 1, drift=True,
+        sample_pixels_dir=os.path.join(root, "expected", "pixels", "e2"),
+    )
+    manifest = {
+        "profile": profile,
+        "seed": seed,
+        "rows": rows,
+        "rows_per_partition": rp,
+        "n_partitions": m1["n_partitions"],
+        "epochs": {"e1": {"dir": os.path.join(root, "e1")},
+                   "e2": {"dir": os.path.join(root, "e2")}},
+        "uniq_pairs": m1["uniq_pairs"],
+    }
+    with open(marker, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+# ------------------------------------------------- expected planted counts
+
+
+def expected_violation_keys(manifest: dict, epoch: str) -> list[tuple]:
+    """Ground-truth violation keys (partition_id, epoch, check, image_id, column)
+    implied by the corruption plan — the golden comparison set (FIXTURES.md §4).
+
+    Near-dup hot-bucket rows are excluded: they share a bucket but are not
+    within Hamming ≤ 2 of each other (they exercise skew handling, not
+    detection).
+    """
+    rows = manifest["rows"]
+    rp = manifest["rows_per_partition"]
+    plan = PLAN
+
+    def pid(i: int) -> int:
+        return i // rp
+
+    def iid(i: int) -> str:
+        return f"img-{epoch}-{i:09d}"
+
+    keys: list[tuple] = []
+    for i in plan.caption_null:
+        keys.append((pid(i), epoch, "nullity", iid(i), "caption"))
+    for i in plan.bytes_null:
+        keys.append((pid(i), epoch, "nullity", iid(i), "bytes"))
+    rr = plan.range_rows
+    keys.append((pid(rr[0]), epoch, "range", iid(rr[0]), "w"))
+    keys.append((pid(rr[1]), epoch, "range", iid(rr[1]), "h"))
+    keys.append((pid(rr[2]), epoch, "range", iid(rr[2]), "w"))
+    keys.append((pid(rr[3]), epoch, "range", iid(rr[3]), "h"))
+    keys.append((pid(rr[4]), epoch, "range", iid(rr[4]), "bytes"))
+    for i in plan.caption_empty:
+        keys.append((pid(i), epoch, "caption", iid(i), "caption"))
+    for i in plan.decode_garbage:
+        keys.append((pid(i), epoch, "decode", iid(i), "bytes"))
+    for i in plan.decode_dims:
+        keys.append((pid(i), epoch, "decode", iid(i), "w"))
+    # uniqueness: one violation per (image_id, partition) occurrence pair
+    for src, dst in manifest["uniq_pairs"]:
+        for p in sorted({pid(src), pid(dst)}):
+            keys.append((p, epoch, "uniqueness", iid(src), "image_id"))
+    # near-dup: one violation per pair member
+    for k in range(len(plan.neardup_src)):
+        s, d = plan.neardup_src[k], plan.neardup_dst[k]
+        keys.append((pid(s), epoch, "near_dup", iid(s), "phash"))
+        keys.append((pid(d), epoch, "near_dup", iid(d), "phash"))
+    # referential: orphan captions (no partition → -1), missing captions,
+    # caption mismatches (attributed to the image row's partition)
+    for k in range(plan.n_orphans):
+        keys.append((-1, epoch, "referential", f"orphan-{epoch}-{k}", "image_id"))
+    for i in plan.caption_missing:
+        keys.append((pid(i), epoch, "referential", iid(i), "caption"))
+    for i in plan.caption_mismatch:
+        keys.append((pid(i), epoch, "referential", iid(i), "caption"))
+    return sorted(keys)

@@ -1,0 +1,301 @@
+"""End-to-end validation pipeline (SURVEY.md §3.4 lifecycle).
+
+Per epoch::
+
+    read parquet (Lance stand-in), include_paths for partition ids
+      → map_batches(ValidatorStage)          [actor pool if decoding]
+          row checks + decode + stat partials, in-band union output
+      → (tiny) groupby(partition, check) merge partials
+      → narrow re-reads (columns pruned at the parquet reader — ``bytes``
+        never enters a shuffle) for uniqueness / near-dup / referential
+      → verdict assembly on the driver (per-partition counts are small)
+
+Across an epoch pair, drift verdicts compare per-partition 2-D histograms
+against the baseline epoch (checks/drift.py).
+
+Scale contract: every materialized object here is *output-sized*
+(violations, per-partition partials, verdicts), never input-sized — the
+fat pass streams with backpressure.  This inverts RAQC's memory model
+(whole rasters resident in RAM, ``[R] raqc/multi_array.py (rec.)``) while
+computing the same flag families.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..checks import (
+    drift_verdicts,
+    neardup_violations,
+    referential_violations,
+    uniqueness_violations,
+)
+from ..checks._util import cast_violations
+from ..config import (
+    CardinalityCheck,
+    DecodeCheck,
+    DriftCheck,
+    Hist2DCheck,
+    NearDupCheck,
+    QuantileCheck,
+    ReferentialCheck,
+    RunConfig,
+    StatsCheck,
+    UniquenessCheck,
+)
+from ..partitions import make_pid_fn
+from ..schema import VERDICTS_SCHEMA
+from ..sketches import HyperLogLog, TDigest
+from ..stages.passa import ROWCOUNT_CHECK, ValidatorStage, merge_partial_group
+
+ROW_CHECKS = ("nullity", "range", "caption", "decode", "uniqueness", "near_dup",
+              "referential")
+
+
+@dataclass
+class EpochResult:
+    epoch: str
+    violations: "rd.Dataset"
+    verdicts: pa.Table
+    merged: dict  # (partition_id, check) -> {"payload": bytes, "n_rows": int}
+    metrics: dict = field(default_factory=dict)
+
+    def hists(self) -> dict[int, np.ndarray]:
+        return {
+            pid: pickle.loads(m["payload"])
+            for (pid, check), m in self.merged.items()
+            if check == "hist2d"
+        }
+
+    def row_counts(self) -> dict[int, int]:
+        return {
+            pid: pickle.loads(m["payload"])
+            for (pid, check), m in self.merged.items()
+            if check == ROWCOUNT_CHECK
+        }
+
+
+def _read(paths, cfg: RunConfig, columns=None):
+    include_paths = cfg.partition_from[0] == "path"
+    return rd.read_parquet(paths, columns=columns, include_paths=include_paths)
+
+
+def validate_epoch(paths, cfg: RunConfig) -> EpochResult:
+    """Run all configured checks on one epoch. ``paths`` = parquet file(s)
+    or directory (one file per partition)."""
+    pid_fn = make_pid_fn(cfg.partition_from)
+    decode = cfg.get(DecodeCheck)
+
+    # ---- Pass A: fat streaming pass -----------------------------------
+    ds = _read(paths, cfg, columns=list(cfg.read_columns) if cfg.read_columns else None)
+    if decode is not None:
+        passa = ds.map_batches(
+            ValidatorStage,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.decode_concurrency,
+        )
+    else:
+        stage = ValidatorStage(cfg)
+        passa = ds.map_batches(stage, batch_format="pyarrow",
+                               batch_size=cfg.batch_size)
+    # Pass A output is output-sized (violations + per-batch partials) —
+    # materializing it lets us split the two in-band streams without
+    # re-running the fat pass.
+    passa = passa.materialize()
+
+    violations_streams = [
+        passa.filter(expr="kind == 'v'").drop_columns(["kind", "payload", "n_rows"])
+    ]
+
+    partials = passa.filter(expr="kind == 's'")
+    merged_ds = partials.groupby(["partition_id", "epoch", "check"]).map_groups(
+        lambda g: merge_partial_group(g, cfg), batch_format="pandas"
+    )
+    merged: dict = {}
+    for row in merged_ds.take_all():
+        merged[(int(row["partition_id"]), row["check"])] = {
+            "payload": bytes(row["payload"]),
+            "n_rows": int(row["n_rows"]),
+        }
+
+    # ---- narrow shuffle checks (columns pruned at the read) -----------
+    uniq = cfg.get(UniquenessCheck)
+    if uniq is not None:
+        nds = _read(paths, cfg, columns=[uniq.column])
+        violations_streams.append(
+            uniqueness_violations(nds, uniq.column, cfg.epoch, pid_fn, uniq.severity)
+        )
+    nd = cfg.get(NearDupCheck)
+    if nd is not None:
+        nds = _read(paths, cfg, columns=["image_id", nd.column])
+        violations_streams.append(neardup_violations(nds, nd, cfg.epoch, pid_fn))
+    ref = cfg.get(ReferentialCheck)
+    if ref is not None and ref.side_path:
+        img_ds = _read(paths, cfg, columns=[ref.key, ref.compare])
+        cap_ds = rd.read_parquet(ref.side_path)
+        violations_streams.append(
+            referential_violations(img_ds, cap_ds, ref, cfg.epoch, pid_fn)
+        )
+
+    violations = violations_streams[0]
+    for s in violations_streams[1:]:
+        violations = violations.union(cast_violations(s))
+    violations = cast_violations(violations).materialize()
+
+    # ---- verdict assembly (driver-side; inputs are partition-count sized) --
+    vio_counts = (
+        violations.groupby(["partition_id", "check"])
+        .count()
+        .to_pandas()
+    )
+    count_lut = {
+        (int(r["partition_id"]), r["check"]): int(r["count()"])
+        for _, r in vio_counts.iterrows()
+    }
+    verdicts = _build_verdicts(cfg, merged, count_lut)
+
+    metrics = {
+        "epoch": cfg.epoch,
+        "n_partitions": len({pid for (pid, c) in merged if c == ROWCOUNT_CHECK}),
+        "n_rows": sum(
+            pickle.loads(m["payload"])
+            for (pid, c), m in merged.items()
+            if c == ROWCOUNT_CHECK
+        ),
+        "n_violations": int(sum(count_lut.values())),
+    }
+    return EpochResult(cfg.epoch, violations, verdicts, merged, metrics)
+
+
+def _build_verdicts(cfg: RunConfig, merged: dict, count_lut: dict) -> pa.Table:
+    epoch = cfg.epoch
+    row_counts = {
+        pid: pickle.loads(m["payload"])
+        for (pid, c), m in merged.items()
+        if c == ROWCOUNT_CHECK
+    }
+    pids = sorted(row_counts)
+    rows: list[dict] = []
+
+    active_row_checks = []
+    for c in cfg.checks:
+        if c.name in ROW_CHECKS and c.name not in active_row_checks:
+            active_row_checks.append(c.name)
+    for check in active_row_checks:
+        for pid in pids:
+            nv = count_lut.get((pid, check), 0)
+            rows.append(
+                {"partition_id": pid, "epoch": epoch, "check": check,
+                 "pass": nv == 0, "n_rows": row_counts[pid], "n_violations": nv,
+                 "stats_json": "{}"}
+            )
+        # orphan-side verdict (partition -1) for referential
+        if check == "referential" and (-1, check) in count_lut:
+            nv = count_lut[(-1, check)]
+            rows.append(
+                {"partition_id": -1, "epoch": epoch, "check": check,
+                 "pass": False, "n_rows": 0, "n_violations": nv,
+                 "stats_json": "{}"}
+            )
+
+    # stat checks → informational verdicts with stats_json
+    stats = cfg.get(StatsCheck)
+    if stats is not None:
+        for pid in pids:
+            m = merged.get((pid, "stats"))
+            if not m:
+                continue
+            st = pickle.loads(m["payload"])
+            pretty = {
+                col: {
+                    "n": s["n"], "n_null": s["n_null"], "min": s["min"],
+                    "max": s["max"],
+                    "mean": (s["sum"] / max(s["n"] - s["n_null"], 1))
+                    if s["n"] - s["n_null"] > 0 else None,
+                }
+                for col, s in st.items()
+            }
+            rows.append(
+                {"partition_id": pid, "epoch": epoch, "check": "stats",
+                 "pass": True, "n_rows": m["n_rows"], "n_violations": 0,
+                 "stats_json": json.dumps(pretty, sort_keys=True)}
+            )
+
+    card = cfg.get(CardinalityCheck)
+    if card is not None:
+        sketches = {
+            pid: HyperLogLog.from_bytes(m["payload"])
+            for (pid, c), m in merged.items()
+            if c == card.name
+        }
+        if sketches:
+            global_est = HyperLogLog.merge_all(list(sketches.values())).estimate()
+            for pid in sorted(sketches):
+                rows.append(
+                    {"partition_id": pid, "epoch": epoch, "check": card.name,
+                     "pass": True, "n_rows": row_counts.get(pid, 0),
+                     "n_violations": 0,
+                     "stats_json": json.dumps(
+                         {"estimate": round(sketches[pid].estimate(), 2),
+                          "global_estimate": round(global_est, 2)},
+                         sort_keys=True)}
+                )
+
+    quant = cfg.get(QuantileCheck)
+    if quant is not None:
+        digs = {
+            pid: TDigest.from_bytes(m["payload"])
+            for (pid, c), m in merged.items()
+            if c == quant.name
+        }
+        if digs:
+            # basin-wide thresholds (RAQC flag_basin_* analog, SURVEY.md A3)
+            global_td = TDigest.merge_all(list(digs.values()))
+            lo_q, hi_q = quant.outlier_percentiles
+            lo, hi = global_td.quantile(lo_q), global_td.quantile(hi_q)
+            for pid in sorted(digs):
+                td = digs[pid]
+                frac_out = max(0.0, td.cdf(lo)) + max(0.0, 1.0 - td.cdf(hi))
+                rows.append(
+                    {"partition_id": pid, "epoch": epoch, "check": quant.name,
+                     "pass": True, "n_rows": row_counts.get(pid, 0),
+                     "n_violations": 0,
+                     "stats_json": json.dumps(
+                         {"quantiles": {str(q): round(td.quantile(q), 4)
+                                        for q in quant.quantiles},
+                          "global_lo": round(lo, 4), "global_hi": round(hi, 4),
+                          "frac_beyond_global": round(frac_out, 4)},
+                         sort_keys=True)}
+                )
+
+    if not rows:
+        return VERDICTS_SCHEMA.empty_table()
+    df = pd.DataFrame(rows).sort_values(["epoch", "check", "partition_id"])
+    return pa.Table.from_pandas(df, schema=VERDICTS_SCHEMA, preserve_index=False)
+
+
+def validate_epoch_pair(
+    baseline_paths, current_paths, baseline_cfg: RunConfig, current_cfg: RunConfig
+) -> tuple[EpochResult, EpochResult]:
+    """Validate two repeat epochs and append drift verdicts (computed on the
+    tiny merged histograms) to the current epoch's verdict table."""
+    r1 = validate_epoch(baseline_paths, baseline_cfg)
+    r2 = validate_epoch(current_paths, current_cfg)
+    spec = current_cfg.get(DriftCheck)
+    if spec is not None and current_cfg.get(Hist2DCheck) is not None:
+        drows = drift_verdicts(spec, r1.hists(), r2.hists(), current_cfg.epoch)
+        if drows:
+            dtab = pa.Table.from_pandas(pd.DataFrame(drows), schema=VERDICTS_SCHEMA,
+                                        preserve_index=False)
+            r2.verdicts = pa.concat_tables([r2.verdicts, dtab])
+    return r1, r2
