@@ -174,7 +174,7 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
         .aggregate(Sum("n", alias_name="n"))
     )
     hot_tbl = sizes.filter(expr=f"n > {spec.hot_bucket_cap}").to_pandas()
-    hot = set(hot_tbl["bucket"].tolist())
+    hot = set(hot_tbl["bucket"].tolist()) if "bucket" in hot_tbl.columns else set()
     hot_ref = ray.put(hot)
 
     def add_key(batch: pa.Table) -> pa.Table:

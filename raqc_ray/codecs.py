@@ -233,16 +233,19 @@ def phash64(arr: np.ndarray) -> int:
     # Block-mean resize to 8×8 via bin edges (handles non-divisible dims).
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    grid = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            grid[i, j] = luma[ys[i] : max(ys[i + 1], ys[i] + 1),
-                              xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    if h >= 8 and w >= 8:
+        row_sums = np.add.reduceat(luma, ys[:8], axis=0)
+        grid = np.add.reduceat(row_sums, xs[:8], axis=1)
+        grid /= np.outer(np.diff(ys), np.diff(xs))
+    else:
+        grid = np.empty((8, 8), dtype=np.float64)
+        for i in range(8):
+            for j in range(8):
+                grid[i, j] = luma[ys[i] : max(ys[i + 1], ys[i] + 1),
+                                  xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
     med = np.median(grid)
     bits = (grid.ravel() > med).astype(np.uint64)
-    val = np.uint64(0)
-    for i in range(64):
-        val |= bits[i] << np.uint64(i)
+    val = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
     return int(val.astype(np.int64))
 
 

@@ -245,7 +245,10 @@ class RunConfig:
     # partition id source: ("path", regex_group) | ("column", name) | ("none",)
     partition_from: tuple = ("path", r"part-(\d+)\.parquet")
     batch_size: int = 256
-    decode_concurrency: int | tuple[int, int] = 4
+    # None → auto-size to ~3/4 of cluster CPUs, always leaving headroom for
+    # the read/reduce stages (a pool that reserves every CPU starves the
+    # reader and the pipeline stalls).
+    decode_concurrency: int | tuple[int, int] | None = None
     read_columns: tuple[str, ...] | None = None
 
     def row_stat_checks(self) -> list[CheckSpec]:

@@ -91,6 +91,146 @@ def _caption(rng: np.random.Generator) -> str:
     return " ".join(VOCAB[j] for j in rng.integers(0, len(VOCAB), n))
 
 
+def generate_partition(
+    out_dir: str,
+    epoch: str,
+    pid: int,
+    rows: int,
+    rows_per_partition: int,
+    seed: int,
+    drift: bool,
+    sample_pixels_dir: str | None = None,
+    sample_stride: int = 0,
+) -> tuple[list[str], list[str | None]]:
+    """Generate + write one partition's parquet file; returns this
+    partition's (caption_ids, caption_texts) contribution to the captions
+    side table.  Pure function of (seed, epoch, pid) — safe to run
+    partitions in parallel Ray tasks (bench-size generation) and to
+    regenerate any single partition (resume tests)."""
+    assert rows_per_partition >= 150, "corruption plan needs >=150 rows in partition 0"
+    epoch_idx = 1 if drift else 0
+    dim_p = DIM_P_E2 if drift else DIM_P_E1
+    brightness = 15 if drift else 0
+    plan = PLAN
+    lo, hi = pid * rows_per_partition, min((pid + 1) * rows_per_partition, rows)
+    n = hi - lo
+
+    uniq_pairs = plan.uniq_pairs(rows, rows_per_partition)
+    dup_of = {dst: src for src, dst in uniq_pairs}
+
+    def rid(i: int) -> str:
+        return f"img-{epoch}-{dup_of.get(i, i):09d}"
+
+    ids = [rid(i) for i in range(lo, hi)]
+    bytes_arr: list[bytes | None] = [None] * n
+    w_arr = np.zeros(n, dtype=np.int32)
+    h_arr = np.zeros(n, dtype=np.int32)
+    fmt_arr: list[str] = [""] * n
+    caption_arr: list[str | None] = [None] * n
+    phash_arr = np.zeros(n, dtype=np.int64)
+
+    if sample_pixels_dir:
+        os.makedirs(sample_pixels_dir, exist_ok=True)
+
+    for i in range(lo, hi):
+        j = i - lo
+        rng = _row_rng(seed, epoch_idx, i)
+        di = rng.choice(len(DIMS), p=dim_p)
+        dj = rng.choice(len(DIMS), p=dim_p)
+        w, h = int(DIMS[di]), int(DIMS[dj])
+        fmt = "ppm" if rng.random() < 0.5 else "png"
+        img = synth_image(rng, w, h, brightness=brightness)
+        w_arr[j], h_arr[j] = w, h
+        fmt_arr[j] = fmt
+        bytes_arr[j] = encode_image(img, fmt)
+        caption_arr[j] = _caption(rng)
+        phash_arr[j] = phash64(img)
+        if (
+            sample_pixels_dir
+            and sample_stride
+            and i % sample_stride == 0
+            and i >= 200  # clean rows only (corruptions live in low indices)
+        ):
+            np.save(os.path.join(sample_pixels_dir, f"{ids[j]}.npy"), img)
+
+    # --- plant corruptions (global row indices; FIXTURES.md §3) ---
+    def local(idx_tuple):
+        return [i - lo for i in idx_tuple if lo <= i < hi]
+
+    for j in local(plan.caption_null):
+        caption_arr[j] = None
+    for j in local(plan.bytes_null):
+        bytes_arr[j] = None
+    rr = plan.range_rows
+    range_plants = [(w_arr, 0), (h_arr, -5), (w_arr, 20_000), (h_arr, 0)]
+    for k, (arr, v) in enumerate(range_plants):
+        if lo <= rr[k] < hi:
+            arr[rr[k] - lo] = v
+    if lo <= rr[4] < hi:
+        bytes_arr[rr[4] - lo] = b""
+    for j in local(plan.caption_empty):
+        caption_arr[j] = ""
+    for i in plan.decode_garbage:
+        if lo <= i < hi:
+            j = i - lo
+            orig = bytes_arr[j]
+            rng = _row_rng(seed, epoch_idx, rows + i)  # disjoint stream
+            bytes_arr[j] = (
+                orig[: max(8, len(orig) // 3)]
+                if rng.random() < 0.5
+                else b"\x00garbage" * 4
+            )
+    for j in local(plan.decode_dims):
+        w_arr[j] = int(w_arr[j]) + 8  # declared != decoded dims
+    for k in range(len(plan.neardup_src)):
+        src, dst = plan.neardup_src[k], plan.neardup_dst[k]
+        if lo <= dst < hi:  # src and dst both live in partition 0 (rp >= 150)
+            nflip = 1 + (k % 2)
+            ph = int(phash_arr[src - lo])
+            for b in range(nflip):
+                ph ^= 1 << (5 + 7 * b + k)
+            phash_arr[dst - lo] = np.int64(
+                np.uint64(ph & 0xFFFFFFFFFFFFFFFF).astype(np.int64)
+            )
+    # hot bucket: rows sharing the band-2 prefix (top 22 bits), random low bits
+    hot_rng = _row_rng(seed, epoch_idx, 2 * rows + 7)
+    prefix = np.uint64(0x2ACE5 & 0x3FFFFF) << np.uint64(42)
+    for i in plan.hot_bucket:
+        low = np.uint64(hot_rng.integers(0, 1 << 42, dtype=np.uint64))
+        if lo <= i < hi:
+            phash_arr[i - lo] = np.int64((prefix | low).astype(np.int64))
+
+    tbl = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bytes_arr, pa.binary()),
+            "w": pa.array(w_arr, pa.int32()),
+            "h": pa.array(h_arr, pa.int32()),
+            "fmt": pa.array(fmt_arr, pa.string()),
+            "caption": pa.array(caption_arr, pa.string()),
+            "phash": pa.array(phash_arr, pa.int64()),
+        },
+        schema=IMAGES_SCHEMA,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{pid:05d}.parquet"))
+
+    # --- captions contribution (FIXTURES.md §2) ---
+    cap_ids, cap_texts = [], []
+    missing = set(plan.caption_missing)
+    mismatch = set(plan.caption_mismatch)
+    for i in range(lo, hi):
+        if i in missing:
+            continue
+        j = i - lo
+        cap_ids.append(ids[j])
+        if i in mismatch:
+            cap_texts.append((caption_arr[j] or "") + " MISMATCH")
+        else:
+            cap_texts.append(caption_arr[j])
+    return cap_ids, cap_texts
+
+
 def generate_epoch(
     out_dir: str,
     epoch: str,
@@ -100,119 +240,35 @@ def generate_epoch(
     drift: bool,
     sample_pixels_dir: str | None = None,
     n_pixel_samples: int = 64,
+    parallel: bool = False,
 ) -> dict:
     """Write one epoch's partitioned parquet + captions table.
 
-    Returns a manifest dict: planted ground truth for expectation building.
+    ``parallel=True`` fans partitions out as Ray tasks (requires an
+    initialized Ray session — used by bench-size generation only).
     """
     os.makedirs(out_dir, exist_ok=True)
-    epoch_idx = 1 if drift else 0
-    dim_p = DIM_P_E2 if drift else DIM_P_E1
-    brightness = 15 if drift else 0
-    plan = PLAN
-
-    ids = [f"img-{epoch}-{i:09d}" for i in range(rows)]
-    uniq_pairs = plan.uniq_pairs(rows, rows_per_partition)
-    for src, dst in uniq_pairs:
-        ids[dst] = ids[src]
-
-    image_id_arr: list[str | None] = list(ids)
-    bytes_arr: list[bytes | None] = [None] * rows
-    w_arr = np.zeros(rows, dtype=np.int32)
-    h_arr = np.zeros(rows, dtype=np.int32)
-    fmt_arr: list[str] = [""] * rows
-    caption_arr: list[str | None] = [None] * rows
-    phash_arr = np.zeros(rows, dtype=np.int64)
-
-    pixel_sample_idx = set(range(0, rows, max(1, rows // n_pixel_samples)))
-    if sample_pixels_dir:
-        os.makedirs(sample_pixels_dir, exist_ok=True)
-
-    for i in range(rows):
-        rng = _row_rng(seed, epoch_idx, i)
-        di = rng.choice(len(DIMS), p=dim_p)
-        dj = rng.choice(len(DIMS), p=dim_p)
-        w, h = int(DIMS[di]), int(DIMS[dj])
-        fmt = "ppm" if rng.random() < 0.5 else "png"
-        img = synth_image(rng, w, h, brightness=brightness)
-        data = encode_image(img, fmt)
-        ph = phash64(img)
-        w_arr[i], h_arr[i] = w, h
-        fmt_arr[i] = fmt
-        bytes_arr[i] = data
-        caption_arr[i] = _caption(rng)
-        phash_arr[i] = ph
-        if sample_pixels_dir and i in pixel_sample_idx and i >= 200:
-            # clean rows only (corruptions live in low indices)
-            np.save(os.path.join(sample_pixels_dir, f"{ids[i]}.npy"), img)
-
-    # --- plant corruptions (disjoint row sets; FIXTURES.md §3) ---
-    for i in plan.caption_null:
-        caption_arr[i] = None
-    for i in plan.bytes_null:
-        bytes_arr[i] = None
-    rr = plan.range_rows
-    w_arr[rr[0]] = 0
-    h_arr[rr[1]] = -5
-    w_arr[rr[2]] = 20_000
-    h_arr[rr[3]] = 0
-    bytes_arr[rr[4]] = b""
-    for i in plan.caption_empty:
-        caption_arr[i] = ""
-    for i in plan.decode_garbage:
-        orig = bytes_arr[i]
-        rng = _row_rng(seed, epoch_idx, rows + i)  # disjoint stream
-        bytes_arr[i] = (
-            orig[: max(8, len(orig) // 3)] if rng.random() < 0.5 else b"\x00garbage" * 4
-        )
-    for i in plan.decode_dims:
-        # declared dims != decoded dims (valid bytes untouched)
-        w_arr[i] = int(w_arr[i]) + 8
-    for k in range(len(plan.neardup_src)):
-        src, dst = plan.neardup_src[k], plan.neardup_dst[k]
-        nflip = 1 + (k % 2)
-        ph = int(phash_arr[src])
-        for b in range(nflip):
-            ph ^= 1 << (5 + 7 * b + k)
-        phash_arr[dst] = np.int64(np.uint64(ph & 0xFFFFFFFFFFFFFFFF).astype(np.int64))
-    # hot bucket: 50 rows sharing band-0 prefix (top 22 bits), random lower bits
-    hot_rng = _row_rng(seed, epoch_idx, 2 * rows + 7)
-    prefix = np.uint64(0x2ACE5 & 0x3FFFFF) << np.uint64(42)
-    for i in plan.hot_bucket:
-        low = np.uint64(hot_rng.integers(0, 1 << 42, dtype=np.uint64))
-        phash_arr[i] = np.int64((prefix | low).astype(np.int64))
-
-    # --- write one parquet file per partition ---
     n_parts = (rows + rows_per_partition - 1) // rows_per_partition
-    for pid in range(n_parts):
-        lo, hi = pid * rows_per_partition, min((pid + 1) * rows_per_partition, rows)
-        tbl = pa.table(
-            {
-                "image_id": pa.array(image_id_arr[lo:hi], pa.string()),
-                "bytes": pa.array(bytes_arr[lo:hi], pa.binary()),
-                "w": pa.array(w_arr[lo:hi], pa.int32()),
-                "h": pa.array(h_arr[lo:hi], pa.int32()),
-                "fmt": pa.array(fmt_arr[lo:hi], pa.string()),
-                "caption": pa.array(caption_arr[lo:hi], pa.string()),
-                "phash": pa.array(phash_arr[lo:hi], pa.int64()),
-            },
-            schema=IMAGES_SCHEMA,
-        )
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{pid:05d}.parquet"))
+    stride = max(1, rows // n_pixel_samples)
+    args = [
+        (out_dir, epoch, pid, rows, rows_per_partition, seed, drift,
+         sample_pixels_dir, stride)
+        for pid in range(n_parts)
+    ]
+    if parallel:
+        import ray
 
-    # --- captions side table (FIXTURES.md §2) ---
-    cap_ids, cap_texts = [], []
-    missing = set(plan.caption_missing)
-    mismatch = set(plan.caption_mismatch)
-    for i in range(rows):
-        if i in missing:
-            continue
-        cap_ids.append(ids[i])
-        if i in mismatch:
-            cap_texts.append((caption_arr[i] or "") + " MISMATCH")
-        else:
-            cap_texts.append(caption_arr[i])
-    for k in range(plan.n_orphans):
+        gen = ray.remote(num_cpus=1)(generate_partition)
+        chunks = ray.get([gen.remote(*a) for a in args])
+    else:
+        chunks = [generate_partition(*a) for a in args]
+
+    cap_ids: list[str] = []
+    cap_texts: list[str | None] = []
+    for cids, ctexts in chunks:
+        cap_ids.extend(cids)
+        cap_texts.extend(ctexts)
+    for k in range(PLAN.n_orphans):
         cap_ids.append(f"orphan-{epoch}-{k}")
         cap_texts.append(f"orphan caption {k}")
     cap_tbl = pa.table(
@@ -227,8 +283,7 @@ def generate_epoch(
         "rows": rows,
         "rows_per_partition": rows_per_partition,
         "n_partitions": n_parts,
-        "uniq_pairs": uniq_pairs,
-        "ids": None,  # too big to keep; recomputable
+        "uniq_pairs": PLAN.uniq_pairs(rows, rows_per_partition),
     }
 
 

@@ -97,12 +97,22 @@ def validate_epoch(paths, cfg: RunConfig) -> EpochResult:
     # ---- Pass A: fat streaming pass -----------------------------------
     ds = _read(paths, cfg, columns=list(cfg.read_columns) if cfg.read_columns else None)
     if decode is not None:
+        conc = cfg.decode_concurrency
+        if not conc:
+            import ray
+
+            total = (
+                int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized()
+                else 4
+            )
+            conc = max(1, min(total - 2, (3 * total) // 4))
         passa = ds.map_batches(
             ValidatorStage,
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=cfg.decode_concurrency,
+            concurrency=conc,
         )
     else:
         stage = ValidatorStage(cfg)
