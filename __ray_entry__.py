@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native validation engine (raqc_ray).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship constraint-validation pipeline on the
+sf0.001 ``documents`` table.  ``queries()`` exposes one entry per
+implemented operator family from SURVEY.md §2 (validation checks, grouped
+aggregates, joins, histogram/drift, dedup, text analysis, ANN);
+``oracle_sql()`` carries the DuckDB-equivalent SQL for every
+SQL-expressible query — column names match exactly, floats are rounded
+identically on both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialized by the driver before import; nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,667 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Full constraint suite (nullity/range/stats/cardinality/quantiles/
+    uniqueness) over sf0.001 documents → per-partition verdicts table."""
+    return _validate_documents("/root/testdata/sf0.001")
+
+
+def _validate_documents(sf_dir: str):
+    from raqc_ray.config import (
+        CardinalityCheck,
+        NullityCheck,
+        QuantileCheck,
+        RangeCheck,
+        RangeRule,
+        RunConfig,
+        StatsCheck,
+        UniquenessCheck,
+    )
+    from raqc_ray.pipelines.validate import validate_epoch
+
+    cfg = RunConfig(
+        checks=[
+            NullityCheck(columns=("text", "lang", "source")),
+            RangeCheck(rules=(RangeRule("n_chars", 1, 100_000),)),
+            StatsCheck(columns=("n_chars",)),
+            CardinalityCheck(column="doc_id"),
+            QuantileCheck(column="n_chars"),
+            UniquenessCheck(column="doc_id"),
+        ],
+        epoch="docs",
+        partition_from=(
+            "expr",
+            lambda b: b["doc_id"].to_numpy(zero_copy_only=False) % 4,
+        ),
+    )
+    return validate_epoch(_p(sf_dir, "documents"), cfg).verdicts
+
+
+# --------------------------------------------------------------------------
+# query bodies (each takes sf_dir)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Flagship grouped aggregate (A5/A6 analog): vectorized revenue inside
+    map_batches, then a small groupby-aggregate shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01")))
+        t = t.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("disc_price", rev)
+
+    out = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c, nd in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
+                  ("avg_qty", 4)):
+        out[c] = out[c].round(nd)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+def q2_range_violations(sf_dir: str):
+    """Range-predicate violation listing (M4 / RangeCheck analog)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.or_(pc.less(t["l_quantity"], 3.0), pc.greater(t["l_discount"], 0.09))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q3_nullity_events(sf_dir: str):
+    """Null-count stats per group (M3/A6 analog)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["event_type", "props", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "is_null_props": pc.is_null(t["props"]).to_pylist(),
+                "is_null_value": pc.is_null(t["value"]).to_pylist(),
+            }
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n=("event_type", "size"),
+            n_null_props=("is_null_props", "sum"),
+            n_null_value=("is_null_value", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null_props", alias_name="n_null_props"),
+            Sum("n_null_value", alias_name="n_null_value"),
+        )
+    )
+
+
+def q4_uniqueness_events_user(sf_dir: str):
+    """Duplicate-key finder (A9 uniqueness analog on a key that repeats)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["user_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Sum("n", alias_name="n"))
+    return agg.filter(expr="n > 1")
+
+
+def q5_referential_orders(sf_dir: str):
+    """Referential check: orders ⋈ customer orphan audit (J2 analog).
+    Small side broadcast via ray.put — no shuffle; per-batch partial
+    counts summed on the driver (single-row result)."""
+    import ray
+
+    cust_keys = set(
+        _read(sf_dir, "customer", ["c_custkey"]).to_pandas()["c_custkey"].tolist()
+    )
+    ref = ray.put(np.array(sorted(cust_keys), dtype=np.int64))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        miss = int((keys[idx] != ck).sum())
+        return pa.table({"n_orphans": pa.array([miss], pa.int64()),
+                         "n_orders": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"n_orphans": [int(parts["n_orphans"].sum())],
+         "n_orders": [int(parts["n_orders"].sum())]}
+    )
+
+
+def q6_revenue_by_nation(sf_dir: str):
+    """Multi-join rollup: orders ⋈ customer ⋈ nation (broadcast dims)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lut = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    ref = ray.put(dict(zip(lut["c_custkey"], lut["n_name"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame(
+            {"n_name": df["o_custkey"].map(m), "o_totalprice": df["o_totalprice"]}
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def q7_colstats_documents(sf_dir: str):
+    """Per-source column stats (A6 StatsCheck analog)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    out = (
+        ds.groupby("source")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+        .to_pandas()
+    )
+    out["avg_chars"] = out["avg_chars"].round(4)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def q8_quantiles_lineitem(sf_dir: str):
+    """Exact per-group quantiles (A2 oracle path: map_groups + numpy
+    linear interpolation == quantile_cont)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def qs(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["l_quantity"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "p50": [round(float(np.quantile(v, 0.5)), 4)],
+                "p95": [round(float(np.quantile(v, 0.95)), 4)],
+            }
+        )
+
+    return ds.groupby("l_returnflag").map_groups(qs, batch_format="pandas")
+
+
+def q9_hist2d_lineitem(sf_dir: str):
+    """Fixed-bin 2-D histogram (A1 analog) with per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        bx = np.clip(np.floor(q / 10.0), 0, 5).astype(np.int64)
+        by = np.clip(np.floor(p / 10000.0), 0, 6).astype(np.int64)
+        key = bx * 100 + by
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"bx": pa.array(u // 100, pa.int64()), "by": pa.array(u % 100, pa.int64()),
+             "key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["bx"] = (agg["key"] // 100).astype("int64")
+    agg["by"] = (agg["key"] % 100).astype("int64")
+    return agg[["bx", "by", "n"]]
+
+
+def q10_snowline_band(sf_dir: str):
+    """Data-driven threshold band (M5 snowline analog): lowest quantity
+    band whose median extended price >= 30000."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"band": [int(g["band"].iloc[0])],
+             "med": [float(np.quantile(g["l_extendedprice"].to_numpy(), 0.5))]}
+        )
+
+    def band(t: pa.Table) -> pa.Table:
+        b = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False) / 5.0
+                     ).astype(np.int64)
+        return t.append_column("band", pa.array(b, pa.int64()))
+
+    meds = (
+        ds.map_batches(band, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+    )
+    ok = meds[meds["med"] >= 30_000.0]
+    val = int(ok["band"].min()) if len(ok) else None
+    return pd.DataFrame({"snowline_band": pd.array([val], dtype="Int64")})
+
+
+def q11_drift_psi_events(sf_dir: str):
+    """Epoch-drift PSI (F1/A1 analog): epochs = event_id parity, fixed
+    value bins, eps-floored PSI — formula mirrored exactly in the oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        ep = (eid % 2).astype(np.int64)
+        bins = np.clip(np.floor(val / 50.0), 0, 9).astype(np.int64)
+        key = bins * 2 + ep
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("key").aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    n0 = np.zeros(10)
+    n1 = np.zeros(10)
+    for _, r in agg.iterrows():
+        b, ep = int(r["key"]) // 2, int(r["key"]) % 2
+        (n0 if ep == 0 else n1)[b] = r["n"]
+    present = (n0 + n1) > 0
+    p0 = np.maximum(n0[present] / max(n0.sum(), 1e-12), 1e-6)
+    p1 = np.maximum(n1[present] / max(n1.sum(), 1e-12), 1e-6)
+    psi = float(np.sum((p0 - p1) * np.log(p0 / p1)))
+    return pd.DataFrame({"psi": [round(psi, 6)]})
+
+
+def q12_exact_dedup_documents(sf_dir: str):
+    from raqc_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q13_token_count_documents(sf_dir: str):
+    from raqc_ray.ops.text import token_count
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count, batch_format="pandas"
+    )
+
+
+def q14_fingerprint_documents(sf_dir: str):
+    from raqc_ray.ops.text import fingerprint
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pandas"
+    )
+
+
+def q15_quality_documents(sf_dir: str):
+    from raqc_ray.ops.text import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", concurrency=2
+    )
+    return ds.map_batches(
+        lambda df: df[["doc_id", "n_chars", "n_tokens", "punct_ratio"]],
+        batch_format="pandas",
+    )
+
+
+def q16_langid_documents(sf_dir: str):
+    from raqc_ray.ops.text import LangId
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    )
+
+
+def q17_minhash_dedup_documents(sf_dir: str):
+    from raqc_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q18_simhash_documents(sf_dir: str):
+    from raqc_ray.ops.dedup import simhash64
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "simhash": simhash64(df["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sh, batch_format="pandas"
+    )
+
+
+def q19_embdup_embeddings(sf_dir: str):
+    from raqc_ray.ops.dedup import embedding_dup_pairs
+
+    df = embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9
+    ).to_pandas()
+    if len(df.columns) == 0:  # ray to_pandas drops schema on empty datasets
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df
+
+
+def q20_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-5 for query vectors vec_id < 8."""
+    from raqc_ray.ops.ann import brute_topk
+
+    qdf = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr="vec_id < 8")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_list())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_topk(ds, queries, k=5).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
+def q21_ivf_ann_topk(sf_dir: str):
+    from raqc_ray.ops.ann import ivf_topk
+
+    qdf = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr="vec_id < 8")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_list())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=5, nlist=16, nprobe=4).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
+def q22_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q23_window_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (§2.6 streaming
+    shape: GROUP BY key, hour bucket)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def trunc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["ts"].dt.floor("h"),
+                "value": df["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(trunc, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q24_rolling_fp_documents(sf_dir: str):
+    from raqc_ray.ops.text import rolling_fingerprint
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rolling_fingerprint, batch_format="pandas"
+    )
+
+
+def q25_validate_documents(sf_dir: str):
+    """Flagship: engine verdicts table over documents (rows-only check —
+    stats_json payloads are not SQL-expressible)."""
+    return _validate_documents(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_range_violations": q2_range_violations,
+        "q3_nullity_events": q3_nullity_events,
+        "q4_uniqueness_events_user": q4_uniqueness_events_user,
+        "q5_referential_orders": q5_referential_orders,
+        "q6_revenue_by_nation": q6_revenue_by_nation,
+        "q7_colstats_documents": q7_colstats_documents,
+        "q8_quantiles_lineitem": q8_quantiles_lineitem,
+        "q9_hist2d_lineitem": q9_hist2d_lineitem,
+        "q10_snowline_band": q10_snowline_band,
+        "q11_drift_psi_events": q11_drift_psi_events,
+        "q12_exact_dedup_documents": q12_exact_dedup_documents,
+        "q13_token_count_documents": q13_token_count_documents,
+        "q14_fingerprint_documents": q14_fingerprint_documents,
+        "q15_quality_documents": q15_quality_documents,
+        "q16_langid_documents": q16_langid_documents,
+        "q17_minhash_dedup_documents": q17_minhash_dedup_documents,
+        "q18_simhash_documents": q18_simhash_documents,
+        "q19_embdup_embeddings": q19_embdup_embeddings,
+        "q20_ann_topk": q20_ann_topk,
+        "q21_ivf_ann_topk": q21_ivf_ann_topk,
+        "q22_topk_orders": q22_topk_orders,
+        "q23_window_events_hourly": q23_window_events_hourly,
+        "q24_rolling_fp_documents": q24_rolling_fp_documents,
+        "q25_validate_documents": q25_validate_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q2_range_violations": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem
+            WHERE l_quantity < 3 OR l_discount > 0.09
+        """,
+        "q3_nullity_events": """
+            SELECT event_type, COUNT(*) AS n,
+                   COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS n_null_props,
+                   COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS n_null_value
+            FROM events GROUP BY event_type
+        """,
+        "q4_uniqueness_events_user": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id HAVING COUNT(*) > 1
+        """,
+        "q5_referential_orders": """
+            SELECT COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                       AS n_orphans,
+                   COUNT(*) AS n_orders
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q6_revenue_by_nation": """
+            SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "q7_colstats_documents": """
+            SELECT source, COUNT(*) AS n_rows, MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars,
+                   ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+        "q8_quantiles_lineitem": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q9_hist2d_lineitem": """
+            SELECT CAST(LEAST(GREATEST(FLOOR(l_quantity / 10), 0), 5) AS BIGINT) AS bx,
+                   CAST(LEAST(GREATEST(FLOOR(l_extendedprice / 10000), 0), 6) AS BIGINT) AS by,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "q10_snowline_band": """
+            WITH b AS (
+                SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS band,
+                       quantile_cont(l_extendedprice, 0.5) AS med
+                FROM lineitem GROUP BY 1
+            )
+            SELECT MIN(band) AS snowline_band FROM b WHERE med >= 30000
+        """,
+        "q11_drift_psi_events": """
+            WITH h AS (
+                SELECT CAST(LEAST(GREATEST(FLOOR(value / 50), 0), 9) AS BIGINT) AS bin,
+                       CAST(event_id % 2 AS BIGINT) AS ep, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), p AS (
+                SELECT bin,
+                       SUM(CASE WHEN ep = 0 THEN n ELSE 0 END) AS n0,
+                       SUM(CASE WHEN ep = 1 THEN n ELSE 0 END) AS n1
+                FROM h GROUP BY bin
+            ), t AS (
+                SELECT GREATEST(n0 / (SELECT SUM(n0) FROM p), 1e-6) AS p0,
+                       GREATEST(n1 / (SELECT SUM(n1) FROM p), 1e-6) AS p1
+                FROM p
+            )
+            SELECT ROUND(SUM((p0 - p1) * LN(p0 / p1)), 6) AS psi FROM t
+        """,
+        "q12_exact_dedup_documents": """
+            SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n
+            FROM documents GROUP BY md5(text)
+        """,
+        "q13_token_count_documents": r"""
+            SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens
+            FROM documents
+        """,
+        "q14_fingerprint_documents": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "q15_quality_documents": r"""
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                         / GREATEST(length(text), 1), 6) AS punct_ratio
+            FROM documents
+        """,
+        "q20_ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+            ), norms AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_aggregate(list_transform(embedding, x -> x * x),
+                            'sum')) AS nrm
+                FROM embeddings
+            ), s AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY q.qid) - 1 AS BIGINT) AS _qrow,
+                       q.qid, q.qe FROM q
+            ), sim AS (
+                SELECT s._qrow AS query_id, e.vec_id,
+                       list_cosine_similarity(s.qe, e.embedding) AS raw
+                FROM s, embeddings e
+            ), r AS (
+                SELECT query_id, vec_id, raw,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY raw DESC, vec_id) AS rank
+                FROM sim
+            )
+            SELECT query_id, vec_id, ROUND(raw, 4) AS score, CAST(rank AS BIGINT)
+                   AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "q22_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q23_window_events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
+        # payloads — not SQL-expressible; driver records rows-only checks.
+    }

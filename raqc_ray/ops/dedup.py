@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All shapes follow the same scale recipe as the engine's near-dup check
+(checks/neardup.py): vectorized per-batch signature extraction →
+hash-partitioned groupby on a bucket key → bounded in-group scan →
+canonical-pair dedup.  Shuffles only move narrow signature rows, never
+document text.
+
+Determinism: no reliance on Python's per-process string hash — shingle
+hashing uses the same vectorized rolling/Karp-Rabin arithmetic everywhere
+(workers agree across processes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_shingles(tokens: list[str], k: int) -> np.ndarray:
+    """Deterministic 64-bit-ish hashes of the k-token shingles of a doc."""
+    if len(tokens) < k:
+        joined = " ".join(tokens)
+        h = int.from_bytes(hashlib.blake2b(joined.encode(), digest_size=8).digest(),
+                          "little")
+        return np.array([h], dtype=np.uint64)
+    out = np.empty(len(tokens) - k + 1, dtype=np.uint64)
+    for i in range(len(out)):
+        s = " ".join(tokens[i : i + k])
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+        )
+    return np.unique(out)
+
+
+class MinHasher:
+    """Per-actor state: the (a, b) permutation parameters (seeded)."""
+
+    def __init__(self, num_perm: int = 64, k_shingle: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        # odd multipliers avoid degenerate permutations mod 2^64
+        self.a = (rng.integers(1, 1 << 61, num_perm, dtype=np.uint64) << np.uint64(1)
+                  ) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = k_shingle
+
+    def signature(self, text: str) -> np.ndarray:
+        toks = (text or "").split()
+        sh = _hash_shingles(toks, self.k)
+        # (num_perm, n_shingles) universal-hash grid, min along shingles
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None])
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in df["text"].fillna("")])
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        out["sig"] = [s.astype(np.int64).tobytes() for s in sigs]
+        return out
+
+
+def _explode_bands(df: pd.DataFrame, num_perm: int, bands: int) -> pd.DataFrame:
+    rows_per_band = num_perm // bands
+    doc_ids, band_keys, sigs = [], [], []
+    for doc_id, sig_bytes in zip(df["doc_id"], df["sig"]):
+        sig = np.frombuffer(sig_bytes, dtype=np.int64)
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            key = (b << 56) ^ (int.from_bytes(digest, "little") >> 8)
+            doc_ids.append(doc_id)
+            band_keys.append(key)
+            sigs.append(sig_bytes)
+    return pd.DataFrame(
+        {"band_key": np.array(band_keys, dtype=np.int64),
+         "doc_id": np.array(doc_ids, dtype=np.int64), "sig": sigs}
+    )
+
+
+def _scan_band_group(g: pd.DataFrame, num_perm: int, threshold: float) -> pd.DataFrame:
+    empty = pd.DataFrame({"pair_key": pd.Series(dtype="object"),
+                          "doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "est_jaccard": pd.Series(dtype="float64")})
+    n = len(g)
+    if n < 2:
+        return empty
+    g = g.drop_duplicates("doc_id")
+    n = len(g)
+    if n < 2:
+        return empty
+    sigs = np.stack([np.frombuffer(s, dtype=np.int64) for s in g["sig"]])
+    ids = g["doc_id"].to_numpy()
+    rows = []
+    # candidate groups are tiny (bands make collisions rare) → all-pairs
+    for i in range(n):
+        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        for jrel in np.flatnonzero(agree >= threshold):
+            j = i + 1 + jrel
+            a, b = (int(ids[i]), int(ids[j]))
+            if a > b:
+                a, b = b, a
+            rows.append({"pair_key": f"{a}|{b}", "doc_a": a, "doc_b": b,
+                         "est_jaccard": float(agree[jrel])})
+    return pd.DataFrame(rows) if rows else empty
+
+
+def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
+                      k_shingle: int = 3, threshold: float = 0.5,
+                      concurrency: int = 2):
+    """MinHash-LSH near-duplicate candidate pairs, verified on signature
+    agreement (the standard scalable verify — text never reshuffles).
+
+    Returns a Dataset of (doc_a, doc_b, est_jaccard), canonical a<b, deduped.
+    """
+    sigs = docs_ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "k_shingle": k_shingle},
+        batch_format="pandas", concurrency=concurrency,
+    )
+    exploded = sigs.map_batches(
+        lambda df: _explode_bands(df, num_perm, bands), batch_format="pandas"
+    )
+    pairs = exploded.groupby("band_key").map_groups(
+        lambda g: _scan_band_group(g, num_perm, threshold), batch_format="pandas"
+    )
+    uniq = pairs.groupby("pair_key").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return uniq.drop_columns(["pair_key"])
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash64(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens (deterministic blake2b token
+    hashes; public Charikar 2002 construction)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        toks = t.split()
+        if not toks:
+            out[i] = 0
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        val = np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+        out[i] = int(val.astype(np.int64))
+    return out
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, concurrency: int = 2):
+    """SimHash near-dup pairs via the engine's banded-Hamming machinery."""
+    from ..checks.neardup import neardup_violations
+    from ..config import NearDupCheck
+
+    def add_simhash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"image_id": df["doc_id"].astype(str), "phash": simhash64(df["text"])}
+        )
+
+    hashed = docs_ds.map_batches(add_simhash, batch_format="pandas",
+                                 concurrency=concurrency)
+    spec = NearDupCheck(column="phash", max_hamming=max_hamming)
+    viol = neardup_violations(
+        hashed, spec, epoch="simhash",
+        pid_fn=lambda b: np.zeros(b.num_rows, dtype=np.int64),
+    )
+    return viol.map_batches(
+        lambda t: t.select(["image_id", "detail"]).rename_columns(
+            ["doc_id", "detail"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- exact dup
+
+
+def exact_dedup(docs_ds):
+    """Exact dedup: md5 content hash → hash-partitioned groupby → keep the
+    min doc_id per group. Returns (fp, doc_id, n) — one row per distinct
+    text, SQL-oracle-matchable."""
+    from .text import fingerprint
+
+    fps = docs_ds.map_batches(
+        lambda df: fingerprint(df), batch_format="pandas"
+    )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fp": [g["fp"].iloc[0]], "doc_id": [int(g["doc_id"].min())],
+             "n": [len(g)]}
+        )
+
+    return fps.groupby("fp").map_groups(keep_first, batch_format="pandas")
+
+
+# ------------------------------------------------- embedding near-dup (LSH)
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for cosine LSH (seeded, per-actor)."""
+
+    def __init__(self, dim: int = 64, n_planes: int = 16, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+        bits = (emb @ self.planes) > 0
+        key = np.zeros(len(emb), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            key |= bits[:, j].astype(np.int64) << j
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(key, pa.int64()),
+                "unit": pa.array(list(emb.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.95, n_planes: int = 12,
+                        dim: int = 64, concurrency: int = 2):
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via hyperplane-LSH
+    bucketing + exact in-bucket cosine. Recall note: a pair at cosine c
+    lands in the same bucket with probability (1 − arccos(c)/π)^n_planes;
+    at c=0.95, n_planes=12 → ~0.66 — run-to-run deterministic, documented
+    as a recall/cost dial (raise recall with multiple tables)."""
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if len(g) < 2:
+            return empty
+        vecs = np.stack(g["unit"].to_list()).astype(np.float64)
+        ids = g["vec_id"].to_numpy()
+        sim = vecs @ vecs.T
+        ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame(
+            {"vec_a": np.minimum(ids[ii], ids[jj]).astype("int64"),
+             "vec_b": np.maximum(ids[ii], ids[jj]).astype("int64"),
+             "cosine": np.round(sim[ii, jj], 6)}
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
+    # anchor the schema with one typed empty block — a legitimately
+    # pair-free input otherwise yields a schemaless Dataset
+    import ray.data as rd
+
+    anchor = rd.from_arrow(
+        pa.table({"vec_a": pa.array([], pa.int64()),
+                  "vec_b": pa.array([], pa.int64()),
+                  "cosine": pa.array([], pa.float64())})
+    )
+    return anchor.union(pairs)

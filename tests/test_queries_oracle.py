@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at sf0.01 and compare against its oracle_sql() via DuckDB
+(row count + column names + values after canonical sorting)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
+            "q4_uniqueness_events_user", "q5_referential_orders",
+            "q6_revenue_by_nation", "q7_colstats_documents",
+            "q8_quantiles_lineitem", "q9_hist2d_lineitem", "q10_snowline_band",
+            "q11_drift_psi_events", "q12_exact_dedup_documents",
+            "q13_token_count_documents", "q14_fingerprint_documents",
+            "q15_quality_documents", "q20_ann_topk", "q22_topk_orders",
+            "q23_window_events_hourly"]
+
+
+@pytest.mark.parametrize("name", SQL_KEYS)
+def test_query_matches_oracle(entry_mod, oracle_con, name):
+    ray_df = _canon(_to_pandas(entry_mod.queries()[name](SF_DIR)))
+    sql = entry_mod.oracle_sql()[name]
+    ora_df = _canon(oracle_con.execute(sql).df())
+    assert list(ray_df.columns) == list(ora_df.columns), (
+        f"columns: {list(ray_df.columns)} vs {list(ora_df.columns)}")
+    assert len(ray_df) == len(ora_df), f"rows: {len(ray_df)} vs {len(ora_df)}"
+    pd.testing.assert_frame_equal(ray_df, ora_df, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-6)
+
+
+ROWS_ONLY_KEYS = ["q16_langid_documents", "q17_minhash_dedup_documents",
+                  "q18_simhash_documents", "q19_embdup_embeddings",
+                  "q21_ivf_ann_topk", "q24_rolling_fp_documents",
+                  "q25_validate_documents"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_query_runs(entry_mod, name):
+    df = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q
+    assert set(SQL_KEYS) == o
+
+
+def test_entry_smoke(entry_mod):
+    res = _to_pandas(entry_mod.entry())
+    assert len(res) > 0
+    assert "check" in res.columns and "pass" in res.columns
