@@ -1,0 +1,108 @@
+"""Checkpoint-resumable validation runs (SURVEY.md §3.2 / §4.2).
+
+The expensive stage — Pass A, which decodes every image — is checkpointed
+per partition: its output-sized result rows are persisted under::
+
+    <ckpt_root>/passa/<epoch>/part-<pid>.parquet     (atomic tmp+rename)
+    <ckpt_root>/manifest/<epoch>/part-<pid>.json     (marker, after data)
+
+A resumed run loads completed partitions' Pass A outputs from the
+checkpoint (cheap, narrow) and re-runs Pass A only for missing ones.
+Global checks (uniqueness / near-dup / referential / drift) are
+cross-partition by nature and re-run each time over narrow columns —
+exactly RAQC's split, where the clipped-raster cache resumes the heavy
+geometry work and flags recompute from it
+(``[R] raqc/multi_array.py :: already_clipped (rec.)``).
+
+Work is chunked (``chunk_partitions`` files per Ray pipeline) so a kill
+loses at most one chunk; chunk size trades per-pipeline overhead against
+resume granularity at 100-TB scale.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+import uuid
+
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..config import RunConfig
+from ..state.manifest import CheckpointManifest, checks_hash
+from .validate import EpochResult, run_passa, validate_epoch
+
+
+def _pid_of_path(path: str, cfg: RunConfig) -> int:
+    m = re.search(cfg.partition_from[1], path)
+    return int(m.group(1)) if m else 0
+
+
+def validate_epoch_checkpointed(
+    part_paths: list[str],
+    cfg: RunConfig,
+    ckpt_root: str,
+    chunk_partitions: int = 8,
+    crash_after_chunks: int | None = None,
+) -> EpochResult:
+    """Validate with per-partition resume.  ``part_paths`` must be the
+    one-file-per-partition layout (partition id parsed from the name).
+
+    ``crash_after_chunks`` is a test hook: raise after N chunks complete,
+    simulating a killed ``ray job``.
+    """
+    assert cfg.partition_from[0] == "path", "checkpointed runs key on file paths"
+    manifest = CheckpointManifest(os.path.join(ckpt_root, "manifest"))
+    cfg_hash = checks_hash(cfg)
+    run_id = uuid.uuid4().hex[:12]
+    passa_dir = os.path.join(ckpt_root, "passa", cfg.epoch)
+    os.makedirs(passa_dir, exist_ok=True)
+
+    done = manifest.completed(cfg.epoch, cfg_hash)
+    todo = sorted(
+        (p for p in part_paths if _pid_of_path(p, cfg) not in done),
+        key=lambda p: _pid_of_path(p, cfg),
+    )
+
+    chunks = [
+        todo[i : i + chunk_partitions] for i in range(0, len(todo), chunk_partitions)
+    ]
+    for ci, chunk in enumerate(chunks):
+        if crash_after_chunks is not None and ci >= crash_after_chunks:
+            raise RuntimeError(f"simulated crash after {ci} chunks")
+        passa = run_passa(chunk, cfg)
+        # persist per-partition slices atomically, then mark complete
+        tbl = passa.to_arrow_refs()
+        import pyarrow as pa
+        import ray
+
+        full = pa.concat_tables(ray.get(tbl))
+        for path in chunk:
+            pid = _pid_of_path(path, cfg)
+            mask = pa.compute.equal(full["partition_id"], pa.scalar(pid, pa.int64()))
+            part_tbl = full.filter(mask)
+            fd, tmp = tempfile.mkstemp(dir=passa_dir, suffix=".tmp")
+            os.close(fd)
+            pq.write_table(part_tbl, tmp)
+            os.replace(tmp, os.path.join(passa_dir, f"part-{pid:05d}.parquet"))
+            manifest.mark_complete(
+                cfg.epoch, pid, cfg_hash, run_id,
+                metrics={"rows": int(part_tbl.num_rows)},
+            )
+
+    # all partitions checkpointed → downstream runs on the union
+    ckpt_files = sorted(
+        os.path.join(passa_dir, f)
+        for f in os.listdir(passa_dir)
+        if f.endswith(".parquet")
+    )
+    passa_all = rd.read_parquet(ckpt_files).materialize()
+    result = validate_epoch(part_paths, cfg, passa=passa_all)
+    result.metrics["resumed_partitions"] = sorted(done)
+    result.metrics["computed_partitions"] = [
+        _pid_of_path(p, cfg) for p in todo
+    ]
+    result.metrics["run_id"] = run_id
+    return result

@@ -88,13 +88,10 @@ def _read(paths, cfg: RunConfig, columns=None):
     return rd.read_parquet(paths, columns=columns, include_paths=include_paths)
 
 
-def validate_epoch(paths, cfg: RunConfig) -> EpochResult:
-    """Run all configured checks on one epoch. ``paths`` = parquet file(s)
-    or directory (one file per partition)."""
-    pid_fn = make_pid_fn(cfg.partition_from)
+def run_passa(paths, cfg: RunConfig):
+    """Pass A only: the fat streaming pass → materialized output-sized
+    Dataset of in-band violation + partial rows (PASSA_SCHEMA)."""
     decode = cfg.get(DecodeCheck)
-
-    # ---- Pass A: fat streaming pass -----------------------------------
     ds = _read(paths, cfg, columns=list(cfg.read_columns) if cfg.read_columns else None)
     if decode is not None:
         conc = cfg.decode_concurrency
@@ -121,7 +118,16 @@ def validate_epoch(paths, cfg: RunConfig) -> EpochResult:
     # Pass A output is output-sized (violations + per-batch partials) —
     # materializing it lets us split the two in-band streams without
     # re-running the fat pass.
-    passa = passa.materialize()
+    return passa.materialize()
+
+
+def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
+    """Run all configured checks on one epoch. ``paths`` = parquet file(s)
+    or directory (one file per partition).  ``passa`` may be supplied by a
+    checkpointed runner (pipelines/checkpoint.py) to skip the fat pass."""
+    pid_fn = make_pid_fn(cfg.partition_from)
+    if passa is None:
+        passa = run_passa(paths, cfg)
 
     violations_streams = [
         passa.filter(expr="kind == 'v'").drop_columns(["kind", "payload", "n_rows"])
