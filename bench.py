@@ -1,0 +1,184 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the full image-validation constraint suite over
+the deterministic bench fixture, under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
+
+``--scaling`` mode: runs the same job twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warmed)
+input and reports both throughputs + scaling efficiency
+(= throughput32 / (4 × throughput8)); the sandbox proxy for the N→4N
+cluster criterion (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_FIXTURE = os.environ.get("RAQC_BENCH_FIXTURE", "/tmp/raqc_fixtures/bench")
+BENCH_PROFILE = os.environ.get("RAQC_BENCH_PROFILE", "bench")
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _ensure_fixture(parallel: bool) -> dict:
+    from raqc_ray.fixtures import generate
+
+    return generate(BENCH_FIXTURE, BENCH_PROFILE, seed=42, parallel=parallel)
+
+
+def _warm_cache(paths) -> None:
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    manifest = _ensure_fixture(parallel=True)
+
+    import __ray_entry__ as entrymod
+    from raqc_ray.config import NearDupCheck, default_image_config
+    from raqc_ray.pipelines import validate_epoch_pair
+
+    # ---- headline 1: full image constraint suite over the epoch pair ----
+    root = BENCH_FIXTURE
+    part_paths = {
+        e: sorted(
+            os.path.join(root, e, f)
+            for f in os.listdir(os.path.join(root, e))
+            if f.startswith("part-")
+        )
+        for e in ("e1", "e2")
+    }
+    _warm_cache(part_paths["e1"] + part_paths["e2"])
+
+    cfgs = {}
+    for e in ("e1", "e2"):
+        c = default_image_config(
+            e, captions_path=os.path.join(root, e, "captions.parquet")
+        )
+        c.checks = [
+            NearDupCheck(column="phash", hot_bucket_cap=64)
+            if isinstance(x, NearDupCheck)
+            else x
+            for x in c.checks
+        ]
+        c.batch_size = 512
+        cfgs[e] = c
+
+    t0 = time.time()
+    r1, r2 = validate_epoch_pair(
+        part_paths["e1"], part_paths["e2"], cfgs["e1"], cfgs["e2"]
+    )
+    n_violations = r1.violations.count() + r2.violations.count()
+    t_validate = time.time() - t0
+    n_images = r1.metrics["n_rows"] + r2.metrics["n_rows"]
+
+    # ---- headline 2: representative query pipelines over $GRAFT_SF_DIR ----
+    bench_queries = [
+        "q1_pricing_summary",
+        "q9_hist2d_lineitem",
+        "q12_exact_dedup_documents",
+        "q13_token_count_documents",
+        "q17_minhash_dedup_documents",
+        "q20_ann_topk",
+        "q23_window_events_hourly",
+    ]
+    qtimes: dict[str, float] = {"validate_pair_images": round(t_validate, 3)}
+    qs = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume lazily-built Datasets fully
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas() if not hasattr(res, "count") else res.count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    out = {
+        "metric": "full_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": round(n_images / t_validate, 1),
+        "n_images": n_images,
+        "n_violations": int(n_violations),
+        "bench_profile": manifest.get("profile"),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    # generate the fixture once (its own ray session), warm page cache
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _ensure_fixture(parallel=True)
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    thr_lo = r_lo["n_images"] / r_lo["queries"]["validate_pair_images"]
+    thr_hi = r_hi["n_images"] / r_hi["queries"]["validate_pair_images"]
+    eff = thr_hi / ((hi / lo) * thr_lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "images_per_sec_lo": round(thr_lo, 1),
+        "images_per_sec_hi": round(thr_hi, 1),
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "full_lo": r_lo,
+        "full_hi": r_hi,
+    }
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -287,9 +287,11 @@ def generate_epoch(
     }
 
 
-def generate(root: str, profile: str = "t1", seed: int = 42) -> dict:
+def generate(root: str, profile: str = "t1", seed: int = 42,
+             parallel: bool = False) -> dict:
     """Generate both epochs + expectations under ``root``; idempotent via a
-    done-marker. Returns the fixture manifest."""
+    done-marker. Returns the fixture manifest.  ``parallel=True`` fans
+    partition generation out as Ray tasks (bench-size fixtures)."""
     rows, rp = PROFILES[profile]
     marker = os.path.join(root, "FIXTURE_DONE.json")
     if os.path.exists(marker):
@@ -299,10 +301,12 @@ def generate(root: str, profile: str = "t1", seed: int = 42) -> dict:
     m1 = generate_epoch(
         os.path.join(root, "e1"), "e1", rows, rp, seed, drift=False,
         sample_pixels_dir=os.path.join(root, "expected", "pixels", "e1"),
+        parallel=parallel,
     )
     m2 = generate_epoch(
         os.path.join(root, "e2"), "e2", rows, rp, seed + 1, drift=True,
         sample_pixels_dir=os.path.join(root, "expected", "pixels", "e2"),
+        parallel=parallel,
     )
     manifest = {
         "profile": profile,

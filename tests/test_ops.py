@@ -1,0 +1,149 @@
+"""Unit tests for the training-data ops (dedup / ANN / text / multimodal)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    texts = [f"unique document number {i} with content words alpha beta {i*7}"
+             for i in range(200)]
+    # planted near-dups: 190 is 0 with one word changed; 191 is 1 shuffled tail
+    texts[190] = texts[0].replace("alpha", "gamma")
+    texts[191] = texts[1] + " extra"
+    # planted exact dups
+    texts[195] = texts[5]
+    texts[196] = texts[5]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    return rd.from_pandas(df), texts
+
+
+def test_exact_dedup(docs_ds):
+    from raqc_ray.ops.dedup import exact_dedup
+
+    ds, texts = docs_ds
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == 198  # 200 rows, one text appears 3x → 198 distinct
+    trip = out[out["n"] == 3]
+    assert len(trip) == 1 and int(trip["doc_id"].iloc[0]) == 5
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_ds):
+    from raqc_ray.ops.dedup import minhash_lsh_pairs
+
+    ds, _ = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 190) in got
+    assert (1, 191) in got
+    assert (5, 195) in got and (5, 196) in got and (195, 196) in got
+    # estimated jaccard of exact dups is 1.0
+    exact = pairs[(pairs["doc_a"] == 5) & (pairs["doc_b"] == 195)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_simhash_near_for_similar_text():
+    from raqc_ray.ops.dedup import simhash64
+    from raqc_ray.codecs import hamming64
+
+    s = pd.Series(["the quick brown fox jumps over the lazy dog " * 5,
+                   "the quick brown fox jumps over the lazy cat " * 5,
+                   "completely different content about snow rasters bands"])
+    h = simhash64(s)
+    assert hamming64(int(h[0]), int(h[1])) <= 12
+    assert hamming64(int(h[0]), int(h[2])) > 12
+
+
+def test_brute_topk_exact(ray_session):
+    import ray.data as rd
+    from raqc_ray.ops.ann import brute_topk
+
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(300, 16))
+    df = pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64),
+                       "embedding": list(emb.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    queries = emb[:3]
+    out = brute_topk(ds, queries, k=4).to_pandas()
+    # oracle: numpy exact
+    n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sim = q @ n.T
+    for qi in range(3):
+        exp = np.argsort(-sim[qi], kind="stable")[:4]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert got[0] == qi  # self is top-1
+        assert set(got) == set(exp.tolist())
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+    from raqc_ray.ops.ann import brute_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    # clustered data so IVF cells are meaningful
+    centers = rng.normal(size=(8, 16)) * 4
+    emb = np.concatenate([c + rng.normal(size=(50, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(emb), dtype=np.int64),
+                       "embedding": list(emb.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    queries = emb[:5]
+    exact = brute_topk(ds, queries, k=5).to_pandas()
+    approx = ivf_topk(ds, queries, k=5, nlist=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8  # nprobe=3/8 on tight clusters
+
+
+def test_quality_and_tokens(ray_session):
+    from raqc_ray.ops.text import QualityScorer, token_count
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello, world! Two tokens?",
+                                                  None]})
+    tc = token_count(df)
+    assert tc["n_tokens"].tolist() == [4, 0]
+    qs = QualityScorer()(df)
+    assert qs["n_chars"].tolist()[0] == 25
+    assert 0 < qs["punct_ratio"].iloc[0] < 0.2
+
+
+def test_langid():
+    from raqc_ray.ops.text import LangId
+
+    li = LangId()
+    assert li.predict_one("the cat and the dog of a house is that it") == "en"
+    assert li.predict_one("der hund und die katze ist ein tier nicht") == "de"
+    assert li.predict_one("xyzzy qwerty 12345") == "other"
+
+
+def test_multimodal_image_features(ray_session, t1_fixture):
+    import os
+    import ray.data as rd
+    from raqc_ray.ops.multimodal import extract_image_features
+
+    root = t1_fixture["root"]
+    f = os.path.join(root, "e1", "part-00001.parquet")  # clean partition
+    ds = rd.read_parquet(f)
+    out = extract_image_features(ds, batch_size=64, concurrency=2).to_pandas()
+    assert len(out) == t1_fixture["rows_per_partition"]
+    assert out["ok"].all()
+    assert all(len(f) == 64 for f in out["feature"])
+
+
+def test_multimodal_fake_decoder():
+    import pyarrow as pa
+    from raqc_ray.ops.multimodal import DeterministicFakeDecoder
+
+    dec = DeterministicFakeDecoder("audio", id_col="item_id")
+    batch = pa.table({"item_id": ["a", "b"], "bytes": [b"payload1", None]})
+    out = dec(batch).to_pandas()
+    assert out["ok"].tolist() == [True, False]
+    # deterministic: same payload → same feature
+    out2 = dec(batch).to_pandas()
+    assert np.array_equal(np.array(out["feature"][0]), np.array(out2["feature"][0]))
