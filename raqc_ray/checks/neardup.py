@@ -166,23 +166,42 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
     bands, salts = _bands_for(spec.max_hamming)
     exploded = ds.map_batches(
         lambda b: _explode(b, spec, pid_fn, bands, salts), batch_format="pyarrow"
-    )
-    # Pre-aggregated bucket sizes → hot set (tiny; only buckets above cap kept).
+    ).materialize()  # narrow (3 rows/input row); consumed by sizes + keyed
+    # Pre-aggregated bucket sizes → two broadcast sets:
+    #  - colliding (n >= 2): only these buckets can contain a pair — the
+    #    keyed groupby below shrinks from ~n groups to collision-sized
+    #  - hot (n > cap): shuffle key gets salted (skew handling, B:14)
     sizes = (
         exploded.map_batches(_bucket_partial_counts, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Sum("n", alias_name="n"))
     )
-    hot_tbl = sizes.filter(expr=f"n > {spec.hot_bucket_cap}").to_pandas()
-    hot = set(hot_tbl["bucket"].tolist()) if "bucket" in hot_tbl.columns else set()
-    hot_ref = ray.put(hot)
+    sizes_tbl = sizes.filter(expr="n > 1").to_pandas()
+    if "bucket" not in sizes_tbl.columns or len(sizes_tbl) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(empty_violations_df())
+    colliding = np.sort(sizes_tbl["bucket"].to_numpy(dtype=np.int64))
+    hot = set(
+        sizes_tbl.loc[sizes_tbl["n"] > spec.hot_bucket_cap, "bucket"].tolist()
+    )
+    sets_ref = ray.put((colliding, hot))
 
     def add_key(batch: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
+        coll, hot_set = ray.get(sets_ref)
         bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        # keep only buckets that can contain a pair (vectorized membership)
+        idx = np.searchsorted(coll, bucket)
+        idx = np.clip(idx, 0, len(coll) - 1)
+        keep = coll[idx] == bucket
+        batch = batch.filter(pa.array(keep))
+        bucket = bucket[keep]
         salt = batch["salt"].to_numpy(zero_copy_only=False)
-        is_hot = np.isin(bucket, np.fromiter(hot_set, dtype=np.int64, count=len(hot_set))) \
-            if hot_set else np.zeros(len(bucket), dtype=bool)
+        if hot_set:
+            harr = np.fromiter(hot_set, dtype=np.int64, count=len(hot_set))
+            is_hot = np.isin(bucket, harr)
+        else:
+            is_hot = np.zeros(len(bucket), dtype=bool)
         key = bucket * 257 + np.where(is_hot, salt + 1, 0)
         return batch.append_column("key", pa.array(key, pa.int64()))
 

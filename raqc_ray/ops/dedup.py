@@ -118,15 +118,43 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
 
     Returns a Dataset of (doc_a, doc_b, est_jaccard), canonical a<b, deduped.
     """
+    import ray
+    from ray.data.aggregate import Count
+
     sigs = docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "k_shingle": k_shingle},
         batch_format="pandas", concurrency=concurrency,
     )
     exploded = sigs.map_batches(
         lambda df: _explode_bands(df, num_perm, bands), batch_format="pandas"
-    )
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _scan_band_group(g, num_perm, threshold), batch_format="pandas"
+    ).materialize()
+    # only colliding band buckets can yield a pair → shrink the keyed
+    # groupby from ~n·bands groups to collision-sized (same trick as the
+    # engine's phash near-dup check)
+    sizes = exploded.groupby("band_key").aggregate(Count(alias_name="n"))
+    coll_tbl = sizes.filter(expr="n > 1").to_pandas()
+    if "band_key" not in coll_tbl.columns or len(coll_tbl) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "est_jaccard": pd.Series(dtype="float64")})
+        )
+    coll = np.sort(coll_tbl["band_key"].to_numpy(dtype=np.int64))
+    ref = ray.put(coll)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        b = df["band_key"].to_numpy(dtype=np.int64)
+        idx = np.clip(np.searchsorted(c, b), 0, len(c) - 1)
+        return df[c[idx] == b]
+
+    pairs = (
+        exploded.map_batches(keep, batch_format="pandas")
+        .groupby("band_key")
+        .map_groups(lambda g: _scan_band_group(g, num_perm, threshold),
+                    batch_format="pandas")
     )
     uniq = pairs.groupby("pair_key").map_groups(
         lambda g: g.head(1), batch_format="pandas"
@@ -188,22 +216,17 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, concurrency: int = 2):
 
 
 def exact_dedup(docs_ds):
-    """Exact dedup: md5 content hash → hash-partitioned groupby → keep the
-    min doc_id per group. Returns (fp, doc_id, n) — one row per distinct
-    text, SQL-oracle-matchable."""
+    """Exact dedup: md5 content hash → hash-partitioned groupby with NATIVE
+    aggregates (Min/Count C-paths — no per-group Python).  Returns
+    (fp, doc_id, n) — one row per distinct text, SQL-oracle-matchable."""
+    from ray.data.aggregate import Count, Min
+
     from .text import fingerprint
 
-    fps = docs_ds.map_batches(
-        lambda df: fingerprint(df), batch_format="pandas"
+    fps = docs_ds.map_batches(lambda df: fingerprint(df), batch_format="pandas")
+    return fps.groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n")
     )
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"fp": [g["fp"].iloc[0]], "doc_id": [int(g["doc_id"].min())],
-             "n": [len(g)]}
-        )
-
-    return fps.groupby("fp").map_groups(keep_first, batch_format="pandas")
 
 
 # ------------------------------------------------- embedding near-dup (LSH)
@@ -263,14 +286,32 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, n_planes: int = 12,
              "cosine": np.round(sim[ii, jj], 6)}
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    bucketed = bucketed.materialize()
+    sizes = bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
+    coll_tbl = sizes.filter(expr="n > 1").to_pandas()
+    if "bucket" in coll_tbl.columns and len(coll_tbl):
+        coll = np.sort(coll_tbl["bucket"].to_numpy(dtype=np.int64))
+        ref = ray.put(coll)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            b = batch["bucket"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(c, b), 0, len(c) - 1)
+            return batch.filter(pa.array(c[idx] == b))
+
+        bucketed = bucketed.map_batches(keep, batch_format="pyarrow")
+        pairs = bucketed.groupby("bucket").map_groups(scan, batch_format="pandas")
+    else:
+        pairs = None
     # anchor the schema with one typed empty block — a legitimately
     # pair-free input otherwise yields a schemaless Dataset
-    import ray.data as rd
-
     anchor = rd.from_arrow(
         pa.table({"vec_a": pa.array([], pa.int64()),
                   "vec_b": pa.array([], pa.int64()),
                   "cosine": pa.array([], pa.float64())})
     )
-    return anchor.union(pairs)
+    return anchor if pairs is None else anchor.union(pairs)
