@@ -36,7 +36,11 @@ def _tag(batch: pa.Table, spec: ReferentialCheck, pid_fn, side: int) -> pa.Table
     n = batch.num_rows
     keys = batch[spec.key].cast(pa.string())
     caps = batch[spec.compare].cast(pa.string())
-    h = hash64(caps.to_pylist()).view(np.int64)
+    # 31-bit hash: sums over a group can never overflow int64 (an overflow
+    # makes ray/pandas fall back to pickled-object columns and breaks the
+    # downstream filter).  Equality via 31 bits misses a true mismatch with
+    # p = 2^-31 per key — negligible against the check's purpose.
+    h = (hash64(caps.to_pylist()) >> np.uint64(33)).astype(np.int64)
     pids = pid_fn(batch) if side == 0 else np.full(n, -1, dtype=np.int64)
     one = np.ones(n, dtype=np.int64)
     zero = np.zeros(n, dtype=np.int64)

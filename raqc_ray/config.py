@@ -32,6 +32,13 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class CheckSpec:
     severity: str = "error"
+    # W1 "flag blocks" debounce at partition granularity (SURVEY.md §2.8):
+    # a partition FAILS the check only when it holds >= min_support
+    # violations — RAQC's moving-window neighbor filter converts speckle
+    # into blocks; min_support converts stray violations into verdicts the
+    # same way (``[R] raqc/multi_array.py :: PatternFilters.mov_wind2
+    # (rec.)``). Violation rows are always emitted regardless.
+    min_support: int = 1
 
     @property
     def name(self) -> str:  # check name used in violation/verdict rows

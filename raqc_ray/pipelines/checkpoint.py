@@ -57,6 +57,17 @@ def validate_epoch_checkpointed(
     manifest = CheckpointManifest(os.path.join(ckpt_root, "manifest"))
     cfg_hash = checks_hash(cfg)
     run_id = uuid.uuid4().hex[:12]
+    # resolved-config backup next to outputs (RAQC writes its validated
+    # .ini beside the flag tiffs — ``[R] raqc/cli.py (rec.)``, SURVEY S7)
+    import json
+
+    with open(os.path.join(ckpt_root, f"config-{cfg.epoch}.json"), "w") as f:
+        json.dump(
+            {"epoch": cfg.epoch, "checks_hash": cfg_hash,
+             "batch_size": cfg.batch_size,
+             "checks": [repr(c) for c in cfg.checks]},
+            f, indent=2,
+        )
     passa_dir = os.path.join(ckpt_root, "passa", cfg.epoch)
     os.makedirs(passa_dir, exist_ok=True)
 

@@ -84,8 +84,10 @@ class EpochResult:
 
 
 def _read(paths, cfg: RunConfig, columns=None):
+    from ..io import read_table
+
     include_paths = cfg.partition_from[0] == "path"
-    return rd.read_parquet(paths, columns=columns, include_paths=include_paths)
+    return read_table(paths, columns=columns, include_paths=include_paths)
 
 
 def run_passa(paths, cfg: RunConfig):
@@ -203,17 +205,19 @@ def _build_verdicts(cfg: RunConfig, merged: dict, count_lut: dict) -> pa.Table:
     pids = sorted(row_counts)
     rows: list[dict] = []
 
-    active_row_checks = []
+    active_row_checks: dict[str, int] = {}
     for c in cfg.checks:
         if c.name in ROW_CHECKS and c.name not in active_row_checks:
-            active_row_checks.append(c.name)
-    for check in active_row_checks:
+            active_row_checks[c.name] = c.min_support
+    for check, min_support in active_row_checks.items():
         for pid in pids:
             nv = count_lut.get((pid, check), 0)
             rows.append(
                 {"partition_id": pid, "epoch": epoch, "check": check,
-                 "pass": nv == 0, "n_rows": row_counts[pid], "n_violations": nv,
-                 "stats_json": "{}"}
+                 # W1 debounce: a partition "block-fails" only at
+                 # min_support violations (default 1 = plain fail)
+                 "pass": nv < min_support, "n_rows": row_counts[pid],
+                 "n_violations": nv, "stats_json": "{}"}
             )
         # orphan-side verdict (partition -1) for referential
         if check == "referential" and (-1, check) in count_lut:
