@@ -18,14 +18,22 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_table(paths, columns=None, include_paths: bool = False):
-    """Read the table under validation as a ray.data.Dataset."""
+def read_table(paths, columns=None, include_paths: bool = False,
+               num_blocks: int | None = None):
+    """Read the table under validation as a ray.data.Dataset.
+
+    ``num_blocks`` bounds read parallelism — narrow passes use it so the
+    downstream shuffle width tracks cluster size instead of file count
+    (thousands of tiny blocks drown the scheduler; SURVEY.md §4.2)."""
     import ray.data as rd
 
     if HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
         return rd.read_lance(paths, columns=list(columns) if columns else None)
+    kwargs = {}
+    if num_blocks is not None:
+        kwargs["override_num_blocks"] = num_blocks
     return rd.read_parquet(paths, columns=list(columns) if columns else None,
-                           include_paths=include_paths)
+                           include_paths=include_paths, **kwargs)
 
 
 def write_outputs(result, out_dir: str) -> dict:

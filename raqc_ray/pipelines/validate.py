@@ -54,7 +54,8 @@ from ..config import (
 from ..partitions import make_pid_fn
 from ..schema import VERDICTS_SCHEMA
 from ..sketches import HyperLogLog, TDigest
-from ..stages.passa import ROWCOUNT_CHECK, ValidatorStage, merge_partial_group
+from ..stages.passa import (ROWCOUNT_CHECK, ValidatorStage, merge_partial_group,
+                            merge_payloads)
 
 ROW_CHECKS = ("nullity", "range", "caption", "decode", "uniqueness", "near_dup",
               "referential")
@@ -83,11 +84,25 @@ class EpochResult:
         }
 
 
-def _read(paths, cfg: RunConfig, columns=None):
+def shuffle_width() -> int:
+    """Target block count for output-sized / narrow datasets: scales with
+    the cluster (2× CPUs, clamped) instead of with input file count —
+    thousands of near-empty blocks cost ~50 ms of scheduling each on every
+    downstream operator."""
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, min(2 * total, 256))
+
+
+def _read(paths, cfg: RunConfig, columns=None, bounded: bool = False):
     from ..io import read_table
 
     include_paths = cfg.partition_from[0] == "path"
-    return read_table(paths, columns=columns, include_paths=include_paths)
+    return read_table(
+        paths, columns=columns, include_paths=include_paths,
+        num_blocks=shuffle_width() if bounded else None,
+    )
 
 
 def run_passa(paths, cfg: RunConfig):
@@ -119,8 +134,9 @@ def run_passa(paths, cfg: RunConfig):
                                batch_size=cfg.batch_size)
     # Pass A output is output-sized (violations + per-batch partials) —
     # materializing it lets us split the two in-band streams without
-    # re-running the fat pass.
-    return passa.materialize()
+    # re-running the fat pass; coalescing first keeps downstream stages
+    # from paying per-block scheduling for hundreds of near-empty blocks.
+    return passa.repartition(shuffle_width()).materialize()
 
 
 def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
@@ -135,31 +151,48 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
         passa.filter(expr="kind == 'v'").drop_columns(["kind", "payload", "n_rows"])
     ]
 
-    partials = passa.filter(expr="kind == 's'")
-    merged_ds = partials.groupby(["partition_id", "epoch", "check"]).map_groups(
-        lambda g: merge_partial_group(g, cfg), batch_format="pandas"
-    )
+    partials = passa.filter(expr="kind == 's'").materialize()
     merged: dict = {}
-    for row in merged_ds.take_all():
-        merged[(int(row["partition_id"]), row["check"])] = {
-            "payload": bytes(row["payload"]),
-            "n_rows": int(row["n_rows"]),
-        }
+    if partials.count() <= 200_000:
+        # partials are (#blocks × #checks)-sized; below this they merge
+        # faster on the driver than a distributed groupby can schedule
+        from collections import defaultdict
+
+        groups: dict = defaultdict(list)
+        n_rows_acc: dict = defaultdict(int)
+        for row in partials.take_all():
+            k = (int(row["partition_id"]), row["check"])
+            groups[k].append(bytes(row["payload"]))
+            n_rows_acc[k] += int(row["n_rows"])
+        for (pid, check), payloads in groups.items():
+            merged[(pid, check)] = {
+                "payload": merge_payloads(check, payloads),
+                "n_rows": n_rows_acc[(pid, check)],
+            }
+    else:
+        merged_ds = partials.groupby(["partition_id", "epoch", "check"]).map_groups(
+            lambda g: merge_partial_group(g, cfg), batch_format="pandas"
+        )
+        for row in merged_ds.take_all():
+            merged[(int(row["partition_id"]), row["check"])] = {
+                "payload": bytes(row["payload"]),
+                "n_rows": int(row["n_rows"]),
+            }
 
     # ---- narrow shuffle checks (columns pruned at the read) -----------
     uniq = cfg.get(UniquenessCheck)
     if uniq is not None:
-        nds = _read(paths, cfg, columns=[uniq.column])
+        nds = _read(paths, cfg, columns=[uniq.column], bounded=True)
         violations_streams.append(
             uniqueness_violations(nds, uniq.column, cfg.epoch, pid_fn, uniq.severity)
         )
     nd = cfg.get(NearDupCheck)
     if nd is not None:
-        nds = _read(paths, cfg, columns=["image_id", nd.column])
+        nds = _read(paths, cfg, columns=["image_id", nd.column], bounded=True)
         violations_streams.append(neardup_violations(nds, nd, cfg.epoch, pid_fn))
     ref = cfg.get(ReferentialCheck)
     if ref is not None and ref.side_path:
-        img_ds = _read(paths, cfg, columns=[ref.key, ref.compare])
+        img_ds = _read(paths, cfg, columns=[ref.key, ref.compare], bounded=True)
         cap_ds = rd.read_parquet(ref.side_path)
         violations_streams.append(
             referential_violations(img_ds, cap_ds, ref, cfg.epoch, pid_fn)
@@ -168,14 +201,23 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
     violations = violations_streams[0]
     for s in violations_streams[1:]:
         violations = violations.union(cast_violations(s))
-    violations = cast_violations(violations).materialize()
+    # coalesce before materializing: the union stacks every source's block
+    # count; violations are output-sized and belong in a handful of blocks
+    violations = cast_violations(violations).repartition(8).materialize()
 
     # ---- verdict assembly (driver-side; inputs are partition-count sized) --
-    vio_counts = (
-        violations.groupby(["partition_id", "check"])
-        .count()
-        .to_pandas()
-    )
+    n_vio = violations.count()
+    if n_vio <= 2_000_000:
+        vdf = violations.to_pandas()
+        vio_counts = (
+            vdf.groupby(["partition_id", "check"], sort=False)
+            .size()
+            .reset_index(name="count()")
+        )
+    else:  # pathological violation volume: keep the count distributed
+        vio_counts = (
+            violations.groupby(["partition_id", "check"]).count().to_pandas()
+        )
     count_lut = {
         (int(r["partition_id"]), r["check"]): int(r["count()"])
         for _, r in vio_counts.iterrows()

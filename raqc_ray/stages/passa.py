@@ -297,18 +297,9 @@ class ValidatorStage:
 # ------------------------------------------------------------------ merge
 
 
-def merge_partial_group(group, cfg: RunConfig):
-    """Merge all partials of one (partition_id, epoch, check) group.
-
-    Used as a ``groupby([...]).map_groups`` body over the tiny kind="s"
-    stream (pandas in / pandas out).  Mergers are associative and
-    order-canonicalized (SURVEY.md §7 determinism requirement).
-    """
-    import pandas as pd
-
-    check = group["check"].iloc[0]
-    payloads = [bytes(p) for p in group["payload"]]
-    n_rows = int(group["n_rows"].sum())
+def merge_payloads(check: str, payloads: list[bytes]) -> bytes:
+    """Merge serialized partials of one check — associative and
+    order-canonicalized (SURVEY.md §7 determinism requirement)."""
     if check == ROWCOUNT_CHECK:
         merged = pickle.dumps(sum(pickle.loads(p) for p in payloads))
     elif check == "stats":
@@ -337,12 +328,23 @@ def merge_partial_group(group, cfg: RunConfig):
         merged = pickle.dumps(sum(pickle.loads(p) for p in payloads))
     else:
         merged = payloads[0]
+    return merged
+
+
+def merge_partial_group(group, cfg: RunConfig):
+    """groupby([...]).map_groups body over the kind="s" stream (pandas in /
+    pandas out) — the distributed merge path used when the partial stream
+    is too large for the driver."""
+    import pandas as pd
+
+    check = group["check"].iloc[0]
+    payloads = [bytes(p) for p in group["payload"]]
     return pd.DataFrame(
         {
             "partition_id": [int(group["partition_id"].iloc[0])],
             "epoch": [group["epoch"].iloc[0]],
             "check": [check],
-            "payload": [merged],
-            "n_rows": [n_rows],
+            "payload": [merge_payloads(check, payloads)],
+            "n_rows": [int(group["n_rows"].sum())],
         }
     )
