@@ -85,11 +85,17 @@ def validate_epoch_checkpointed(
             raise RuntimeError(f"simulated crash after {ci} chunks")
         passa = run_passa(chunk, cfg)
         # persist per-partition slices atomically, then mark complete
-        tbl = passa.to_arrow_refs()
         import pyarrow as pa
         import ray
 
-        full = pa.concat_tables(ray.get(tbl))
+        from ..stages.passa import PASSA_SCHEMA
+
+        blocks = [t for t in ray.get(passa.to_arrow_refs()) if t.num_rows > 0]
+        full = (
+            pa.concat_tables([t.cast(PASSA_SCHEMA) for t in blocks])
+            if blocks
+            else PASSA_SCHEMA.empty_table()
+        )
         for path in chunk:
             pid = _pid_of_path(path, cfg)
             mask = pa.compute.equal(full["partition_id"], pa.scalar(pid, pa.int64()))
