@@ -31,3 +31,41 @@ def cast_violations(ds):
         lambda t: t.select(VIOLATION_COLS).cast(VIOLATIONS_SCHEMA),
         batch_format="pyarrow",
     )
+
+
+def grouped_counts(partials_ds, key_cols: list[str], n_col: str = "n",
+                   min_total: int | None = None,
+                   driver_threshold: int = 2_000_000) -> pd.DataFrame:
+    """Sum per-batch partial counts per key → pandas DataFrame.
+
+    Below ``driver_threshold`` partial rows, a driver-side pandas groupby
+    beats a distributed aggregate by an order of magnitude (a Ray
+    groupby's fixed per-block scheduling dominates at these sizes); above
+    it, a width-bounded distributed aggregate runs and only the (assumed
+    small) filtered result is collected.
+    """
+    partials_ds = partials_ds.materialize()
+    n = partials_ds.count()
+    if n <= driver_threshold:
+        df = partials_ds.to_pandas()
+        if len(df) == 0 or n_col not in df.columns:
+            return pd.DataFrame({c: [] for c in key_cols + [n_col]})
+        out = df.groupby(key_cols, sort=False)[n_col].sum().reset_index()
+    else:
+        from ray.data.aggregate import Sum
+
+        from raqc_ray.pipelines.validate import shuffle_width
+
+        agg = (
+            partials_ds.repartition(shuffle_width())
+            .groupby(key_cols if len(key_cols) > 1 else key_cols[0])
+            .aggregate(Sum(n_col, alias_name=n_col))
+        )
+        if min_total is not None:
+            agg = agg.filter(expr=f"{n_col} >= {min_total}")
+        out = agg.to_pandas()
+        if len(out) == 0 or n_col not in out.columns:
+            return pd.DataFrame({c: [] for c in key_cols + [n_col]})
+    if min_total is not None:
+        out = out[out[n_col] >= min_total]
+    return out.reset_index(drop=True)

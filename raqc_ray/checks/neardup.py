@@ -27,10 +27,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
 
 from ..config import NearDupCheck
-from ._util import empty_violations_df
+from ._util import empty_violations_df, grouped_counts
 
 # (start_bit, width) per band for max_hamming=2
 BANDS_3 = ((0, 22), (22, 21), (43, 21))
@@ -171,13 +170,11 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
     #  - colliding (n >= 2): only these buckets can contain a pair — the
     #    keyed groupby below shrinks from ~n groups to collision-sized
     #  - hot (n > cap): shuffle key gets salted (skew handling, B:14)
-    sizes = (
-        exploded.map_batches(_bucket_partial_counts, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n", alias_name="n"))
+    sizes_tbl = grouped_counts(
+        exploded.map_batches(_bucket_partial_counts, batch_format="pyarrow"),
+        ["bucket"], min_total=2,
     )
-    sizes_tbl = sizes.filter(expr="n > 1").to_pandas()
-    if "bucket" not in sizes_tbl.columns or len(sizes_tbl) == 0:
+    if len(sizes_tbl) == 0:
         import ray.data as rd
 
         return rd.from_pandas(empty_violations_df())
@@ -206,12 +203,27 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
         return batch.append_column("key", pa.array(key, pa.int64()))
 
     keyed = exploded.map_batches(add_key, batch_format="pyarrow")
-    pairs = keyed.groupby("key").map_groups(
-        lambda g: _scan_group(g, spec.max_hamming), batch_format="pandas"
+    # sorted-block grouped scan: one map task per sorted block instead of
+    # one Python call per bucket (ops/groupscan.py)
+    from ..ops.groupscan import scan_sorted_groups
+
+    empty_pairs = _scan_group(pd.DataFrame({"image_id": [], "phash": [],
+                                            "partition_id": [], "key": []}),
+                              spec.max_hamming)
+    pairs_ds, boundary_pairs = scan_sorted_groups(
+        keyed, "key", lambda g: _scan_group(g, spec.max_hamming), empty_pairs
     )
-    # dedup pairs found in multiple bands
-    uniq_pairs = pairs.groupby("pair_key").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # dedup pairs found in multiple bands: pairs are violation-sized →
+    # driver drop_duplicates below threshold, distributed groupby above
+    import ray.data as rd
+
+    pdf = pairs_ds.to_pandas()
+    if len(pdf) == 0 or "pair_key" not in pdf.columns:
+        pdf = empty_pairs.copy()
+    all_pairs = pd.concat([pdf, boundary_pairs], ignore_index=True)
+    uniq = all_pairs.drop_duplicates("pair_key")
+    uniq_pairs = rd.from_pandas(
+        uniq if len(uniq) else empty_pairs
     )
     return uniq_pairs.map_batches(
         lambda b: _pairs_to_violations(b, epoch, spec.severity),

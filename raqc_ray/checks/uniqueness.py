@@ -1,16 +1,17 @@
 """Uniqueness check (SURVEY.md §2.5 A9) — key must be globally unique.
 
 RAQC has no analog (grid position is inherently unique); mandated by the
-target spec (BASELINE.json:6).  Scale shape, fully vectorized (no
-Python-per-group anywhere):
+target spec (BASELINE.json:6).  Scale shape, fully vectorized:
 
 1. per-batch partial counts collapse each batch to one row per
-   (key, partition) — the combiner, so the shuffle moves pre-aggregated
-   rows, not the table;
-2. a native ``groupby(key).aggregate(Sum)`` (C-path) yields total counts;
-3. duplicated keys are by definition FEW (violations, not data) — they are
-   collected, broadcast via ``ray.put``, and the violation rows are emitted
-   by a vectorized membership filter over the partials.
+   (key, partition) — the combiner, so what leaves each task is
+   pre-aggregated, never the table;
+2. totals per key via ``grouped_counts`` (driver-side pandas sum below a
+   threshold — a distributed aggregate's fixed per-block scheduling
+   dominates at partial-count sizes — with a width-bounded distributed
+   fallback above it);
+3. duplicated keys are by definition FEW (violations, not data): the
+   violation rows are emitted directly from the filtered counts.
 
 One violation row per (key, partition) occurrence pair keeps verdicts
 partition-local.
@@ -18,13 +19,10 @@ partition-local.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
-from ray.data.aggregate import Sum
 
-from ._util import empty_violations_df
+from ._util import empty_violations_df, grouped_counts
 
 
 def _partial_counts(batch: pa.Table, column: str, pid_fn) -> pa.Table:
@@ -43,49 +41,40 @@ def _partial_counts(batch: pa.Table, column: str, pid_fn) -> pa.Table:
 
 def uniqueness_violations(ds, column: str, epoch: str, pid_fn, severity: str = "error"):
     """ds must already be projected to [column (+ path)] — prune at the read."""
+    import ray.data as rd
+
     partials = ds.map_batches(
         lambda b: _partial_counts(b, column, pid_fn), batch_format="pyarrow"
-    ).materialize()  # partials are (≈ distinct keys)-sized; reused twice below
+    ).materialize()
 
-    totals = partials.groupby("key").aggregate(Sum("n", alias_name="total"))
-    dup_tbl = totals.filter(expr="total > 1").to_pandas()
-    if len(dup_tbl) == 0 or "key" not in dup_tbl.columns:
-        import ray.data as rd
-
+    totals = grouped_counts(partials, ["key"], min_total=2)
+    if len(totals) == 0:
         return rd.from_pandas(empty_violations_df())
-    dup_lut = dict(zip(dup_tbl["key"], dup_tbl["total"].astype(int)))
-    ref = ray.put(dup_lut)
+    dup_lut = dict(zip(totals["key"], totals["n"].astype(int)))
 
+    # per-(key, partition) occurrence rows for the duplicated keys only
     def keep_dups(batch: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
+        import numpy as np
+
         keys = batch["key"].to_pylist()
-        mask = np.fromiter((k in lut for k in keys), dtype=bool, count=len(keys))
+        mask = np.fromiter((k in dup_lut for k in keys), dtype=bool, count=len(keys))
         return batch.filter(pa.array(mask))
 
-    def emit(batch: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
-        if batch.num_rows == 0:
-            return pa.Table.from_pandas(empty_violations_df(), preserve_index=False)
-        keys = batch["key"].to_pylist()
-        n = batch.num_rows
-        return pa.table(
-            {
-                "partition_id": batch["partition_id"],
-                "epoch": pa.array([epoch] * n, pa.string()),
-                "check": pa.array(["uniqueness"] * n, pa.string()),
-                "image_id": batch["key"].cast(pa.string()),
-                "column": pa.array(["image_id"] * n, pa.string()),
-                "detail": pa.array(
-                    [f"key occurs {lut[k]} times" for k in keys], pa.string()
-                ),
-                "severity": pa.array([severity] * n, pa.string()),
-            }
-        )
-
-    # filter partials down to duplicated keys FIRST (violation-sized), then
-    # collapse per (key, partition) and emit — every step vectorized
-    dup_partials = partials.map_batches(keep_dups, batch_format="pyarrow")
-    dedup = dup_partials.groupby(["key", "partition_id"]).aggregate(
-        Sum("n", alias_name="n")
+    dup_rows = grouped_counts(
+        partials.map_batches(keep_dups, batch_format="pyarrow"),
+        ["key", "partition_id"],
     )
-    return dedup.map_batches(emit, batch_format="pyarrow")
+    if len(dup_rows) == 0:
+        return rd.from_pandas(empty_violations_df())
+    out = pd.DataFrame(
+        {
+            "partition_id": dup_rows["partition_id"].astype("int64"),
+            "epoch": epoch,
+            "check": "uniqueness",
+            "image_id": dup_rows["key"],
+            "column": "image_id",
+            "detail": [f"key occurs {dup_lut[k]} times" for k in dup_rows["key"]],
+            "severity": severity,
+        }
+    ).sort_values(["image_id", "partition_id"])
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -22,19 +22,28 @@ import pyarrow as pa
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _hash_shingles(tokens: list[str], k: int) -> np.ndarray:
-    """Deterministic 64-bit-ish hashes of the k-token shingles of a doc."""
-    if len(tokens) < k:
-        joined = " ".join(tokens)
-        h = int.from_bytes(hashlib.blake2b(joined.encode(), digest_size=8).digest(),
-                          "little")
-        return np.array([h], dtype=np.uint64)
-    out = np.empty(len(tokens) - k + 1, dtype=np.uint64)
-    for i in range(len(out)):
-        s = " ".join(tokens[i : i + k])
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-        )
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+    )
+
+
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant (public)
+
+
+def _shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic hashes of k-token shingles from per-token hashes —
+    fully vectorized (position-sensitive multiply-rotate mix)."""
+    n = len(tok_hashes)
+    if n < k:
+        acc = np.uint64(0)
+        for j, h in enumerate(tok_hashes):
+            acc ^= (h * _SHINGLE_MIX) << np.uint64(j % 8)
+        return np.array([acc], dtype=np.uint64)
+    out = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        seg = tok_hashes[j : n - k + 1 + j]
+        out ^= (seg * _SHINGLE_MIX) << np.uint64(j)  # position-dependent
     return np.unique(out)
 
 
@@ -50,15 +59,35 @@ class MinHasher:
         self.num_perm = num_perm
         self.k = k_shingle
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str, vocab: dict[str, int] | None = None
+                  ) -> np.ndarray:
         toks = (text or "").split()
-        sh = _hash_shingles(toks, self.k)
+        if vocab is None:
+            th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                             count=len(toks))
+        else:
+            th = np.fromiter((vocab[t] for t in toks), dtype=np.uint64,
+                             count=len(toks))
+        sh = _shingle_hashes(th, self.k)
         # (num_perm, n_shingles) universal-hash grid, min along shingles
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None])
         return vals.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in df["text"].fillna("")])
+        # hash each UNIQUE token once per batch (the vocabulary is far
+        # smaller than the token stream), then everything else is numpy
+        token_lists = [t.split() for t in df["text"].fillna("")]
+        vocab: dict[str, int] = {}
+        for toks in token_lists:
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = _token_hash(t)
+        sigs = []
+        for toks in token_lists:
+            th = np.fromiter((vocab[t] for t in toks), dtype=np.uint64,
+                             count=len(toks))
+            sh = _shingle_hashes(th, self.k)
+            sigs.append((sh[None, :] * self.a[:, None] + self.b[:, None]).min(axis=1))
         out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
         out["sig"] = [s.astype(np.int64).tobytes() for s in sigs]
         return out
@@ -119,21 +148,29 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     Returns a Dataset of (doc_a, doc_b, est_jaccard), canonical a<b, deduped.
     """
     import ray
-    from ray.data.aggregate import Count
 
-    sigs = docs_ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "k_shingle": k_shingle},
-        batch_format="pandas", concurrency=concurrency,
-    )
+    from ..checks._util import grouped_counts
+
+    # stateless tasks, not an actor pool: MinHasher's state is two small
+    # seeded arrays (rebuilt per task in ~µs); tasks skip actor spin-up
+    hasher = MinHasher(num_perm=num_perm, k_shingle=k_shingle)
+    sigs = docs_ds.map_batches(hasher, batch_format="pandas")
     exploded = sigs.map_batches(
         lambda df: _explode_bands(df, num_perm, bands), batch_format="pandas"
     ).materialize()
-    # only colliding band buckets can yield a pair → shrink the keyed
-    # groupby from ~n·bands groups to collision-sized (same trick as the
-    # engine's phash near-dup check)
-    sizes = exploded.groupby("band_key").aggregate(Count(alias_name="n"))
-    coll_tbl = sizes.filter(expr="n > 1").to_pandas()
-    if "band_key" not in coll_tbl.columns or len(coll_tbl) == 0:
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["band_key"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"band_key": u, "n": c})
+
+    # only colliding band buckets can yield a pair → shrink the keyed scan
+    # from ~n·bands groups to collision-sized (same trick as the engine's
+    # phash near-dup check)
+    coll_tbl = grouped_counts(
+        exploded.map_batches(_partial, batch_format="pandas"),
+        ["band_key"], min_total=2,
+    )
+    if len(coll_tbl) == 0:
         import ray.data as rd
 
         return rd.from_pandas(
@@ -150,16 +187,25 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         idx = np.clip(np.searchsorted(c, b), 0, len(c) - 1)
         return df[c[idx] == b]
 
-    pairs = (
-        exploded.map_batches(keep, batch_format="pandas")
-        .groupby("band_key")
-        .map_groups(lambda g: _scan_band_group(g, num_perm, threshold),
-                    batch_format="pandas")
+    from .groupscan import scan_sorted_groups
+
+    kept = exploded.map_batches(keep, batch_format="pandas")
+    empty_pairs = _scan_band_group(
+        pd.DataFrame({"band_key": [], "doc_id": [], "sig": []}), num_perm, threshold
     )
-    uniq = pairs.groupby("pair_key").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs_ds, boundary = scan_sorted_groups(
+        kept, "band_key",
+        lambda g: _scan_band_group(g, num_perm, threshold), empty_pairs,
     )
-    return uniq.drop_columns(["pair_key"])
+    pdf = pairs_ds.to_pandas()
+    if "pair_key" not in pdf.columns:
+        pdf = empty_pairs.copy()
+    uniq = pd.concat([pdf, boundary], ignore_index=True).drop_duplicates("pair_key")
+    import ray.data as rd
+
+    return rd.from_pandas(
+        (uniq if len(uniq) else empty_pairs).drop(columns=["pair_key"])
+    )
 
 
 # ------------------------------------------------------------------ simhash
@@ -288,12 +334,22 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, n_planes: int = 12,
 
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
+
+    from ..checks._util import grouped_counts
 
     bucketed = bucketed.materialize()
-    sizes = bucketed.groupby("bucket").aggregate(Count(alias_name="n"))
-    coll_tbl = sizes.filter(expr="n > 1").to_pandas()
-    if "bucket" in coll_tbl.columns and len(coll_tbl):
+
+    def _bpartial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["bucket"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    coll_tbl = grouped_counts(
+        bucketed.map_batches(_bpartial, batch_format="pyarrow"),
+        ["bucket"], min_total=2,
+    )
+    if len(coll_tbl):
         coll = np.sort(coll_tbl["bucket"].to_numpy(dtype=np.int64))
         ref = ray.put(coll)
 

@@ -207,7 +207,9 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
 
     # ---- verdict assembly (driver-side; inputs are partition-count sized) --
     n_vio = violations.count()
-    if n_vio <= 2_000_000:
+    if n_vio == 0:
+        vio_counts = pd.DataFrame({"partition_id": [], "check": [], "count()": []})
+    elif n_vio <= 2_000_000:
         vdf = violations.to_pandas()
         vio_counts = (
             vdf.groupby(["partition_id", "check"], sort=False)

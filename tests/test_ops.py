@@ -9,10 +9,16 @@ import pytest
 def docs_ds(ray_session):
     import ray.data as rd
 
-    texts = [f"unique document number {i} with content words alpha beta {i*7}"
-             for i in range(200)]
-    # planted near-dups: 190 is 0 with one word changed; 191 is 1 shuffled tail
-    texts[190] = texts[0].replace("alpha", "gamma")
+    # long, distinct docs: planted near-dups must sit at high Jaccard
+    # (>=0.9) where 16x4-band LSH detection probability is ~1.0 — a
+    # one-word edit in a 10-token doc (~0.45) is a coin flip by design
+    rng = np.random.default_rng(13)
+    vocab = [f"w{j}" for j in range(500)]
+    texts = [
+        " ".join(rng.choice(vocab, size=40, replace=True)) for _ in range(200)
+    ]
+    # planted near-dups: one-token edits of long docs (Jaccard ~0.95)
+    texts[190] = texts[0].replace(texts[0].split()[5], "EDITED", 1)
     texts[191] = texts[1] + " extra"
     # planted exact dups
     texts[195] = texts[5]
