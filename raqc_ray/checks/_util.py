@@ -44,10 +44,13 @@ def grouped_counts(partials_ds, key_cols: list[str], n_col: str = "n",
     it, a width-bounded distributed aggregate runs and only the (assumed
     small) filtered result is collected.
     """
-    partials_ds = partials_ds.materialize()
-    n = partials_ds.count()
-    if n <= driver_threshold:
-        df = partials_ds.to_pandas()
+    try:
+        # single execution: collect directly, bounded by the threshold
+        df = partials_ds.to_pandas(limit=driver_threshold)
+        small = True
+    except ValueError:  # over the limit → distributed path
+        small = False
+    if small:
         if len(df) == 0 or n_col not in df.columns:
             return pd.DataFrame({c: [] for c in key_cols + [n_col]})
         out = df.groupby(key_cols, sort=False)[n_col].sum().reset_index()

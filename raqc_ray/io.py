@@ -10,12 +10,22 @@ partition ids.
 
 from __future__ import annotations
 
+import threading
+
 try:  # pragma: no cover - lance absent in this sandbox
     import lance  # type: ignore
 
     HAVE_LANCE = True
 except ImportError:
     HAVE_LANCE = False
+
+# Dataset *creation* (path/filesystem resolution) is serialized: ray's
+# resolver does `from fsspec.implementations.http import HTTPFileSystem`
+# per read; when that import fails (no aiohttp here) two threads racing
+# through it turn the benign ModuleNotFoundError into an uncaught partial-
+# import ImportError. Execution stays fully parallel — only the lazy
+# read-plan construction takes the lock.
+_READ_LOCK = threading.Lock()
 
 
 def read_table(paths, columns=None, include_paths: bool = False,
@@ -27,13 +37,14 @@ def read_table(paths, columns=None, include_paths: bool = False,
     (thousands of tiny blocks drown the scheduler; SURVEY.md §4.2)."""
     import ray.data as rd
 
-    if HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
-        return rd.read_lance(paths, columns=list(columns) if columns else None)
-    kwargs = {}
-    if num_blocks is not None:
-        kwargs["override_num_blocks"] = num_blocks
-    return rd.read_parquet(paths, columns=list(columns) if columns else None,
-                           include_paths=include_paths, **kwargs)
+    with _READ_LOCK:
+        if HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
+            return rd.read_lance(paths, columns=list(columns) if columns else None)
+        kwargs = {}
+        if num_blocks is not None:
+            kwargs["override_num_blocks"] = num_blocks
+        return rd.read_parquet(paths, columns=list(columns) if columns else None,
+                               include_paths=include_paths, **kwargs)
 
 
 def write_outputs(result, out_dir: str) -> dict:
