@@ -139,16 +139,25 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # The scaling proxy uses the 4× fixture: at bench size the 32-CPU run
+    # finishes in ~30 s and fixed stage-startup latency dominates — the
+    # proxy would then measure scheduler constants, not scaling.
+    profile = os.environ.get("RAQC_SCALING_PROFILE", "benchxl")
+    fixture = f"/tmp/raqc_fixtures/{profile}"
+
     # generate the fixture once (its own ray session), warm page cache
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
+    global BENCH_FIXTURE, BENCH_PROFILE
+    BENCH_FIXTURE, BENCH_PROFILE = fixture, profile
     _ensure_fixture(parallel=True)
     ray.shutdown()
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO,
+                   RAQC_BENCH_FIXTURE=fixture, RAQC_BENCH_PROFILE=profile)
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,

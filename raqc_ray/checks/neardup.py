@@ -165,7 +165,8 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
     bands, salts = _bands_for(spec.max_hamming)
     exploded = ds.map_batches(
         lambda b: _explode(b, spec, pid_fn, bands, salts), batch_format="pyarrow"
-    ).materialize()  # narrow (3 rows/input row); consumed by sizes + keyed
+    )  # narrow (3 rows/input row); lazily recomputed by sizes + keyed —
+    # one fewer blocking execution than materializing, and explode is cheap
     # Pre-aggregated bucket sizes → two broadcast sets:
     #  - colliding (n >= 2): only these buckets can contain a pair — the
     #    keyed groupby below shrinks from ~n groups to collision-sized

@@ -45,25 +45,40 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn, severity: str = "
 
     partials = ds.map_batches(
         lambda b: _partial_counts(b, column, pid_fn), batch_format="pyarrow"
-    ).materialize()
-
-    totals = grouped_counts(partials, ["key"], min_total=2)
-    if len(totals) == 0:
-        return rd.from_pandas(empty_violations_df())
-    dup_lut = dict(zip(totals["key"], totals["n"].astype(int)))
-
-    # per-(key, partition) occurrence rows for the duplicated keys only
-    def keep_dups(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        keys = batch["key"].to_pylist()
-        mask = np.fromiter((k in dup_lut for k in keys), dtype=bool, count=len(keys))
-        return batch.filter(pa.array(mask))
-
-    dup_rows = grouped_counts(
-        partials.map_batches(keep_dups, batch_format="pyarrow"),
-        ["key", "partition_id"],
     )
+
+    try:
+        # single execution: (key, partition) partials collected once;
+        # totals and dup rows both derive from the same frame
+        pdf = partials.to_pandas(limit=2_000_000)
+    except ValueError:
+        pdf = None
+    if pdf is not None:
+        if len(pdf) == 0 or "key" not in pdf.columns:
+            return rd.from_pandas(empty_violations_df())
+        kp = pdf.groupby(["key", "partition_id"], sort=False)["n"].sum().reset_index()
+        totals = kp.groupby("key", sort=False)["n"].sum()
+        dup_lut = {k: int(v) for k, v in totals[totals > 1].items()}
+        dup_rows = kp[kp["key"].isin(dup_lut)]
+    else:
+        partials = partials.materialize()
+        totals_df = grouped_counts(partials, ["key"], min_total=2)
+        if len(totals_df) == 0:
+            return rd.from_pandas(empty_violations_df())
+        dup_lut = dict(zip(totals_df["key"], totals_df["n"].astype(int)))
+
+        def keep_dups(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keys = batch["key"].to_pylist()
+            mask = np.fromiter((k in dup_lut for k in keys), dtype=bool,
+                               count=len(keys))
+            return batch.filter(pa.array(mask))
+
+        dup_rows = grouped_counts(
+            partials.map_batches(keep_dups, batch_format="pyarrow"),
+            ["key", "partition_id"],
+        )
     if len(dup_rows) == 0:
         return rd.from_pandas(empty_violations_df())
     out = pd.DataFrame(

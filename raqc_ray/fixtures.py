@@ -31,7 +31,10 @@ from .schema import CAPTIONS_SCHEMA, IMAGES_SCHEMA
 PROFILES = {
     "t1": (1_000, 250),
     "t2": (10_000, 1_250),
-    "bench": (100_000, 782),  # 128 partitions: partition-rich for the scaling proxy
+    "bench": (100_000, 782),  # 128 partitions: the per-round bench fixture
+    # scaling-proxy fixture: 4× the work so the 32-CPU run is not
+    # startup-latency-bound (512 partitions ≥ 4× the larger CPU count)
+    "benchxl": (400_000, 782),
 }
 
 DIMS = np.array([32, 64, 96, 128, 256], dtype=np.int32)

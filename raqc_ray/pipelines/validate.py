@@ -142,16 +142,45 @@ def run_passa(paths, cfg: RunConfig):
 def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
     """Run all configured checks on one epoch. ``paths`` = parquet file(s)
     or directory (one file per partition).  ``passa`` may be supplied by a
-    checkpointed runner (pipelines/checkpoint.py) to skip the fat pass."""
+    checkpointed runner (pipelines/checkpoint.py) to skip the fat pass.
+
+    The fat Pass A and the narrow shuffle checks are INDEPENDENT — they
+    run concurrently (driver threads): the narrow checks' internal
+    blocking collects overlap with the decode pool's streaming work,
+    keeping the serial driver path off the critical path (the serial
+    fraction is what caps N→4N scaling efficiency)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     pid_fn = make_pid_fn(cfg.partition_from)
-    if passa is None:
-        passa = run_passa(paths, cfg)
 
-    violations_streams = [
-        passa.filter(expr="kind == 'v'").drop_columns(["kind", "payload", "n_rows"])
-    ]
+    uniq = cfg.get(UniquenessCheck)
+    nd = cfg.get(NearDupCheck)
 
-    partials = passa.filter(expr="kind == 's'").materialize()
+    def _uniq_stream():
+        nds = _read(paths, cfg, columns=[uniq.column], bounded=True)
+        return uniqueness_violations(nds, uniq.column, cfg.epoch, pid_fn,
+                                     uniq.severity)
+
+    def _nd_stream():
+        nds = _read(paths, cfg, columns=["image_id", nd.column], bounded=True)
+        return neardup_violations(nds, nd, cfg.epoch, pid_fn)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        uniq_f = ex.submit(_uniq_stream) if uniq is not None else None
+        nd_f = ex.submit(_nd_stream) if nd is not None else None
+        if passa is None:
+            passa = run_passa(paths, cfg)
+
+        violations_streams = [
+            passa.filter(expr="kind == 'v'").drop_columns(
+                ["kind", "payload", "n_rows"]
+            )
+        ]
+
+        partials = passa.filter(expr="kind == 's'").materialize()
+        uniq_stream = uniq_f.result() if uniq_f is not None else None
+        nd_stream = nd_f.result() if nd_f is not None else None
+
     merged: dict = {}
     if partials.count() <= 200_000:
         # partials are (#blocks × #checks)-sized; below this they merge
@@ -180,16 +209,10 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
             }
 
     # ---- narrow shuffle checks (columns pruned at the read) -----------
-    uniq = cfg.get(UniquenessCheck)
-    if uniq is not None:
-        nds = _read(paths, cfg, columns=[uniq.column], bounded=True)
-        violations_streams.append(
-            uniqueness_violations(nds, uniq.column, cfg.epoch, pid_fn, uniq.severity)
-        )
-    nd = cfg.get(NearDupCheck)
-    if nd is not None:
-        nds = _read(paths, cfg, columns=["image_id", nd.column], bounded=True)
-        violations_streams.append(neardup_violations(nds, nd, cfg.epoch, pid_fn))
+    if uniq_stream is not None:
+        violations_streams.append(uniq_stream)
+    if nd_stream is not None:
+        violations_streams.append(nd_stream)
     ref = cfg.get(ReferentialCheck)
     if ref is not None and ref.side_path:
         from ..io import read_table
