@@ -504,6 +504,21 @@ def q24_rolling_fp_documents(sf_dir: str):
     )
 
 
+def q26_ngram_jaccard_documents(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (MinHash-LSH candidates +
+    exact shingle-set verification) — rows-only (custom hash)."""
+    from raqc_ray.ops.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    ).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                           "doc_b": pd.Series(dtype="int64"),
+                           "jaccard": pd.Series(dtype="float64")})
+    return df
+
+
 def q25_validate_documents(sf_dir: str):
     """Flagship: engine verdicts table over documents (rows-only check —
     stats_json payloads are not SQL-expressible)."""
@@ -537,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_window_events_hourly": q23_window_events_hourly,
         "q24_rolling_fp_documents": q24_rolling_fp_documents,
         "q25_validate_documents": q25_validate_documents,
+        "q26_ngram_jaccard_documents": q26_ngram_jaccard_documents,
     }
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -53,7 +54,16 @@ def grouped_counts(partials_ds, key_cols: list[str], n_col: str = "n",
     if small:
         if len(df) == 0 or n_col not in df.columns:
             return pd.DataFrame({c: [] for c in key_cols + [n_col]})
-        out = df.groupby(key_cols, sort=False)[n_col].sum().reset_index()
+        if len(key_cols) == 1 and pd.api.types.is_integer_dtype(df[key_cols[0]]):
+            # numpy fast path: int keys reduce via sort + bincount (C),
+            # an order of magnitude faster than a pandas groupby
+            k = df[key_cols[0]].to_numpy()
+            n = df[n_col].to_numpy()
+            uniq, inv = np.unique(k, return_inverse=True)
+            totals = np.bincount(inv, weights=n).astype(np.int64)
+            out = pd.DataFrame({key_cols[0]: uniq, n_col: totals})
+        else:
+            out = df.groupby(key_cols, sort=False)[n_col].sum().reset_index()
     else:
         from ray.data.aggregate import Sum
 

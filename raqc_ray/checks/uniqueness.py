@@ -1,17 +1,20 @@
 """Uniqueness check (SURVEY.md §2.5 A9) — key must be globally unique.
 
 RAQC has no analog (grid position is inherently unique); mandated by the
-target spec (BASELINE.json:6).  Scale shape, fully vectorized:
+target spec (BASELINE.json:6).  Scale shape — two narrow passes, all
+vectorized, driver work O(distinct keys) in *ints*, never strings:
 
-1. per-batch partial counts collapse each batch to one row per
-   (key, partition) — the combiner, so what leaves each task is
-   pre-aggregated, never the table;
-2. totals per key via ``grouped_counts`` (driver-side pandas sum below a
-   threshold — a distributed aggregate's fixed per-block scheduling
-   dominates at partial-count sizes — with a width-bounded distributed
-   fallback above it);
-3. duplicated keys are by definition FEW (violations, not data): the
-   violation rows are emitted directly from the filtered counts.
+1. pass 1 collapses each batch to (khash:int64, partition_id, n) partial
+   counts (the combiner); the driver reduces them with numpy
+   (sort + bincount) to find *candidate duplicate hashes* — collecting
+   int64 hashes is ~10× cheaper than strings and the reduction is C-path;
+2. pass 2 re-reads the narrow column, keeps only rows whose key hash is in
+   the broadcast candidate set (vectorized searchsorted), and emits
+   (key, partition, n) for EXACT verification on the driver — hash
+   collisions only add candidate rows, never false violations.
+
+Above ``driver_threshold`` partial rows the check falls back to a fully
+distributed aggregate pipeline (grouped_counts' wide path).
 
 One violation row per (key, partition) occurrence pair keeps verdicts
 partition-local.
@@ -19,17 +22,45 @@ partition-local.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
+from ..sketches.hll import hash64
 from ._util import empty_violations_df, grouped_counts
 
 
-def _partial_counts(batch: pa.Table, column: str, pid_fn) -> pa.Table:
+def _hash_partials(batch: pa.Table, column: str, pid_fn) -> pa.Table:
     pids = pid_fn(batch)
+    kh = hash64(batch[column].cast(pa.string()).to_pylist()).view(np.int64)
+    df = pd.DataFrame({"khash": kh, "partition_id": pids})
+    agg = df.groupby(["khash", "partition_id"], sort=False).size().reset_index(
+        name="n")
+    return pa.table(
+        {
+            "khash": pa.array(agg["khash"], pa.int64()),
+            "partition_id": pa.array(agg["partition_id"], pa.int64()),
+            "n": pa.array(agg["n"], pa.int64()),
+        }
+    )
+
+
+def _key_partials(batch: pa.Table, column: str, pid_fn, cand_ref) -> pa.Table:
+    cand = ray.get(cand_ref)  # sorted int64 candidate hashes
     keys = batch[column].cast(pa.string())
-    df = pd.DataFrame({"key": keys.to_pandas(), "partition_id": pids})
-    agg = df.groupby(["key", "partition_id"], sort=False).size().reset_index(name="n")
+    kh = hash64(keys.to_pylist()).view(np.int64)
+    idx = np.clip(np.searchsorted(cand, kh), 0, len(cand) - 1)
+    mask = cand[idx] == kh
+    if not mask.any():
+        return pa.table({"key": pa.array([], pa.string()),
+                         "partition_id": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    pids = pid_fn(batch)[mask]
+    sel_keys = keys.filter(pa.array(mask)).to_pandas()
+    df = pd.DataFrame({"key": sel_keys, "partition_id": pids})
+    agg = df.groupby(["key", "partition_id"], sort=False).size().reset_index(
+        name="n")
     return pa.table(
         {
             "key": pa.array(agg["key"], pa.string()),
@@ -39,46 +70,82 @@ def _partial_counts(batch: pa.Table, column: str, pid_fn) -> pa.Table:
     )
 
 
-def uniqueness_violations(ds, column: str, epoch: str, pid_fn, severity: str = "error"):
+def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
+                          severity: str = "error",
+                          driver_threshold: int = 50_000_000):
     """ds must already be projected to [column (+ path)] — prune at the read."""
     import ray.data as rd
 
     partials = ds.map_batches(
-        lambda b: _partial_counts(b, column, pid_fn), batch_format="pyarrow"
+        lambda b: _hash_partials(b, column, pid_fn), batch_format="pyarrow"
     )
-
     try:
-        # single execution: (key, partition) partials collected once;
-        # totals and dup rows both derive from the same frame
-        pdf = partials.to_pandas(limit=2_000_000)
+        pdf = partials.to_pandas(limit=driver_threshold)
     except ValueError:
         pdf = None
-    if pdf is not None:
-        if len(pdf) == 0 or "key" not in pdf.columns:
-            return rd.from_pandas(empty_violations_df())
-        kp = pdf.groupby(["key", "partition_id"], sort=False)["n"].sum().reset_index()
-        totals = kp.groupby("key", sort=False)["n"].sum()
-        dup_lut = {k: int(v) for k, v in totals[totals > 1].items()}
-        dup_rows = kp[kp["key"].isin(dup_lut)]
-    else:
-        partials = partials.materialize()
-        totals_df = grouped_counts(partials, ["key"], min_total=2)
-        if len(totals_df) == 0:
-            return rd.from_pandas(empty_violations_df())
-        dup_lut = dict(zip(totals_df["key"], totals_df["n"].astype(int)))
 
-        def keep_dups(batch: pa.Table) -> pa.Table:
-            import numpy as np
+    if pdf is None:
+        # distributed fallback: string-keyed aggregate pipeline
+        sp = ds.map_batches(
+            lambda b: _string_partials(b, column, pid_fn), batch_format="pyarrow"
+        ).materialize()
+        totals = grouped_counts(sp, ["key"], min_total=2)
+        if len(totals) == 0:
+            return rd.from_pandas(empty_violations_df())
+        dup_lut = dict(zip(totals["key"], totals["n"].astype(int)))
 
+        def keep(batch: pa.Table) -> pa.Table:
             keys = batch["key"].to_pylist()
-            mask = np.fromiter((k in dup_lut for k in keys), dtype=bool,
-                               count=len(keys))
-            return batch.filter(pa.array(mask))
+            m = np.fromiter((k in dup_lut for k in keys), dtype=bool,
+                            count=len(keys))
+            return batch.filter(pa.array(m))
 
-        dup_rows = grouped_counts(
-            partials.map_batches(keep_dups, batch_format="pyarrow"),
-            ["key", "partition_id"],
-        )
+        dup_rows = grouped_counts(sp.map_batches(keep, batch_format="pyarrow"),
+                                  ["key", "partition_id"])
+        return _emit(dup_rows, dup_lut, epoch, severity)
+
+    if len(pdf) == 0 or "khash" not in pdf.columns:
+        return rd.from_pandas(empty_violations_df())
+    kh = pdf["khash"].to_numpy()
+    nn = pdf["n"].to_numpy()
+    uniq, inv = np.unique(kh, return_inverse=True)
+    totals = np.bincount(inv, weights=nn).astype(np.int64)
+    cand = uniq[totals > 1]
+    if cand.size == 0:
+        return rd.from_pandas(empty_violations_df())
+    cand_ref = ray.put(np.sort(cand))
+
+    kp = ds.map_batches(
+        lambda b: _key_partials(b, column, pid_fn, cand_ref),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(kp) == 0 or "key" not in kp.columns:
+        return rd.from_pandas(empty_violations_df())
+    kp = kp.groupby(["key", "partition_id"], sort=False)["n"].sum().reset_index()
+    true_totals = kp.groupby("key", sort=False)["n"].sum()
+    dup_lut = {k: int(v) for k, v in true_totals[true_totals > 1].items()}
+    dup_rows = kp[kp["key"].isin(dup_lut)]
+    return _emit(dup_rows, dup_lut, epoch, severity)
+
+
+def _string_partials(batch: pa.Table, column: str, pid_fn) -> pa.Table:
+    pids = pid_fn(batch)
+    keys = batch[column].cast(pa.string())
+    df = pd.DataFrame({"key": keys.to_pandas(), "partition_id": pids})
+    agg = df.groupby(["key", "partition_id"], sort=False).size().reset_index(
+        name="n")
+    return pa.table(
+        {
+            "key": pa.array(agg["key"], pa.string()),
+            "partition_id": pa.array(agg["partition_id"], pa.int64()),
+            "n": pa.array(agg["n"], pa.int64()),
+        }
+    )
+
+
+def _emit(dup_rows: pd.DataFrame, dup_lut: dict, epoch: str, severity: str):
+    import ray.data as rd
+
     if len(dup_rows) == 0:
         return rd.from_pandas(empty_violations_df())
     out = pd.DataFrame(

@@ -208,6 +208,59 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     )
 
 
+def ngram_jaccard_pairs(docs_ds, k_shingle: int = 3, threshold: float = 0.5,
+                        num_perm: int = 64, bands: int = 16):
+    """Exact n-gram Jaccard near-dup pairs: MinHash-LSH generates the
+    candidate set (collision-sized), then the candidates' shingle sets are
+    recomputed from their texts — broadcast as a candidate-only dict, never
+    a text shuffle — and EXACT Jaccard is verified.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    import ray
+    import ray.data as rd
+
+    cand = minhash_lsh_pairs(
+        docs_ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
+        threshold=max(0.1, threshold - 0.2),  # slack: est is approximate
+    ).to_pandas()
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if len(cand) == 0 or "doc_a" not in cand.columns:
+        return rd.from_pandas(empty)
+    cand_ids = set(cand["doc_a"]) | set(cand["doc_b"])
+    ref = ray.put(cand_ids)
+
+    def collect_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ref)
+        sel = df[df["doc_id"].isin(ids)]
+        out_id, out_sh = [], []
+        for doc_id, text in zip(sel["doc_id"], sel["text"].fillna("")):
+            toks = text.split()
+            th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                             count=len(toks))
+            out_id.append(int(doc_id))
+            out_sh.append(_shingle_hashes(th, k_shingle).tobytes())
+        return pd.DataFrame({"doc_id": out_id, "shingles": out_sh})
+
+    sh_df = docs_ds.map_batches(collect_shingles, batch_format="pandas").to_pandas()
+    lut = {int(i): np.frombuffer(s, dtype=np.uint64)
+           for i, s in zip(sh_df["doc_id"], sh_df["shingles"])}
+    rows = []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = lut.get(int(a)), lut.get(int(b))
+        if sa is None or sb is None:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            rows.append({"doc_a": int(a), "doc_b": int(b),
+                         "jaccard": round(float(j), 6)})
+    return rd.from_pandas(pd.DataFrame(rows) if rows else empty)
+
+
 # ------------------------------------------------------------------ simhash
 
 

@@ -153,3 +153,44 @@ def test_multimodal_fake_decoder():
     # deterministic: same payload → same feature
     out2 = dec(batch).to_pandas()
     assert np.array_equal(np.array(out["feature"][0]), np.array(out2["feature"][0]))
+
+
+def test_ngram_jaccard_exact(docs_ds):
+    from raqc_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds, _ = docs_ds
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)): j for a, b, j in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"])}
+    assert got[(5, 195)] == 1.0  # exact dup → jaccard exactly 1
+    assert (0, 190) in got and got[(0, 190)] > 0.8  # one-token edit
+    # unrelated docs never pass the exact verify
+    assert all(j >= 0.5 for j in got.values())
+
+
+def test_groupscan_matches_per_group(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from raqc_ray.ops.groupscan import scan_sorted_groups
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({"k": rng.integers(0, 800, n), "v": rng.integers(0, 100, n)})
+
+    def group_fn(g):
+        return pd.DataFrame({"k": [int(g["k"].iloc[0])],
+                             "total": [int(g["v"].sum())],
+                             "n": [len(g)]})
+
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "total": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64")})
+    res_ds, boundary = scan_sorted_groups(rd.from_pandas(df).repartition(8),
+                                          "k", group_fn, empty)
+    res = pd.concat([res_ds.to_pandas(), boundary], ignore_index=True)
+    # oracle: plain pandas groupby (groups of size 1 excluded by contract)
+    exp = df.groupby("k").agg(total=("v", "sum"), n=("v", "size")).reset_index()
+    exp = exp[exp["n"] >= 2]
+    res = res.sort_values("k").reset_index(drop=True)[["k", "total", "n"]]
+    exp = exp.sort_values("k").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(res.astype("int64"), exp)
