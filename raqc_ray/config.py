@@ -152,6 +152,34 @@ class QuantileCheck(CheckSpec):
 
 
 @dataclass(frozen=True)
+class BandQuantileCheck(CheckSpec):
+    """Per-band quantile thresholds (A2 / F3 ``flag_elevation_*`` analog).
+
+    The band key is the engine's "elevation band": a bucketed feature
+    (default: integer log2 of the payload byte length, the size-band
+    analog of DEM elevation bins — ``[R] raqc/utilities.py ::
+    get_elevation_bins (rec.)``).  Pass A accumulates one t-digest of
+    ``value`` per (partition, band); the verdict stage merges per-band
+    global digests, takes ``outlier_percentiles`` thresholds per band
+    (the broadcast threshold-table lookup, J3), and reports each
+    partition's mass fraction beyond its bands' thresholds.  A partition
+    fails when that fraction exceeds ``max_outlier_fraction`` (None →
+    informational, always passes).
+    """
+
+    value: str = "__pixel_mean__"
+    band_of: str = "__bytelen_log2__"
+    band_width: float = 1.0
+    outlier_percentiles: tuple[float, float] = (0.05, 0.95)
+    max_outlier_fraction: float | None = None
+    delta: int = 100
+
+    @property
+    def name(self) -> str:
+        return "band_quantile"
+
+
+@dataclass(frozen=True)
 class Hist2DCheck(CheckSpec):
     """Fixed-bin 2-D histogram partials per partition (A1).
 
@@ -272,6 +300,7 @@ class RunConfig:
                     StatsCheck,
                     CardinalityCheck,
                     QuantileCheck,
+                    BandQuantileCheck,
                     Hist2DCheck,
                 ),
             )
@@ -300,6 +329,7 @@ def default_image_config(epoch: str, captions_path: str = "") -> RunConfig:
         StatsCheck(columns=("w", "h", "phash")),
         CardinalityCheck(column="image_id"),
         QuantileCheck(column="w"),
+        BandQuantileCheck(),
         Hist2DCheck(),
         UniquenessCheck(column="image_id"),
         NearDupCheck(column="phash"),

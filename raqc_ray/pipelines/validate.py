@@ -367,6 +367,54 @@ def _build_verdicts(cfg: RunConfig, merged: dict, count_lut: dict) -> pa.Table:
                          sort_keys=True)}
                 )
 
+    from ..config import BandQuantileCheck
+
+    bq = cfg.get(BandQuantileCheck)
+    if bq is not None:
+        per_part: dict[int, dict[int, TDigest]] = {}
+        for (pid, c), m in merged.items():
+            if c != "band_quantile":
+                continue
+            per_part[pid] = {
+                b: TDigest.from_bytes(d) for b, d in pickle.loads(m["payload"]).items()
+            }
+        if per_part:
+            # global per-band digests → per-band thresholds (the broadcast
+            # threshold-table lookup, SURVEY.md J3 / RAQC flag_blocks)
+            all_bands: dict[int, list[TDigest]] = {}
+            for bands_ in per_part.values():
+                for b, td in bands_.items():
+                    all_bands.setdefault(b, []).append(td)
+            lo_q, hi_q = bq.outlier_percentiles
+            thresholds = {
+                b: (
+                    (g := TDigest.merge_all(tds)).quantile(lo_q),
+                    g.quantile(hi_q),
+                )
+                for b, tds in all_bands.items()
+            }
+            for pid in sorted(per_part):
+                bands_ = per_part[pid]
+                total_w = sum(td.n for td in bands_.values())
+                frac = 0.0
+                for b, td in bands_.items():
+                    lo, hi = thresholds[b]
+                    f = max(0.0, td.cdf(lo)) + max(0.0, 1.0 - td.cdf(hi))
+                    frac += (td.n / max(total_w, 1)) * f
+                ok = (bq.max_outlier_fraction is None
+                      or frac <= bq.max_outlier_fraction)
+                rows.append(
+                    {"partition_id": pid, "epoch": epoch, "check": "band_quantile",
+                     "pass": bool(ok), "n_rows": row_counts.get(pid, 0),
+                     "n_violations": 0,
+                     "stats_json": json.dumps(
+                         {"frac_beyond_band_thresholds": round(frac, 4),
+                          "n_bands": len(bands_),
+                          "thresholds": {str(b): [round(t[0], 4), round(t[1], 4)]
+                                         for b, t in sorted(thresholds.items())}},
+                         sort_keys=True)}
+                )
+
     if not rows:
         return VERDICTS_SCHEMA.empty_table()
     df = pd.DataFrame(rows).sort_values(["epoch", "check", "partition_id"])

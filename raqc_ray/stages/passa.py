@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 from ..codecs import DecodeError, decode_image
 from ..partitions import make_pid_fn
 from ..config import (
+    BandQuantileCheck,
     CaptionCheck,
     CardinalityCheck,
     DecodeCheck,
@@ -121,6 +122,7 @@ class ValidatorStage:
         self.stats = cfg.get(StatsCheck)
         self.card = cfg.get(CardinalityCheck)
         self.quant = cfg.get(QuantileCheck)
+        self.band_quant = cfg.get(BandQuantileCheck)
         self.hist = cfg.get(Hist2DCheck)
 
     # ------------------------------------------------------------ helpers
@@ -266,6 +268,23 @@ class ValidatorStage:
                 out.partial(pid, self.epoch, self.quant.name, td.to_bytes(),
                             int(sel.sum()))
 
+        if self.band_quant:
+            bq = self.band_quant
+            vals = self._feature(batch, bq.value, pixel_mean)
+            bands_f = self._feature(batch, bq.band_of, pixel_mean)
+            band_ids = np.where(
+                np.isnan(bands_f), -1, np.floor(bands_f / bq.band_width)
+            ).astype(np.int64)
+            for pid in uniq_pids:
+                sel = (pids == pid) & ~np.isnan(vals) & (band_ids >= 0)
+                per_band: dict[int, bytes] = {}
+                for b in np.unique(band_ids[sel]):
+                    td = TDigest(bq.delta)
+                    td.add(vals[sel & (band_ids == b)])
+                    per_band[int(b)] = td.to_bytes()
+                out.partial(pid, self.epoch, "band_quantile",
+                            pickle.dumps(per_band), int(sel.sum()))
+
         if self.hist:
             hx = self._feature(batch, self.hist.x, pixel_mean)
             hy = self._feature(batch, self.hist.y, pixel_mean)
@@ -324,6 +343,17 @@ def merge_payloads(check: str, payloads: list[bytes]) -> bytes:
         ).to_bytes()
     elif check.startswith("quantile:"):
         merged = TDigest.merge_all([TDigest.from_bytes(p) for p in payloads]).to_bytes()
+    elif check == "band_quantile":
+        acc_b: dict[int, list[bytes]] = {}
+        for p in payloads:
+            for b, d in pickle.loads(p).items():
+                acc_b.setdefault(int(b), []).append(d)
+        merged = pickle.dumps(
+            {
+                b: TDigest.merge_all([TDigest.from_bytes(x) for x in lst]).to_bytes()
+                for b, lst in acc_b.items()
+            }
+        )
     elif check == "hist2d":
         merged = pickle.dumps(sum(pickle.loads(p) for p in payloads))
     else:

@@ -131,3 +131,16 @@ def test_metrics(pair_result):
     manifest, r1, _ = pair_result
     assert r1.metrics["n_rows"] == manifest["rows"]
     assert r1.metrics["n_partitions"] == manifest["n_partitions"]
+
+
+def test_band_quantile_verdicts(pair_result):
+    import json as _json
+
+    manifest, r1, _ = pair_result
+    v = r1.verdicts.to_pandas()
+    bq = v[v["check"] == "band_quantile"]
+    assert len(bq) == manifest["n_partitions"]
+    assert bq["pass"].all()  # informational by default
+    st = _json.loads(bq.iloc[0]["stats_json"])
+    assert st["n_bands"] >= 2  # several byte-length bands exist
+    assert 0.0 <= st["frac_beyond_band_thresholds"] <= 1.0
