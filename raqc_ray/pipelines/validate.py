@@ -55,7 +55,7 @@ from ..partitions import make_pid_fn
 from ..schema import VERDICTS_SCHEMA
 from ..sketches import HyperLogLog, TDigest
 from ..stages.passa import (ROWCOUNT_CHECK, ValidatorStage, merge_partial_group,
-                            merge_payloads)
+                            merge_payloads, premerge_block)
 
 ROW_CHECKS = ("nullity", "range", "caption", "decode", "uniqueness", "near_dup",
               "referential")
@@ -177,7 +177,14 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
             )
         ]
 
-        partials = passa.filter(expr="kind == 's'").materialize()
+        partials = (
+            passa.filter(expr="kind == 's'")
+            .map_batches(
+                lambda df: premerge_block(df, cfg),
+                batch_format="pandas", batch_size=None,  # combine per block
+            )
+            .materialize()
+        )
         uniq_stream = uniq_f.result() if uniq_f is not None else None
         nd_stream = nd_f.result() if nd_f is not None else None
 

@@ -361,6 +361,25 @@ def merge_payloads(check: str, payloads: list[bytes]) -> bytes:
     return merged
 
 
+def premerge_block(df, cfg: RunConfig):
+    """Distributed combiner over the partial stream: merge partials per
+    (partition, check) WITHIN each block before anything is collected —
+    after this, the driver sees ≈ one payload per (partition, check) per
+    block instead of one per batch, shrinking the serial merge ~10×."""
+    import pandas as pd
+
+    out = {k: [] for k in ("partition_id", "epoch", "check", "payload", "n_rows")}
+    for (pid, epoch, check), g in df.groupby(
+        ["partition_id", "epoch", "check"], sort=False
+    ):
+        out["partition_id"].append(int(pid))
+        out["epoch"].append(epoch)
+        out["check"].append(check)
+        out["payload"].append(merge_payloads(check, [bytes(p) for p in g["payload"]]))
+        out["n_rows"].append(int(g["n_rows"].sum()))
+    return pd.DataFrame(out)
+
+
 def merge_partial_group(group, cfg: RunConfig):
     """groupby([...]).map_groups body over the kind="s" stream (pandas in /
     pandas out) — the distributed merge path used when the partial stream
