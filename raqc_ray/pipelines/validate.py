@@ -177,14 +177,19 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
             )
         ]
 
-        partials = (
-            passa.filter(expr="kind == 's'")
-            .map_batches(
+        import os as _os
+
+        partials = passa.filter(expr="kind == 's'")
+        # optional distributed combiner: helps only when the partial
+        # stream is huge (very fat epochs); measured HARMFUL at bench
+        # scale (A/B: pair 87s→125s with it on at 32 CPUs — the pandas
+        # block stage delays the collect more than the driver merge costs)
+        if _os.environ.get("RAQC_PREMERGE"):
+            partials = partials.map_batches(
                 lambda df: premerge_block(df, cfg),
-                batch_format="pandas", batch_size=None,  # combine per block
+                batch_format="pandas", batch_size=None,
             )
-            .materialize()
-        )
+        partials = partials.materialize()
         uniq_stream = uniq_f.result() if uniq_f is not None else None
         nd_stream = nd_f.result() if nd_f is not None else None
 
