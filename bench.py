@@ -158,9 +158,17 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO,
                    RAQC_BENCH_FIXTURE=fixture, RAQC_BENCH_PROFILE=profile)
+        # Pin the whole process tree to ncpu physical cores: ray's
+        # num_cpus only limits scheduler slots — numpy/zlib inside workers
+        # and ray internals would otherwise spill onto all host cores and
+        # inflate the small-"cluster" measurement.
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        import shutil
+
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+            cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

@@ -2,11 +2,13 @@
 
 Pigeonhole LSH banding: the 64 phash bits split into ``max_hamming + 1``
 bands (widths 22/21/21 for the default Hamming ≤ 2) — any pair within the
-Hamming budget matches exactly in at least one band, so a
-``groupby(band_bucket)`` shuffle co-locates every candidate pair.  Groups
-are scanned all-pairs with numpy popcount (unpackbits), and pairs found in
-multiple bands are deduplicated by a second tiny groupby on the canonical
-pair key.
+Hamming budget matches exactly in at least one band, so co-locating by
+band bucket catches every candidate pair.  Only buckets with ≥2 members
+(a broadcast collision set from a pre-count) enter the sorted-block group
+scan (ops/groupscan.py — one map task per sorted block instead of one
+Python call per bucket); groups are scanned all-pairs with numpy popcount
+(unpackbits), and pairs found in multiple bands are deduplicated on the
+canonical pair key (driver-side — pairs are violation-sized by assumption).
 
 Skew handling (BASELINE.json:14 "salted keys for hot phash buckets"):
 a pre-aggregated bucket-size pass (partial counts per batch → tiny
