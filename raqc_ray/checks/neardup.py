@@ -50,34 +50,26 @@ def _bands_for(max_hamming: int):
     return tuple(bands), tuple(salts)
 
 
-def _explode(batch: pa.Table, spec: NearDupCheck, pid_fn, bands, salts) -> pa.Table:
-    """(image_id, phash, pid) → one row per band with its bucket key."""
-    pids = pid_fn(batch)
-    ph = batch[spec.column].to_numpy(zero_copy_only=False).astype(np.int64).view(
-        np.uint64
-    )
-    ids = batch["image_id"].cast(pa.string()).to_pylist()
-    n = len(ids)
-    out_bucket, out_salt = [], []
-    out_id, out_ph, out_pid = [], [], []
+def _buckets_of(ph: np.ndarray, bands) -> list[np.ndarray]:
+    """Per-band bucket keys for a uint64 phash vector (vectorized)."""
+    out = []
     for b, (start, width) in enumerate(bands):
         mask = np.uint64((1 << width) - 1)
         val = (ph >> np.uint64(start)) & mask
-        bucket = (np.uint64(b) << np.uint64(22)) | val  # band id above max band width
-        salt = (ph >> np.uint64(salts[b])) & np.uint64(0xFF)
-        out_bucket.append(bucket.view(np.int64))
-        out_salt.append(salt.astype(np.int64))
-        out_id.extend(ids)
-        out_ph.append(ph.view(np.int64))
-        out_pid.append(pids)
+        out.append(((np.uint64(b) << np.uint64(22)) | val).view(np.int64))
+    return out
+
+
+def _phash_bucket_counts(batch: pa.Table, spec: NearDupCheck, bands) -> pa.Table:
+    """Bucket partial counts straight from the phash column — the size
+    pre-pass never touches the id strings at all."""
+    ph = batch[spec.column].to_numpy(zero_copy_only=False).astype(np.int64).view(
+        np.uint64
+    )
+    allb = np.concatenate(_buckets_of(ph, bands))
+    uniq, counts = np.unique(allb, return_counts=True)
     return pa.table(
-        {
-            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
-            "salt": pa.array(np.concatenate(out_salt), pa.int64()),
-            "image_id": pa.array(out_id, pa.string()),
-            "phash": pa.array(np.concatenate(out_ph), pa.int64()),
-            "partition_id": pa.array(np.concatenate(out_pid), pa.int64()),
-        }
+        {"bucket": pa.array(uniq, pa.int64()), "n": pa.array(counts, pa.int64())}
     )
 
 
@@ -165,16 +157,15 @@ def _pairs_to_violations(batch: pa.Table, epoch: str, severity: str) -> pa.Table
 def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
     """ds projected to [image_id, phash (+path)]. Returns a violations Dataset."""
     bands, salts = _bands_for(spec.max_hamming)
-    exploded = ds.map_batches(
-        lambda b: _explode(b, spec, pid_fn, bands, salts), batch_format="pyarrow"
-    )  # narrow (3 rows/input row); lazily recomputed by sizes + keyed —
-    # one fewer blocking execution than materializing, and explode is cheap
-    # Pre-aggregated bucket sizes → two broadcast sets:
+    # Pre-aggregated bucket sizes straight from [phash] (no id strings) →
+    # two broadcast sets:
     #  - colliding (n >= 2): only these buckets can contain a pair — the
-    #    keyed groupby below shrinks from ~n groups to collision-sized
+    #    keyed scan shrinks from ~n groups to collision-sized
     #  - hot (n > cap): shuffle key gets salted (skew handling, B:14)
     sizes_tbl = grouped_counts(
-        exploded.map_batches(_bucket_partial_counts, batch_format="pyarrow"),
+        ds.map_batches(
+            lambda b: _phash_bucket_counts(b, spec, bands), batch_format="pyarrow"
+        ),
         ["bucket"], min_total=2,
     )
     if len(sizes_tbl) == 0:
@@ -187,25 +178,50 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
     )
     sets_ref = ray.put((colliding, hot))
 
-    def add_key(batch: pa.Table) -> pa.Table:
+    def explode_colliding(batch: pa.Table) -> pa.Table:
+        """Fused explode + collision filter + salted key: emits only rows
+        whose band bucket can contain a pair — typically a tiny fraction,
+        so the sort that follows moves collision-sized data."""
         coll, hot_set = ray.get(sets_ref)
-        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
-        # keep only buckets that can contain a pair (vectorized membership)
-        idx = np.searchsorted(coll, bucket)
-        idx = np.clip(idx, 0, len(coll) - 1)
-        keep = coll[idx] == bucket
-        batch = batch.filter(pa.array(keep))
-        bucket = bucket[keep]
-        salt = batch["salt"].to_numpy(zero_copy_only=False)
-        if hot_set:
-            harr = np.fromiter(hot_set, dtype=np.int64, count=len(hot_set))
-            is_hot = np.isin(bucket, harr)
-        else:
-            is_hot = np.zeros(len(bucket), dtype=bool)
-        key = bucket * 257 + np.where(is_hot, salt + 1, 0)
-        return batch.append_column("key", pa.array(key, pa.int64()))
+        pids = pid_fn(batch)
+        ph = batch[spec.column].to_numpy(zero_copy_only=False).astype(
+            np.int64).view(np.uint64)
+        ids_col = batch["image_id"].cast(pa.string())
+        harr = (np.fromiter(hot_set, dtype=np.int64, count=len(hot_set))
+                if hot_set else None)
+        parts = []
+        for b, bucket in enumerate(_buckets_of(ph, bands)):
+            idx = np.clip(np.searchsorted(coll, bucket), 0, len(coll) - 1)
+            keep = coll[idx] == bucket
+            if not keep.any():
+                continue
+            kb = bucket[keep]
+            salt = ((ph[keep] >> np.uint64(salts[b])) & np.uint64(0xFF)).astype(
+                np.int64)
+            is_hot = np.isin(kb, harr) if harr is not None else np.zeros(
+                len(kb), dtype=bool)
+            key = kb * 257 + np.where(is_hot, salt + 1, 0)
+            keep_pa = pa.array(keep)
+            parts.append(
+                pa.table(
+                    {
+                        "key": pa.array(key, pa.int64()),
+                        "image_id": ids_col.filter(keep_pa),
+                        "phash": pa.array(ph[keep].view(np.int64), pa.int64()),
+                        "partition_id": pa.array(pids[keep], pa.int64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {"key": pa.array([], pa.int64()),
+                 "image_id": pa.array([], pa.string()),
+                 "phash": pa.array([], pa.int64()),
+                 "partition_id": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(parts)
 
-    keyed = exploded.map_batches(add_key, batch_format="pyarrow")
+    keyed = ds.map_batches(explode_colliding, batch_format="pyarrow")
     # sorted-block grouped scan: one map task per sorted block instead of
     # one Python call per bucket (ops/groupscan.py)
     from ..ops.groupscan import scan_sorted_groups

@@ -1,23 +1,26 @@
 """Referential check (SURVEY.md §2.4 J2) — captions ⋈ images on image_id.
 
-Implemented as a single hash-partitioned groupby-AGGREGATE (all C-path
-kernels, no per-group Python): both sides are projected to narrow columns
-(``bytes`` never ships — SURVEY.md §4.2), tagged into one partial-row
-schema ``(image_id, partition_id, n_img, n_cap, h_img, h_cap)`` where
-``h_*`` is a deterministic 64-bit caption hash, and aggregated per key.
-Violation classes then fall out of vectorized filters over the
-violation-sized aggregate:
+Scale shape (mirrors the hash-first uniqueness check): the wide join is
+replaced by an int-only reduction plus an exact candidate verify —
+``bytes``/captions never shuffle, and the only all-to-all is avoided
+entirely below the driver threshold:
 
-- ``n_img == 0``                         → orphan caption (partition −1)
-- ``n_cap == 0``                         → image missing its caption
-- ``n_img == 1 ∧ n_cap == 1 ∧ h_img ≠ h_cap`` → caption mismatch
-  (equality via summed hashes — exact for 1:1 groups; int64 wraparound is
-  deterministic on both sides)
+1. pass 1 tags both sides into narrow int64 partials
+   ``(khash, n_img, n_cap, h_img, h_cap, pid)`` where ``khash`` hashes the
+   join key and ``h_*`` hash the caption; the driver segment-reduces them
+   with numpy (argsort + reduceat — C-path, ~100 ns/row);
+2. candidate keys (orphan / missing / 1:1 hash-mismatch) are FEW
+   (violations, not data); their khashes are broadcast and pass 2 fetches
+   the real key/caption strings for exactly those rows — orphans,
+   missing captions, and byte-level caption comparison are then decided
+   EXACTLY on candidate-sized data.  Hash collisions only add candidate
+   rows; a missed violation needs a full 64-bit collision (~2⁻⁶⁴·n).
 
-Multi-occurrence keys are UniquenessCheck's finding and are skipped,
-keeping planted corruption reporting disjoint (FIXTURES.md §3).  RAQC
-analog: grid alignment is the reference's implicit referential integrity
-(``[R] raqc/multi_array.py :: clip_extent_overlap (rec.)``).
+Above ``driver_threshold`` partial rows, a distributed groupby-aggregate
+fallback runs (the previous implementation).  Multi-occurrence keys are
+UniquenessCheck's finding and are skipped (FIXTURES.md §3 disjointness).
+RAQC analog: grid alignment is the reference's implicit referential
+integrity (``[R] raqc/multi_array.py :: clip_extent_overlap (rec.)``).
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 from ray.data.aggregate import Max, Sum
 
 from ..config import ReferentialCheck
@@ -32,14 +36,152 @@ from ..sketches.hll import hash64
 from ._util import empty_violations_df
 
 
+def _int_partials(batch: pa.Table, spec: ReferentialCheck, pid_fn, side: int
+                  ) -> pa.Table:
+    n = batch.num_rows
+    kh = hash64(batch[spec.key].cast(pa.string()).to_pylist()).view(np.int64)
+    ch = (hash64(batch[spec.compare].cast(pa.string()).to_pylist())
+          >> np.uint64(33)).astype(np.int64)
+    pids = pid_fn(batch) if side == 0 else np.full(n, -1, dtype=np.int64)
+    one = np.ones(n, dtype=np.int64)
+    zero = np.zeros(n, dtype=np.int64)
+    return pa.table(
+        {
+            "khash": pa.array(kh, pa.int64()),
+            "n_img": pa.array(one if side == 0 else zero, pa.int64()),
+            "n_cap": pa.array(zero if side == 0 else one, pa.int64()),
+            "h_img": pa.array(ch if side == 0 else zero, pa.int64()),
+            "h_cap": pa.array(zero if side == 0 else ch, pa.int64()),
+            "pid": pa.array(pids, pa.int64()),
+        }
+    )
+
+
+def _candidate_rows(batch: pa.Table, spec: ReferentialCheck, pid_fn, side: int,
+                    cand_ref) -> pa.Table:
+    cand = ray.get(cand_ref)
+    keys = batch[spec.key].cast(pa.string())
+    kh = hash64(keys.to_pylist()).view(np.int64)
+    idx = np.clip(np.searchsorted(cand, kh), 0, len(cand) - 1)
+    mask = cand[idx] == kh
+    if not mask.any():
+        return pa.table(
+            {"image_id": pa.array([], pa.string()),
+             "caption": pa.array([], pa.string()),
+             "partition_id": pa.array([], pa.int64()),
+             "side": pa.array([], pa.int8())}
+        )
+    m = pa.array(mask)
+    pids = (pid_fn(batch) if side == 0 else np.full(batch.num_rows, -1,
+                                                    dtype=np.int64))[mask]
+    return pa.table(
+        {
+            "image_id": keys.filter(m),
+            "caption": batch[spec.compare].cast(pa.string()).filter(m),
+            "partition_id": pa.array(pids, pa.int64()),
+            "side": pa.array(np.full(int(mask.sum()), side, dtype=np.int8),
+                             pa.int8()),
+        }
+    )
+
+
+def _verify_candidates(cdf: pd.DataFrame, epoch: str, severity: str
+                       ) -> pd.DataFrame:
+    rows = []
+    for key, g in cdf.groupby("image_id", sort=False):
+        imgs = g[g["side"] == 0]
+        caps = g[g["side"] == 1]
+        if len(imgs) == 0:
+            rows.append(
+                {"partition_id": -1, "epoch": epoch, "check": "referential",
+                 "image_id": key, "column": "image_id",
+                 "detail": f"orphan caption row: no image row for key "
+                           f"({len(caps)} caption rows)", "severity": severity})
+        elif len(caps) == 0:
+            for pid in sorted(set(int(p) for p in imgs["partition_id"])):
+                rows.append(
+                    {"partition_id": pid, "epoch": epoch, "check": "referential",
+                     "image_id": key, "column": "caption",
+                     "detail": "image row has no caption row",
+                     "severity": severity})
+        elif len(imgs) == 1 and len(caps) == 1:
+            a = imgs["caption"].iloc[0] or ""
+            b = caps["caption"].iloc[0] or ""
+            if a != b:  # exact byte comparison on the real captions
+                rows.append(
+                    {"partition_id": int(imgs["partition_id"].iloc[0]),
+                     "epoch": epoch, "check": "referential", "image_id": key,
+                     "column": "caption",
+                     "detail": "caption differs between images and captions "
+                               "tables", "severity": severity})
+        # multi-occurrence keys: uniqueness check's finding
+    return pd.DataFrame(rows) if rows else empty_violations_df()
+
+
+def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
+                           epoch: str, pid_fn,
+                           driver_threshold: int = 50_000_000):
+    """images_ds projected to [image_id, caption (+path)]; captions_ds to
+    [image_id, caption]. Returns a violations Dataset."""
+    import ray.data as rd
+
+    partials = images_ds.map_batches(
+        lambda b: _int_partials(b, spec, pid_fn, 0), batch_format="pyarrow"
+    ).union(
+        captions_ds.map_batches(
+            lambda b: _int_partials(b, spec, pid_fn, 1), batch_format="pyarrow"
+        )
+    )
+    try:
+        pdf = partials.to_pandas(limit=driver_threshold)
+    except ValueError:
+        pdf = None
+
+    if pdf is None:
+        return _distributed_fallback(images_ds, captions_ds, spec, epoch, pid_fn)
+
+    if len(pdf) == 0 or "khash" not in pdf.columns:
+        return rd.from_pandas(empty_violations_df())
+
+    kh = pdf["khash"].to_numpy()
+    order = np.argsort(kh, kind="stable")
+    ks = kh[order]
+    bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    starts = np.concatenate([[0], bounds])
+    n_img = np.add.reduceat(pdf["n_img"].to_numpy()[order], starts)
+    n_cap = np.add.reduceat(pdf["n_cap"].to_numpy()[order], starts)
+    h_img = np.add.reduceat(pdf["h_img"].to_numpy()[order], starts)
+    h_cap = np.add.reduceat(pdf["h_cap"].to_numpy()[order], starts)
+    flagged = (n_img == 0) | (n_cap == 0) | (
+        (n_img == 1) & (n_cap == 1) & (h_img != h_cap)
+    )
+    cand = ks[starts][flagged]
+    if cand.size == 0:
+        return rd.from_pandas(empty_violations_df())
+    cand_ref = ray.put(np.sort(cand))
+
+    cdf = images_ds.map_batches(
+        lambda b: _candidate_rows(b, spec, pid_fn, 0, cand_ref),
+        batch_format="pyarrow",
+    ).union(
+        captions_ds.map_batches(
+            lambda b: _candidate_rows(b, spec, pid_fn, 1, cand_ref),
+            batch_format="pyarrow",
+        )
+    ).to_pandas()
+    if len(cdf) == 0 or "image_id" not in cdf.columns:
+        return rd.from_pandas(empty_violations_df())
+    out = _verify_candidates(cdf, epoch, spec.severity)
+    return rd.from_pandas(out.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- fallback
+
+
 def _tag(batch: pa.Table, spec: ReferentialCheck, pid_fn, side: int) -> pa.Table:
     n = batch.num_rows
     keys = batch[spec.key].cast(pa.string())
     caps = batch[spec.compare].cast(pa.string())
-    # 31-bit hash: sums over a group can never overflow int64 (an overflow
-    # makes ray/pandas fall back to pickled-object columns and breaks the
-    # downstream filter).  Equality via 31 bits misses a true mismatch with
-    # p = 2^-31 per key — negligible against the check's purpose.
     h = (hash64(caps.to_pylist()) >> np.uint64(33)).astype(np.int64)
     pids = pid_fn(batch) if side == 0 else np.full(n, -1, dtype=np.int64)
     one = np.ones(n, dtype=np.int64)
@@ -64,11 +206,11 @@ def _emit(batch: pa.Table, epoch: str, severity: str) -> pa.Table:
         (df["n_img"] == 1) & (df["n_cap"] == 1) & (df["h_img"] != df["h_cap"])
     )
     frames = []
-    for mask, column, detail, pid_col in (
-        (orphan, "image_id", "orphan caption row: no image row for key", "pid"),
-        (missing, "caption", "image row has no caption row", "pid"),
+    for mask, column, detail in (
+        (orphan, "image_id", "orphan caption row: no image row for key"),
+        (missing, "caption", "image row has no caption row"),
         (mismatch, "caption",
-         "caption differs between images and captions tables", "pid"),
+         "caption differs between images and captions tables"),
     ):
         sel = df[mask]
         if len(sel) == 0:
@@ -92,10 +234,11 @@ def _emit(batch: pa.Table, epoch: str, severity: str) -> pa.Table:
                                 preserve_index=False)
 
 
-def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
-                           epoch: str, pid_fn):
-    """images_ds projected to [image_id, caption (+path)]; captions_ds to
-    [image_id, caption]. Returns a violations Dataset."""
+def _distributed_fallback(images_ds, captions_ds, spec, epoch, pid_fn):
+    """Wide path: one groupby-aggregate over tagged partials (the caption
+    equality here stays hash-approximate — the driver path verifies
+    byte-exactly, but collecting every caption at this scale is the thing
+    we are avoiding)."""
     tagged = images_ds.map_batches(
         lambda b: _tag(b, spec, pid_fn, 0), batch_format="pyarrow"
     ).union(
