@@ -90,7 +90,7 @@ def run_bench() -> dict:
             else x
             for x in c.checks
         ]
-        c.batch_size = 512
+        c.batch_size = 2048
         cfgs[e] = c
 
     t0 = time.time()

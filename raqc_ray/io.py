@@ -19,12 +19,39 @@ try:  # pragma: no cover - lance absent in this sandbox
 except ImportError:
     HAVE_LANCE = False
 
-# Dataset *creation* (path/filesystem resolution) is serialized: ray's
-# resolver does `from fsspec.implementations.http import HTTPFileSystem`
-# per read; when that import fails (no aiohttp here) two threads racing
-# through it turn the benign ModuleNotFoundError into an uncaught partial-
-# import ImportError. Execution stays fully parallel — only the lazy
-# read-plan construction takes the lock.
+# Ray's path resolver does `from fsspec.implementations.http import
+# HTTPFileSystem` on EVERY read; with aiohttp absent the import fails,
+# is retried on every call (failed modules aren't cached), and two
+# threads racing through it turn the benign ModuleNotFoundError into an
+# uncaught partial-import ImportError.  fsspec's http module only needs
+# aiohttp/yarl *attributes at runtime* (never reached for local paths),
+# so seeding empty module stubs makes the import succeed once, get
+# cached, and disappear from the profile.  If warming fails, fall back
+# to serializing Dataset creation with a lock.
+def _warm_fsspec_http() -> bool:
+    import importlib
+    import sys
+    import types
+
+    try:
+        importlib.import_module("fsspec.implementations.http")
+        return True
+    except ImportError:
+        pass
+    for name in ("aiohttp", "yarl"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+    try:
+        importlib.import_module("fsspec.implementations.http")
+        return True
+    except Exception:
+        return False
+
+
+_FSSPEC_WARM = _warm_fsspec_http()
 _READ_LOCK = threading.Lock()
 
 
@@ -37,7 +64,10 @@ def read_table(paths, columns=None, include_paths: bool = False,
     (thousands of tiny blocks drown the scheduler; SURVEY.md §4.2)."""
     import ray.data as rd
 
-    with _READ_LOCK:
+    import contextlib
+
+    lock = contextlib.nullcontext() if _FSSPEC_WARM else _READ_LOCK
+    with lock:
         if HAVE_LANCE and isinstance(paths, str) and paths.endswith(".lance"):
             return rd.read_lance(paths, columns=list(columns) if columns else None)
         kwargs = {}

@@ -155,15 +155,31 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
 
     uniq = cfg.get(UniquenessCheck)
     nd = cfg.get(NearDupCheck)
+    ref = cfg.get(ReferentialCheck)
+
+    # ONE narrow read plan shared by every shuffle check: building a read
+    # costs a per-file metadata scan (~10 ms × files, serial on the
+    # driver) — three separate narrow reads per epoch tripled that cost.
+    narrow_cols: list[str] = []
+    for c in [uniq.column if uniq else None,
+              nd.column if nd else None,
+              "image_id" if nd else None,
+              ref.key if (ref and ref.side_path) else None,
+              ref.compare if (ref and ref.side_path) else None]:
+        if c and c not in narrow_cols:
+            narrow_cols.append(c)
+    narrow_ds = (
+        _read(paths, cfg, columns=narrow_cols, bounded=True)
+        if narrow_cols
+        else None
+    )
 
     def _uniq_stream():
-        nds = _read(paths, cfg, columns=[uniq.column], bounded=True)
-        return uniqueness_violations(nds, uniq.column, cfg.epoch, pid_fn,
+        return uniqueness_violations(narrow_ds, uniq.column, cfg.epoch, pid_fn,
                                      uniq.severity)
 
     def _nd_stream():
-        nds = _read(paths, cfg, columns=["image_id", nd.column], bounded=True)
-        return neardup_violations(nds, nd, cfg.epoch, pid_fn)
+        return neardup_violations(narrow_ds, nd, cfg.epoch, pid_fn)
 
     with ThreadPoolExecutor(max_workers=3) as ex:
         uniq_f = ex.submit(_uniq_stream) if uniq is not None else None
@@ -225,14 +241,12 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
         violations_streams.append(uniq_stream)
     if nd_stream is not None:
         violations_streams.append(nd_stream)
-    ref = cfg.get(ReferentialCheck)
     if ref is not None and ref.side_path:
         from ..io import read_table
 
-        img_ds = _read(paths, cfg, columns=[ref.key, ref.compare], bounded=True)
         cap_ds = read_table(ref.side_path)
         violations_streams.append(
-            referential_violations(img_ds, cap_ds, ref, cfg.epoch, pid_fn)
+            referential_violations(narrow_ds, cap_ds, ref, cfg.epoch, pid_fn)
         )
 
     violations = violations_streams[0]
