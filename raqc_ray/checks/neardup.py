@@ -88,6 +88,63 @@ def _popcount_matrix(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(b, axis=2).sum(axis=2)
 
 
+def _scan_groups_arrays(keys: np.ndarray, ph: np.ndarray, ids: np.ndarray,
+                        pids: np.ndarray, max_h: int) -> pd.DataFrame:
+    """Scan MANY key-groups at once from sorted arrays — pure numpy per
+    group (no pandas slicing), pair assembly vectorized at the end."""
+    order = np.argsort(keys, kind="stable")
+    keys, ph, ids, pids = keys[order], ph[order], ids[order], pids[order]
+    bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(keys)]])
+    ii_all, jj_all, dd_all = [], [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        n = e - s
+        if n < 2:
+            continue
+        sub = ph[s:e]
+        if n <= 2048:
+            dist = _popcount_matrix(sub)
+            li, lj = np.nonzero(np.triu(dist <= max_h, k=1))
+            if len(li):
+                ii_all.append(li + s)
+                jj_all.append(lj + s)
+                dd_all.append(dist[li, lj])
+        else:
+            sorder = np.argsort(sub, kind="stable")
+            sph = sub[sorder]
+            for k in range(1, min(64, n)):
+                x = sph[:-k] ^ sph[k:]
+                d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1
+                                  ).sum(axis=1)
+                hit = np.flatnonzero(d <= max_h)
+                if len(hit):
+                    ii_all.append(sorder[hit] + s)
+                    jj_all.append(sorder[hit + k] + s)
+                    dd_all.append(d[hit])
+    if not ii_all:
+        return pd.DataFrame(
+            {"pair_key": pd.Series(dtype="object"),
+             "id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"),
+             "pid_a": pd.Series(dtype="int64"), "pid_b": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="int64")}
+        )
+    ii = np.concatenate(ii_all)
+    jj = np.concatenate(jj_all)
+    dd = np.concatenate(dd_all)
+    a_first = ids[ii] <= ids[jj]
+    id_a = np.where(a_first, ids[ii], ids[jj])
+    id_b = np.where(a_first, ids[jj], ids[ii])
+    pid_a = np.where(a_first, pids[ii], pids[jj]).astype(np.int64)
+    pid_b = np.where(a_first, pids[jj], pids[ii]).astype(np.int64)
+    return pd.DataFrame(
+        {"pair_key": np.char.add(np.char.add(id_a.astype(str), "|"),
+                                 id_b.astype(str)),
+         "id_a": id_a, "id_b": id_b, "pid_a": pid_a, "pid_b": pid_b,
+         "dist": dd.astype(np.int64)}
+    )
+
+
 def _scan_group(g: pd.DataFrame, max_h: int) -> pd.DataFrame:
     n = len(g)
     if n < 2:
@@ -222,28 +279,45 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
         return pa.concat_tables(parts)
 
     keyed = ds.map_batches(explode_colliding, batch_format="pyarrow")
-    # sorted-block grouped scan: one map task per sorted block instead of
-    # one Python call per bucket (ops/groupscan.py)
-    from ..ops.groupscan import scan_sorted_groups
+    import ray.data as rd
 
     empty_pairs = _scan_group(pd.DataFrame({"image_id": [], "phash": [],
                                             "partition_id": [], "key": []}),
                               spec.max_hamming)
-    pairs_ds, boundary_pairs = scan_sorted_groups(
-        keyed, "key", lambda g: _scan_group(g, spec.max_hamming), empty_pairs
-    )
-    # dedup pairs found in multiple bands: pairs are violation-sized →
-    # driver drop_duplicates below threshold, distributed groupby above
-    import ray.data as rd
+    # Driver fast path: collision rows are collision-sized (pigeonhole on
+    # 2^21+ buckets keeps them a small fraction of the table, salting caps
+    # any one group) — a single vectorized multi-group numpy scan beats a
+    # sort shuffle + distributed scan by ~10× at these sizes.  Above the
+    # threshold, the sorted-block group scan (ops/groupscan.py) runs
+    # distributed.
+    try:
+        kdf = keyed.to_pandas(limit=20_000_000)
+    except ValueError:
+        kdf = None
+    if kdf is not None:
+        if len(kdf) == 0:
+            all_pairs = empty_pairs
+        else:
+            all_pairs = _scan_groups_arrays(
+                kdf["key"].to_numpy(np.int64),
+                kdf["phash"].to_numpy().astype(np.int64).view(np.uint64),
+                kdf["image_id"].to_numpy(),
+                kdf["partition_id"].to_numpy(np.int64),
+                spec.max_hamming,
+            )
+    else:
+        from ..ops.groupscan import scan_sorted_groups
 
-    pdf = pairs_ds.to_pandas()
-    if len(pdf) == 0 or "pair_key" not in pdf.columns:
-        pdf = empty_pairs.copy()
-    all_pairs = pd.concat([pdf, boundary_pairs], ignore_index=True)
+        pairs_ds, boundary_pairs = scan_sorted_groups(
+            keyed, "key", lambda g: _scan_group(g, spec.max_hamming), empty_pairs
+        )
+        pdf = pairs_ds.to_pandas()
+        if len(pdf) == 0 or "pair_key" not in pdf.columns:
+            pdf = empty_pairs.copy()
+        all_pairs = pd.concat([pdf, boundary_pairs], ignore_index=True)
+    # dedup pairs found in multiple bands (canonical pair key)
     uniq = all_pairs.drop_duplicates("pair_key")
-    uniq_pairs = rd.from_pandas(
-        uniq if len(uniq) else empty_pairs
-    )
+    uniq_pairs = rd.from_pandas(uniq if len(uniq) else empty_pairs)
     return uniq_pairs.map_batches(
         lambda b: _pairs_to_violations(b, epoch, spec.severity),
         batch_format="pyarrow",

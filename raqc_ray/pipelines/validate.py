@@ -52,7 +52,7 @@ from ..config import (
     UniquenessCheck,
 )
 from ..partitions import make_pid_fn
-from ..schema import VERDICTS_SCHEMA
+from ..schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
 from ..sketches import HyperLogLog, TDigest
 from ..stages.passa import (ROWCOUNT_CHECK, ValidatorStage, merge_partial_group,
                             merge_payloads, premerge_block)
@@ -205,22 +205,34 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
                 lambda df: premerge_block(df, cfg),
                 batch_format="pandas", batch_size=None,
             )
-        partials = partials.materialize()
+        # single blocking execution: collect directly (partials are
+        # (#blocks × #checks)-sized); distributed merge above the limit
+        try:
+            partials_df = partials.to_pandas(limit=200_000)
+        except ValueError:
+            partials_df = None
+            partials = partials.materialize()
         uniq_stream = uniq_f.result() if uniq_f is not None else None
         nd_stream = nd_f.result() if nd_f is not None else None
 
     merged: dict = {}
-    if partials.count() <= 200_000:
-        # partials are (#blocks × #checks)-sized; below this they merge
-        # faster on the driver than a distributed groupby can schedule
+    if partials_df is not None and "check" not in partials_df.columns:
+        # empty dataset → pandas drops the schema; normalize to typed empty
+        partials_df = partials_df.reindex(
+            columns=["partition_id", "check", "payload", "n_rows"]
+        )
+    if partials_df is not None:
         from collections import defaultdict
 
         groups: dict = defaultdict(list)
         n_rows_acc: dict = defaultdict(int)
-        for row in partials.take_all():
-            k = (int(row["partition_id"]), row["check"])
-            groups[k].append(bytes(row["payload"]))
-            n_rows_acc[k] += int(row["n_rows"])
+        for pid, check, payload, n_rows in zip(
+            partials_df["partition_id"], partials_df["check"],
+            partials_df["payload"], partials_df["n_rows"],
+        ):
+            k = (int(pid), check)
+            groups[k].append(bytes(payload))
+            n_rows_acc[k] += int(n_rows)
         for (pid, check), payloads in groups.items():
             merged[(pid, check)] = {
                 "payload": merge_payloads(check, payloads),
@@ -252,22 +264,35 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
     violations = violations_streams[0]
     for s in violations_streams[1:]:
         violations = violations.union(cast_violations(s))
-    # coalesce before materializing: the union stacks every source's block
-    # count; violations are output-sized and belong in a handful of blocks
-    violations = cast_violations(violations).repartition(8).materialize()
+    violations = cast_violations(violations)
 
-    # ---- verdict assembly (driver-side; inputs are partition-count sized) --
-    n_vio = violations.count()
-    if n_vio == 0:
-        vio_counts = pd.DataFrame({"partition_id": [], "check": [], "count()": []})
-    elif n_vio <= 2_000_000:
-        vdf = violations.to_pandas()
+    # ---- verdict assembly (driver-side; inputs are violation-sized) ----
+    # single blocking execution: collect the (output-sized) violations and
+    # derive both the returned Dataset and the per-partition counts from
+    # the same frame; distributed fallback for pathological volumes
+    try:
+        vdf = violations.to_pandas(limit=2_000_000)
+    except ValueError:
+        vdf = None
+    if vdf is not None:
+        if "check" not in vdf.columns:  # empty dataset drops schema
+            vdf = vdf.reindex(columns=list(VIOLATIONS_SCHEMA.names))
+            vdf["partition_id"] = vdf["partition_id"].astype("int64")
+        violations = rd.from_arrow(
+            pa.Table.from_pandas(vdf, schema=VIOLATIONS_SCHEMA,
+                                 preserve_index=False)
+        )
+        n_vio = len(vdf)
         vio_counts = (
             vdf.groupby(["partition_id", "check"], sort=False)
             .size()
             .reset_index(name="count()")
+            if n_vio
+            else pd.DataFrame({"partition_id": [], "check": [], "count()": []})
         )
-    else:  # pathological violation volume: keep the count distributed
+    else:
+        violations = violations.repartition(8).materialize()
+        n_vio = violations.count()
         vio_counts = (
             violations.groupby(["partition_id", "check"]).count().to_pandas()
         )
@@ -459,28 +484,34 @@ def validate_epoch_pair(
     other epoch's cluster work — this is what lifts the N→4N scaling
     efficiency, since fixed cost is what stops scaling."""
     import copy
+    import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
     import ray
 
-    # split the decode-actor budget between the two concurrent pools —
-    # two auto-sized pools would jointly reserve every CPU and starve the
-    # readers (the single-pipeline sizing rule, halved)
-    total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    per_epoch = max(1, min((total - 2) // 2, (3 * total) // 8))
-    cfgs = []
-    for c in (baseline_cfg, current_cfg):
-        if not c.decode_concurrency:
-            c = copy.copy(c)
-            c.decode_concurrency = per_epoch
-        cfgs.append(c)
-    baseline_cfg, current_cfg = cfgs
+    if _os.environ.get("RAQC_SEQ_PAIR"):
+        r1 = validate_epoch(baseline_paths, baseline_cfg)
+        r2 = validate_epoch(current_paths, current_cfg)
+    else:
+        # split the decode-actor budget between the two concurrent pools —
+        # two auto-sized pools would jointly reserve every CPU and starve
+        # the readers (the single-pipeline sizing rule, halved)
+        total = (int(ray.cluster_resources().get("CPU", 4))
+                 if ray.is_initialized() else 4)
+        per_epoch = max(1, min((total - 2) // 2, (3 * total) // 8))
+        cfgs = []
+        for c in (baseline_cfg, current_cfg):
+            if not c.decode_concurrency:
+                c = copy.copy(c)
+                c.decode_concurrency = per_epoch
+            cfgs.append(c)
+        baseline_cfg, current_cfg = cfgs
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f1 = ex.submit(validate_epoch, baseline_paths, baseline_cfg)
-        f2 = ex.submit(validate_epoch, current_paths, current_cfg)
-        r1 = f1.result()
-        r2 = f2.result()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(validate_epoch, baseline_paths, baseline_cfg)
+            f2 = ex.submit(validate_epoch, current_paths, current_cfg)
+            r1 = f1.result()
+            r2 = f2.result()
     spec = current_cfg.get(DriftCheck)
     if spec is not None and current_cfg.get(Hist2DCheck) is not None:
         drows = drift_verdicts(spec, r1.hists(), r2.hists(), current_cfg.epoch)
