@@ -34,6 +34,33 @@ def cast_violations(ds):
     )
 
 
+def collect_and_reduce(ds, reduce_fn, *args):
+    """Collect a Dataset's blocks and run ``reduce_fn(table, *args)`` in a
+    SINGLE Ray task instead of on the driver.
+
+    Why: every driver-side reduction (sketch merges, segment reduces,
+    candidate scans) holds the GIL — with two epochs running in driver
+    threads, those sections serialize and become the scaling floor.  One
+    remote task per reduction keeps the driver free; blocks reach the
+    task zero-copy through the object store.  ``reduce_fn`` receives one
+    concatenated arrow table (or None when the dataset is empty) and its
+    (small) return value ships back."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def _run(tables, *a):
+        import ray as _ray
+
+        tables = _ray.get(list(tables))  # a list arg keeps refs unresolved
+        live = [t for t in tables if t.num_rows > 0]
+        tbl = pa.concat_tables(live) if live else None
+        return reduce_fn(tbl, *a)
+
+    return ray.get(_run.remote(refs, *args))
+
+
 def grouped_counts(partials_ds, key_cols: list[str], n_col: str = "n",
                    min_total: int | None = None,
                    driver_threshold: int = 2_000_000) -> pd.DataFrame:

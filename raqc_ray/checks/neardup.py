@@ -284,27 +284,36 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
     empty_pairs = _scan_group(pd.DataFrame({"image_id": [], "phash": [],
                                             "partition_id": [], "key": []}),
                               spec.max_hamming)
-    # Driver fast path: collision rows are collision-sized (pigeonhole on
+    # Single-task scan: collision rows are collision-sized (pigeonhole on
     # 2^21+ buckets keeps them a small fraction of the table, salting caps
-    # any one group) — a single vectorized multi-group numpy scan beats a
-    # sort shuffle + distributed scan by ~10× at these sizes.  Above the
-    # threshold, the sorted-block group scan (ops/groupscan.py) runs
-    # distributed.
-    try:
-        kdf = keyed.to_pandas(limit=20_000_000)
-    except ValueError:
-        kdf = None
-    if kdf is not None:
-        if len(kdf) == 0:
-            all_pairs = empty_pairs
-        else:
-            all_pairs = _scan_groups_arrays(
-                kdf["key"].to_numpy(np.int64),
-                kdf["phash"].to_numpy().astype(np.int64).view(np.uint64),
-                kdf["image_id"].to_numpy(),
-                kdf["partition_id"].to_numpy(np.int64),
-                spec.max_hamming,
+    # any one group) — one vectorized multi-group numpy scan in a Ray task
+    # beats a sort shuffle + distributed scan by ~10× at these sizes, and
+    # keeps the driver GIL free for the concurrent epoch.  For inputs too
+    # big for one task, set ``spec.window``... the distributed sorted-block
+    # scan (ops/groupscan.py) remains available via RAQC_DISTRIBUTED_SCAN.
+    import os as _os
+
+    if not _os.environ.get("RAQC_DISTRIBUTED_SCAN"):
+        from ._util import collect_and_reduce
+
+        max_h = spec.max_hamming
+
+        def _scan_reduce(tbl):
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            return _scan_groups_arrays(
+                tbl["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl["phash"].to_numpy(zero_copy_only=False).astype(
+                    np.int64).view(np.uint64),
+                np.asarray(tbl["image_id"].to_pylist(), dtype=object),
+                tbl["partition_id"].to_numpy(zero_copy_only=False).astype(
+                    np.int64),
+                max_h,
             )
+
+        all_pairs = collect_and_reduce(keyed, _scan_reduce)
+        if all_pairs is None:
+            all_pairs = empty_pairs
     else:
         from ..ops.groupscan import scan_sorted_groups
 

@@ -132,33 +132,39 @@ def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
             lambda b: _int_partials(b, spec, pid_fn, 1), batch_format="pyarrow"
         )
     )
-    try:
-        pdf = partials.to_pandas(limit=driver_threshold)
-    except ValueError:
-        pdf = None
+    import os as _os
 
-    if pdf is None:
+    if _os.environ.get("RAQC_DISTRIBUTED_SCAN"):
         return _distributed_fallback(images_ds, captions_ds, spec, epoch, pid_fn)
 
-    if len(pdf) == 0 or "khash" not in pdf.columns:
-        return rd.from_pandas(empty_violations_df())
+    from ._util import collect_and_reduce
 
-    kh = pdf["khash"].to_numpy()
-    order = np.argsort(kh, kind="stable")
-    ks = kh[order]
-    bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
-    starts = np.concatenate([[0], bounds])
-    n_img = np.add.reduceat(pdf["n_img"].to_numpy()[order], starts)
-    n_cap = np.add.reduceat(pdf["n_cap"].to_numpy()[order], starts)
-    h_img = np.add.reduceat(pdf["h_img"].to_numpy()[order], starts)
-    h_cap = np.add.reduceat(pdf["h_cap"].to_numpy()[order], starts)
-    flagged = (n_img == 0) | (n_cap == 0) | (
-        (n_img == 1) & (n_cap == 1) & (h_img != h_cap)
-    )
-    cand = ks[starts][flagged]
-    if cand.size == 0:
+    def _segment_reduce(tbl):
+        """int64 segment reduce → candidate khashes (runs in a Ray task,
+        off the driver GIL)."""
+        if tbl is None:
+            return None
+        kh = tbl["khash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(kh, kind="stable")
+        ks = kh[order]
+        bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        cols = {
+            c: np.add.reduceat(tbl[c].to_numpy(zero_copy_only=False)[order],
+                               starts)
+            for c in ("n_img", "n_cap", "h_img", "h_cap")
+        }
+        flagged = (cols["n_img"] == 0) | (cols["n_cap"] == 0) | (
+            (cols["n_img"] == 1) & (cols["n_cap"] == 1)
+            & (cols["h_img"] != cols["h_cap"])
+        )
+        cand = ks[starts][flagged]
+        return np.sort(cand) if cand.size else None
+
+    cand = collect_and_reduce(partials, _segment_reduce)
+    if cand is None:
         return rd.from_pandas(empty_violations_df())
-    cand_ref = ray.put(np.sort(cand))
+    cand_ref = ray.put(cand)
 
     cdf = images_ds.map_batches(
         lambda b: _candidate_rows(b, spec, pid_fn, 0, cand_ref),

@@ -79,12 +79,10 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
     partials = ds.map_batches(
         lambda b: _hash_partials(b, column, pid_fn), batch_format="pyarrow"
     )
-    try:
-        pdf = partials.to_pandas(limit=driver_threshold)
-    except ValueError:
-        pdf = None
+    import os as _os
 
-    if pdf is None:
+    use_distributed = bool(_os.environ.get("RAQC_DISTRIBUTED_SCAN"))
+    if use_distributed:
         # distributed fallback: string-keyed aggregate pipeline
         sp = ds.map_batches(
             lambda b: _string_partials(b, column, pid_fn), batch_format="pyarrow"
@@ -104,16 +102,24 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
                                   ["key", "partition_id"])
         return _emit(dup_rows, dup_lut, epoch, severity)
 
-    if len(pdf) == 0 or "khash" not in pdf.columns:
+    from ._util import collect_and_reduce
+
+    def _dup_hashes(tbl):
+        """khash totals → sorted candidate duplicate hashes (in a Ray
+        task, off the driver GIL)."""
+        if tbl is None:
+            return None
+        kh = tbl["khash"].to_numpy(zero_copy_only=False)
+        nn = tbl["n"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(kh, return_inverse=True)
+        totals = np.bincount(inv, weights=nn).astype(np.int64)
+        cand = uniq[totals > 1]
+        return np.sort(cand) if cand.size else None
+
+    cand = collect_and_reduce(partials, _dup_hashes)
+    if cand is None:
         return rd.from_pandas(empty_violations_df())
-    kh = pdf["khash"].to_numpy()
-    nn = pdf["n"].to_numpy()
-    uniq, inv = np.unique(kh, return_inverse=True)
-    totals = np.bincount(inv, weights=nn).astype(np.int64)
-    cand = uniq[totals > 1]
-    if cand.size == 0:
-        return rd.from_pandas(empty_violations_df())
-    cand_ref = ray.put(np.sort(cand))
+    cand_ref = ray.put(cand)
 
     kp = ds.map_batches(
         lambda b: _key_partials(b, column, pid_fn, cand_ref),

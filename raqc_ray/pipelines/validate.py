@@ -139,6 +139,31 @@ def run_passa(paths, cfg: RunConfig):
     return passa.repartition(shuffle_width()).materialize()
 
 
+def _merge_partials_table(tbl) -> dict:
+    """Reduce the kind="s" partial rows to {(pid, check): {payload, n_rows}}.
+    Runs inside a Ray task (checks/_util.collect_and_reduce)."""
+    from collections import defaultdict
+
+    merged: dict = {}
+    if tbl is None:
+        return merged
+    groups: dict = defaultdict(list)
+    n_rows_acc: dict = defaultdict(int)
+    for pid, check, payload, n_rows in zip(
+        tbl["partition_id"].to_pylist(), tbl["check"].to_pylist(),
+        tbl["payload"].to_pylist(), tbl["n_rows"].to_pylist(),
+    ):
+        k = (int(pid), check)
+        groups[k].append(bytes(payload))
+        n_rows_acc[k] += int(n_rows)
+    for (pid, check), payloads in groups.items():
+        merged[(pid, check)] = {
+            "payload": merge_payloads(check, payloads),
+            "n_rows": n_rows_acc[(pid, check)],
+        }
+    return merged
+
+
 def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
     """Run all configured checks on one epoch. ``paths`` = parquet file(s)
     or directory (one file per partition).  ``passa`` may be supplied by a
@@ -205,48 +230,13 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
                 lambda df: premerge_block(df, cfg),
                 batch_format="pandas", batch_size=None,
             )
-        # single blocking execution: collect directly (partials are
-        # (#blocks × #checks)-sized); distributed merge above the limit
-        try:
-            partials_df = partials.to_pandas(limit=200_000)
-        except ValueError:
-            partials_df = None
-            partials = partials.materialize()
+        # merge the partials in ONE remote task (driver GIL stays free so
+        # the two epochs' pipelines actually overlap)
+        from ..checks._util import collect_and_reduce
+
+        merged = collect_and_reduce(partials, _merge_partials_table)
         uniq_stream = uniq_f.result() if uniq_f is not None else None
         nd_stream = nd_f.result() if nd_f is not None else None
-
-    merged: dict = {}
-    if partials_df is not None and "check" not in partials_df.columns:
-        # empty dataset → pandas drops the schema; normalize to typed empty
-        partials_df = partials_df.reindex(
-            columns=["partition_id", "check", "payload", "n_rows"]
-        )
-    if partials_df is not None:
-        from collections import defaultdict
-
-        groups: dict = defaultdict(list)
-        n_rows_acc: dict = defaultdict(int)
-        for pid, check, payload, n_rows in zip(
-            partials_df["partition_id"], partials_df["check"],
-            partials_df["payload"], partials_df["n_rows"],
-        ):
-            k = (int(pid), check)
-            groups[k].append(bytes(payload))
-            n_rows_acc[k] += int(n_rows)
-        for (pid, check), payloads in groups.items():
-            merged[(pid, check)] = {
-                "payload": merge_payloads(check, payloads),
-                "n_rows": n_rows_acc[(pid, check)],
-            }
-    else:
-        merged_ds = partials.groupby(["partition_id", "epoch", "check"]).map_groups(
-            lambda g: merge_partial_group(g, cfg), batch_format="pandas"
-        )
-        for row in merged_ds.take_all():
-            merged[(int(row["partition_id"]), row["check"])] = {
-                "payload": bytes(row["payload"]),
-                "n_rows": int(row["n_rows"]),
-            }
 
     # ---- narrow shuffle checks (columns pruned at the read) -----------
     if uniq_stream is not None:
