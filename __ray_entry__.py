@@ -576,8 +576,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_nullity_events": """
             SELECT event_type, COUNT(*) AS n,
-                   COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS n_null_props,
-                   COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS n_null_value
+                   CAST(COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_props,
+                   CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_value
             FROM events GROUP BY event_type
         """,
         "q4_uniqueness_events_user": """
@@ -585,7 +585,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id HAVING COUNT(*) > 1
         """,
         "q5_referential_orders": """
-            SELECT COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0)
+            SELECT CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
                        AS n_orphans,
                    COUNT(*) AS n_orders
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey

@@ -34,6 +34,29 @@ def cast_violations(ds):
     )
 
 
+def decide_path(partials_ds, driver_threshold: int):
+    """Materialize a partials Dataset and pick the reduction path by SIZE.
+
+    Returns ``(materialized_ds, n_rows, distributed)``.  The single-task
+    reduce (``collect_and_reduce``) concatenates every partial block into
+    one Ray task — fine while partials are small, an OOM at 10^12-row
+    scale — so above ``driver_threshold`` materialized partial rows the
+    caller must branch to its distributed groupby-aggregate path.
+    ``count()`` on a materialized Dataset is metadata-only (no extra pass).
+
+    ``RAQC_DISTRIBUTED_SCAN`` stays as an override: any truthy value
+    forces the distributed path, ``0``/``false`` forces single-task.
+    """
+    import os as _os
+
+    mat = partials_ds.materialize()
+    n = mat.count()
+    env = _os.environ.get("RAQC_DISTRIBUTED_SCAN")
+    if env:
+        return mat, n, env.lower() not in ("0", "false")
+    return mat, n, n > driver_threshold
+
+
 def collect_and_reduce(ds, reduce_fn, *args):
     """Collect a Dataset's blocks and run ``reduce_fn(table, *args)`` in a
     SINGLE Ray task instead of on the driver.
@@ -66,16 +89,16 @@ def grouped_counts(partials_ds, key_cols: list[str], n_col: str = "n",
                    driver_threshold: int = 2_000_000) -> pd.DataFrame:
     """Sum per-batch partial counts per key → pandas DataFrame.
 
-    Below ``driver_threshold`` partial rows, a driver-side pandas groupby
-    beats a distributed aggregate by an order of magnitude (a Ray
+    Below ``driver_threshold`` partial rows, a single-task pandas/numpy
+    groupby beats a distributed aggregate by an order of magnitude (a Ray
     groupby's fixed per-block scheduling dominates at these sizes); above
     it, a width-bounded distributed aggregate runs and only the (assumed
-    small) filtered result is collected.
+    small) filtered result is collected.  The branch is taken
+    automatically from the materialized partial row count
+    (``decide_path``); ``RAQC_DISTRIBUTED_SCAN`` overrides.
     """
-    import os as _os
-
-    small = not _os.environ.get("RAQC_DISTRIBUTED_SCAN")
-    if small:
+    partials_ds, _n, distributed = decide_path(partials_ds, driver_threshold)
+    if not distributed:
         kc, nc, mt = list(key_cols), n_col, min_total
 
         def _reduce(tbl):

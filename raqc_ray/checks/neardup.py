@@ -211,7 +211,8 @@ def _pairs_to_violations(batch: pa.Table, epoch: str, severity: str) -> pa.Table
     return pa.table({nm: pa.array(list(c)) for nm, c in zip(names, cols)})
 
 
-def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
+def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn,
+                       driver_threshold: int = 20_000_000):
     """ds projected to [image_id, phash (+path)]. Returns a violations Dataset."""
     bands, salts = _bands_for(spec.max_hamming)
     # Pre-aggregated bucket sizes straight from [phash] (no id strings) →
@@ -284,16 +285,18 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn):
     empty_pairs = _scan_group(pd.DataFrame({"image_id": [], "phash": [],
                                             "partition_id": [], "key": []}),
                               spec.max_hamming)
-    # Single-task scan: collision rows are collision-sized (pigeonhole on
-    # 2^21+ buckets keeps them a small fraction of the table, salting caps
-    # any one group) — one vectorized multi-group numpy scan in a Ray task
-    # beats a sort shuffle + distributed scan by ~10× at these sizes, and
-    # keeps the driver GIL free for the concurrent epoch.  For inputs too
-    # big for one task, set ``spec.window``... the distributed sorted-block
-    # scan (ops/groupscan.py) remains available via RAQC_DISTRIBUTED_SCAN.
-    import os as _os
+    # Single-task scan below ``driver_threshold`` collision rows:
+    # collision rows are collision-sized (pigeonhole on 2^21+ buckets
+    # keeps them a small fraction of the table, salting caps any one
+    # group) — one vectorized multi-group numpy scan in a Ray task beats
+    # a sort shuffle + distributed scan by ~10× at these sizes, and keeps
+    # the driver GIL free for the concurrent epoch.  Above the threshold
+    # (automatic, by materialized row count) the distributed sorted-block
+    # scan (ops/groupscan.py) runs; RAQC_DISTRIBUTED_SCAN overrides.
+    from ._util import decide_path
 
-    if not _os.environ.get("RAQC_DISTRIBUTED_SCAN"):
+    keyed, _n, distributed = decide_path(keyed, driver_threshold)
+    if not distributed:
         from ._util import collect_and_reduce
 
         max_h = spec.max_hamming

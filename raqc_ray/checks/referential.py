@@ -16,8 +16,12 @@ entirely below the driver threshold:
    EXACTLY on candidate-sized data.  Hash collisions only add candidate
    rows; a missed violation needs a full 64-bit collision (~2⁻⁶⁴·n).
 
-Above ``driver_threshold`` partial rows, a distributed groupby-aggregate
-fallback runs (the previous implementation).  Multi-occurrence keys are
+Above ``driver_threshold`` materialized partial rows (automatic —
+``decide_path``), step 1's segment reduce switches from one Ray task to a
+distributed ``groupby(khash)`` aggregate whose flagged *result* (candidate
+khashes, violation-sized) is the only thing collected; step 2 — the exact
+byte-level candidate verify — is identical on both paths, so violations
+are byte-identical regardless of path.  Multi-occurrence keys are
 UniquenessCheck's finding and are skipped (FIXTURES.md §3 disjointness).
 RAQC analog: grid alignment is the reference's implicit referential
 integrity (``[R] raqc/multi_array.py :: clip_extent_overlap (rec.)``).
@@ -29,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Max, Sum
+from ray.data.aggregate import Sum
 
 from ..config import ReferentialCheck
 from ..sketches.hll import hash64
@@ -132,37 +136,60 @@ def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
             lambda b: _int_partials(b, spec, pid_fn, 1), batch_format="pyarrow"
         )
     )
-    import os as _os
+    from ._util import collect_and_reduce, decide_path
 
-    if _os.environ.get("RAQC_DISTRIBUTED_SCAN"):
-        return _distributed_fallback(images_ds, captions_ds, spec, epoch, pid_fn)
+    partials, _n, distributed = decide_path(partials, driver_threshold)
+    if distributed:
+        # Wide candidate reduction over int64 partials only (strings and
+        # captions never shuffle); the collected result is the candidate
+        # khash set — orphans / missing / 1:1 hash-mismatch, i.e.
+        # violation-sized by assumption.
+        from raqc_ray.pipelines.validate import shuffle_width
 
-    from ._util import collect_and_reduce
-
-    def _segment_reduce(tbl):
-        """int64 segment reduce → candidate khashes (runs in a Ray task,
-        off the driver GIL)."""
-        if tbl is None:
-            return None
-        kh = tbl["khash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(kh, kind="stable")
-        ks = kh[order]
-        bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
-        starts = np.concatenate([[0], bounds])
-        cols = {
-            c: np.add.reduceat(tbl[c].to_numpy(zero_copy_only=False)[order],
-                               starts)
-            for c in ("n_img", "n_cap", "h_img", "h_cap")
-        }
-        flagged = (cols["n_img"] == 0) | (cols["n_cap"] == 0) | (
-            (cols["n_img"] == 1) & (cols["n_cap"] == 1)
-            & (cols["h_img"] != cols["h_cap"])
+        agg = (
+            partials.repartition(shuffle_width())
+            .groupby("khash")
+            .aggregate(
+                Sum("n_img", alias_name="n_img"),
+                Sum("n_cap", alias_name="n_cap"),
+                Sum("h_img", alias_name="h_img"),
+                Sum("h_cap", alias_name="h_cap"),
+            )
+            .filter(
+                expr="n_img == 0 or n_cap == 0 or "
+                     "(n_img == 1 and n_cap == 1 and h_img != h_cap)"
+            )
+            .select_columns(["khash"])
+            .to_pandas()
         )
-        cand = ks[starts][flagged]
-        return np.sort(cand) if cand.size else None
+        if len(agg) == 0 or "khash" not in agg.columns:
+            return rd.from_pandas(empty_violations_df())
+        cand = np.sort(agg["khash"].to_numpy(dtype=np.int64))
+    else:
+        def _segment_reduce(tbl):
+            """int64 segment reduce → candidate khashes (runs in a Ray
+            task, off the driver GIL)."""
+            if tbl is None:
+                return None
+            kh = tbl["khash"].to_numpy(zero_copy_only=False)
+            order = np.argsort(kh, kind="stable")
+            ks = kh[order]
+            bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+            starts = np.concatenate([[0], bounds])
+            cols = {
+                c: np.add.reduceat(tbl[c].to_numpy(zero_copy_only=False)[order],
+                                   starts)
+                for c in ("n_img", "n_cap", "h_img", "h_cap")
+            }
+            flagged = (cols["n_img"] == 0) | (cols["n_cap"] == 0) | (
+                (cols["n_img"] == 1) & (cols["n_cap"] == 1)
+                & (cols["h_img"] != cols["h_cap"])
+            )
+            cand = ks[starts][flagged]
+            return np.sort(cand) if cand.size else None
 
-    cand = collect_and_reduce(partials, _segment_reduce)
-    if cand is None:
+        cand = collect_and_reduce(partials, _segment_reduce)
+    if cand is None or len(cand) == 0:
         return rd.from_pandas(empty_violations_df())
     cand_ref = ray.put(cand)
 
@@ -179,90 +206,3 @@ def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
         return rd.from_pandas(empty_violations_df())
     out = _verify_candidates(cdf, epoch, spec.severity)
     return rd.from_pandas(out.reset_index(drop=True))
-
-
-# ---------------------------------------------------------------- fallback
-
-
-def _tag(batch: pa.Table, spec: ReferentialCheck, pid_fn, side: int) -> pa.Table:
-    n = batch.num_rows
-    keys = batch[spec.key].cast(pa.string())
-    caps = batch[spec.compare].cast(pa.string())
-    h = (hash64(caps.to_pylist()) >> np.uint64(33)).astype(np.int64)
-    pids = pid_fn(batch) if side == 0 else np.full(n, -1, dtype=np.int64)
-    one = np.ones(n, dtype=np.int64)
-    zero = np.zeros(n, dtype=np.int64)
-    return pa.table(
-        {
-            "image_id": keys,
-            "partition_id": pa.array(pids, pa.int64()),
-            "n_img": pa.array(one if side == 0 else zero, pa.int64()),
-            "n_cap": pa.array(zero if side == 0 else one, pa.int64()),
-            "h_img": pa.array(h if side == 0 else zero, pa.int64()),
-            "h_cap": pa.array(zero if side == 0 else h, pa.int64()),
-        }
-    )
-
-
-def _emit(batch: pa.Table, epoch: str, severity: str) -> pa.Table:
-    df = batch.to_pandas()
-    orphan = df["n_img"] == 0
-    missing = (df["n_cap"] == 0) & (df["n_img"] >= 1)
-    mismatch = (
-        (df["n_img"] == 1) & (df["n_cap"] == 1) & (df["h_img"] != df["h_cap"])
-    )
-    frames = []
-    for mask, column, detail in (
-        (orphan, "image_id", "orphan caption row: no image row for key"),
-        (missing, "caption", "image row has no caption row"),
-        (mismatch, "caption",
-         "caption differs between images and captions tables"),
-    ):
-        sel = df[mask]
-        if len(sel) == 0:
-            continue
-        frames.append(
-            pd.DataFrame(
-                {
-                    "partition_id": sel["pid"].astype("int64"),
-                    "epoch": epoch,
-                    "check": "referential",
-                    "image_id": sel["image_id"],
-                    "column": column,
-                    "detail": detail,
-                    "severity": severity,
-                }
-            )
-        )
-    if not frames:
-        return pa.Table.from_pandas(empty_violations_df(), preserve_index=False)
-    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                preserve_index=False)
-
-
-def _distributed_fallback(images_ds, captions_ds, spec, epoch, pid_fn):
-    """Wide path: one groupby-aggregate over tagged partials (the caption
-    equality here stays hash-approximate — the driver path verifies
-    byte-exactly, but collecting every caption at this scale is the thing
-    we are avoiding)."""
-    tagged = images_ds.map_batches(
-        lambda b: _tag(b, spec, pid_fn, 0), batch_format="pyarrow"
-    ).union(
-        captions_ds.map_batches(
-            lambda b: _tag(b, spec, pid_fn, 1), batch_format="pyarrow"
-        )
-    )
-    totals = tagged.groupby("image_id").aggregate(
-        Sum("n_img", alias_name="n_img"),
-        Sum("n_cap", alias_name="n_cap"),
-        Sum("h_img", alias_name="h_img"),
-        Sum("h_cap", alias_name="h_cap"),
-        Max("partition_id", alias_name="pid"),
-    )
-    flagged = totals.filter(
-        expr="n_img == 0 or n_cap == 0 or "
-             "(n_img == 1 and n_cap == 1 and h_img != h_cap)"
-    )
-    return flagged.map_batches(
-        lambda b: _emit(b, epoch, spec.severity), batch_format="pyarrow"
-    )

@@ -13,8 +13,12 @@ vectorized, driver work O(distinct keys) in *ints*, never strings:
    (key, partition, n) for EXACT verification on the driver — hash
    collisions only add candidate rows, never false violations.
 
-Above ``driver_threshold`` partial rows the check falls back to a fully
-distributed aggregate pipeline (grouped_counts' wide path).
+Above ``driver_threshold`` materialized partial rows (automatic —
+``decide_path``), step 1's candidate reduction switches from one Ray task
+to a distributed ``groupby(khash).sum(n)`` + ``filter(n > 1)`` whose
+*result* (candidate hashes = actual duplicates, violation-sized) is the
+only thing collected; step 2 is identical on both paths, so violations
+are byte-identical regardless of path.
 
 One violation row per (key, partition) occurrence pair keeps verdicts
 partition-local.
@@ -28,7 +32,7 @@ import pyarrow as pa
 import ray
 
 from ..sketches.hll import hash64
-from ._util import empty_violations_df, grouped_counts
+from ._util import empty_violations_df
 
 
 def _hash_partials(batch: pa.Table, column: str, pid_fn) -> pa.Table:
@@ -79,45 +83,43 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
     partials = ds.map_batches(
         lambda b: _hash_partials(b, column, pid_fn), batch_format="pyarrow"
     )
-    import os as _os
+    from ._util import collect_and_reduce, decide_path
 
-    use_distributed = bool(_os.environ.get("RAQC_DISTRIBUTED_SCAN"))
-    if use_distributed:
-        # distributed fallback: string-keyed aggregate pipeline
-        sp = ds.map_batches(
-            lambda b: _string_partials(b, column, pid_fn), batch_format="pyarrow"
-        ).materialize()
-        totals = grouped_counts(sp, ["key"], min_total=2)
-        if len(totals) == 0:
+    partials, _n, distributed = decide_path(partials, driver_threshold)
+    if distributed:
+        # Wide candidate reduction: groupby int64 khash (never strings),
+        # filter to totals > 1 — the collected result is the actual
+        # duplicate set, violation-sized by assumption.
+        from ray.data.aggregate import Sum
+
+        from raqc_ray.pipelines.validate import shuffle_width
+
+        agg = (
+            partials.repartition(shuffle_width())
+            .groupby("khash")
+            .aggregate(Sum("n", alias_name="n"))
+            .filter(expr="n > 1")
+            .select_columns(["khash"])
+            .to_pandas()
+        )
+        if len(agg) == 0 or "khash" not in agg.columns:
             return rd.from_pandas(empty_violations_df())
-        dup_lut = dict(zip(totals["key"], totals["n"].astype(int)))
+        cand = np.sort(agg["khash"].to_numpy(dtype=np.int64))
+    else:
+        def _dup_hashes(tbl):
+            """khash totals → sorted candidate duplicate hashes (in a Ray
+            task, off the driver GIL)."""
+            if tbl is None:
+                return None
+            kh = tbl["khash"].to_numpy(zero_copy_only=False)
+            nn = tbl["n"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(kh, return_inverse=True)
+            totals = np.bincount(inv, weights=nn).astype(np.int64)
+            cand = uniq[totals > 1]
+            return np.sort(cand) if cand.size else None
 
-        def keep(batch: pa.Table) -> pa.Table:
-            keys = batch["key"].to_pylist()
-            m = np.fromiter((k in dup_lut for k in keys), dtype=bool,
-                            count=len(keys))
-            return batch.filter(pa.array(m))
-
-        dup_rows = grouped_counts(sp.map_batches(keep, batch_format="pyarrow"),
-                                  ["key", "partition_id"])
-        return _emit(dup_rows, dup_lut, epoch, severity)
-
-    from ._util import collect_and_reduce
-
-    def _dup_hashes(tbl):
-        """khash totals → sorted candidate duplicate hashes (in a Ray
-        task, off the driver GIL)."""
-        if tbl is None:
-            return None
-        kh = tbl["khash"].to_numpy(zero_copy_only=False)
-        nn = tbl["n"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(kh, return_inverse=True)
-        totals = np.bincount(inv, weights=nn).astype(np.int64)
-        cand = uniq[totals > 1]
-        return np.sort(cand) if cand.size else None
-
-    cand = collect_and_reduce(partials, _dup_hashes)
-    if cand is None:
+        cand = collect_and_reduce(partials, _dup_hashes)
+    if cand is None or len(cand) == 0:
         return rd.from_pandas(empty_violations_df())
     cand_ref = ray.put(cand)
 
@@ -131,25 +133,11 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
     true_totals = kp.groupby("key", sort=False)["n"].sum()
     dup_lut = {k: int(v) for k, v in true_totals[true_totals > 1].items()}
     dup_rows = kp[kp["key"].isin(dup_lut)]
-    return _emit(dup_rows, dup_lut, epoch, severity)
+    return _emit(dup_rows, dup_lut, epoch, severity, column)
 
 
-def _string_partials(batch: pa.Table, column: str, pid_fn) -> pa.Table:
-    pids = pid_fn(batch)
-    keys = batch[column].cast(pa.string())
-    df = pd.DataFrame({"key": keys.to_pandas(), "partition_id": pids})
-    agg = df.groupby(["key", "partition_id"], sort=False).size().reset_index(
-        name="n")
-    return pa.table(
-        {
-            "key": pa.array(agg["key"], pa.string()),
-            "partition_id": pa.array(agg["partition_id"], pa.int64()),
-            "n": pa.array(agg["n"], pa.int64()),
-        }
-    )
-
-
-def _emit(dup_rows: pd.DataFrame, dup_lut: dict, epoch: str, severity: str):
+def _emit(dup_rows: pd.DataFrame, dup_lut: dict, epoch: str, severity: str,
+          column: str):
     import ray.data as rd
 
     if len(dup_rows) == 0:
@@ -160,7 +148,7 @@ def _emit(dup_rows: pd.DataFrame, dup_lut: dict, epoch: str, severity: str):
             "epoch": epoch,
             "check": "uniqueness",
             "image_id": dup_rows["key"],
-            "column": "image_id",
+            "column": column,
             "detail": [f"key occurs {dup_lut[k]} times" for k in dup_rows["key"]],
             "severity": severity,
         }

@@ -20,22 +20,41 @@ import pickle
 
 import numpy as np
 
+# Eager import + warm-up at module import time. polars populates some module
+# attributes lazily on first use; when several Ray UDF threads hit
+# ``Series.hash`` concurrently the lazy loader can race and raise
+# AttributeError ('polars._reexport' has no attribute ...) — NOT ImportError —
+# aborting the run. Importing and exercising the full hash path here (once per
+# process, before any Dataset executes) serializes that first use.
+try:  # pragma: no branch - polars is installed in the sandbox
+    import polars as _pl
+
+    _s = _pl.Series([0])
+    _ = _s.dtype == _pl.Null  # touch dtype/reexport machinery
+    _ = _s.hash(seed=0).to_numpy()
+    _ = _pl.Series([None]).dtype == _pl.Null
+except ImportError:  # pragma: no cover
+    _pl = None
+
 
 def hash64(values) -> np.ndarray:
-    """Vectorized 64-bit hash of a sequence of strings/ints → uint64 array."""
-    try:
-        import polars as pl
+    """Vectorized 64-bit hash of a sequence of strings/ints → uint64 array.
 
-        s = pl.Series(values)
-        if s.dtype == pl.Null:
+    Uses polars ``Series.hash`` process-wide (stable within one interpreter /
+    polars version on every Ray worker). The blake2b fallback exists only for
+    environments without polars at all — never mixed within a run, because
+    ``_pl`` is resolved once at import time.
+    """
+    if _pl is not None:
+        s = _pl.Series(values)
+        if s.dtype == _pl.Null:
             return np.zeros(len(s), dtype=np.uint64)
         return s.hash(seed=0).to_numpy().astype(np.uint64)
-    except ImportError:  # pragma: no cover - polars is installed in sandbox
-        out = np.empty(len(values), dtype=np.uint64)
-        for i, v in enumerate(values):
-            d = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
-            out[i] = int.from_bytes(d, "little")
-        return out
+    out = np.empty(len(values), dtype=np.uint64)  # pragma: no cover
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little")
+    return out
 
 
 class HyperLogLog:
