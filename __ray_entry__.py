@@ -525,6 +525,54 @@ def q25_validate_documents(sf_dir: str):
     return _validate_documents(sf_dir)
 
 
+def q27_embdup_exact(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.35 (audit-scale oracle op; verifies the
+    LSH path's machinery on the same column — ops/dedup.exact_cosine_pairs)."""
+    from raqc_ray.ops.dedup import exact_cosine_pairs
+
+    df = exact_cosine_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.35
+    ).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    df["cosine"] = df["cosine"].round(4)
+    return df
+
+
+def q28_hashjoin_revenue(sf_dir: str):
+    """Same rollup as q6 but through the general DISTRIBUTED hash join
+    (ops/join.hash_join — no broadcast LUT), for the side-table-too-big
+    case: orders ⋈ customer hash-shuffle joined, nation broadcast-mapped."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from raqc_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame({"n_name": df["c_nationkey"].map(m),
+                             "o_totalprice": df["o_totalprice"]})
+
+    out = (
+        joined.map_batches(tag, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -553,6 +601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_rolling_fp_documents": q24_rolling_fp_documents,
         "q25_validate_documents": q25_validate_documents,
         "q26_ngram_jaccard_documents": q26_ngram_jaccard_documents,
+        "q27_embdup_exact": q27_embdup_exact,
+        "q28_hashjoin_revenue": q28_hashjoin_revenue,
     }
 
 
@@ -591,6 +641,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "q6_revenue_by_nation": """
+            SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "q27_embdup_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "q28_hashjoin_revenue": """
             SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue,
                    COUNT(*) AS n_orders
             FROM orders o

@@ -173,6 +173,11 @@ class BandQuantileCheck(CheckSpec):
     outlier_percentiles: tuple[float, float] = (0.05, 0.95)
     max_outlier_fraction: float | None = None
     delta: int = 100
+    # F4 (SURVEY.md §2.9, RAQC ``flag_tree_*`` analog): optional categorical
+    # conditioning column (e.g. ``fmt``) — when set, thresholds are computed
+    # per (category, band) so an outlier is judged against ITS category's
+    # distribution (outlier ∧ side-attribute predicate).
+    condition_on: str = ""
 
     @property
     def name(self) -> str:

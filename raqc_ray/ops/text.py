@@ -115,30 +115,51 @@ class LangId:
 def rolling_fingerprint(df: pd.DataFrame, text_col: str = "text", k: int = 16
                         ) -> pd.DataFrame:
     """Rolling-hash document fingerprint: min of Karp-Rabin hashes over
-    k-byte windows (a winnowing-lite signature; robust to small edits)."""
-    # Mersenne-prime modulus kept below 2^31 so vectorized uint64 products
-    # (< 2^62) never overflow.
+    k-byte windows (a winnowing-lite signature; robust to small edits).
+
+    Fully vectorized across the BATCH: all docs' UTF-8 bytes concatenate
+    into one buffer; window hashes are k shifted multiply-adds over it
+    (window [i, i+k) = Σ_j byte[i+j]·B^{k-1-j} mod M — algebraically the
+    old prefix-hash form, no per-byte Python); per-doc minima come from
+    one ``np.minimum.reduceat``.  Windows spanning a doc boundary are
+    masked to the modulus sentinel (> any hash) before the reduce.
+    """
+    # Mersenne-prime modulus kept below 2^31: byte (2^8) × weight (2^31)
+    # products are < 2^39, and k=16 of them sum below 2^43 — no overflow.
     B, M = np.uint64(257), np.uint64((1 << 31) - 1)
-    out_ids, out_fp = [], []
-    for doc_id, s in zip(df["doc_id"], df[text_col].fillna("")):
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) < k:
-            h = np.uint64(0)
-            for x in b:
-                h = (h * B + x) % M
-            out_ids.append(doc_id)
-            out_fp.append(int(h))
-            continue
-        # rolling windows via cumulative powers (vectorized)
-        pw = np.ones(len(b), dtype=np.uint64)
-        for i in range(1, len(b)):
-            pw[i] = (pw[i - 1] * B) % M
-        pref = np.zeros(len(b) + 1, dtype=np.uint64)
-        for i, x in enumerate(b):
-            pref[i + 1] = (pref[i] * B + x) % M
-        # hash of window [i, i+k) = pref[i+k] - pref[i]*B^k
-        bk = pw[k - 1] * B % M
-        win = (pref[k:] + M - (pref[:-k] * bk) % M) % M
-        out_ids.append(doc_id)
-        out_fp.append(int(win.min()))
-    return pd.DataFrame({"doc_id": out_ids, "fp_rolling": np.array(out_fp, dtype="uint64").astype("int64")})
+    enc = [s.encode("utf-8") for s in df[text_col].fillna("")]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+    fp = np.zeros(len(enc), dtype=np.uint64)
+
+    # weights B^{k-1} … B^0 mod M (tiny: k entries)
+    w = np.empty(k, dtype=np.uint64)
+    w[-1] = 1
+    for j in range(k - 2, -1, -1):
+        w[j] = (w[j + 1] * B) % M
+
+    long_idx = np.flatnonzero(lens >= k)
+    if long_idx.size:
+        buf = np.frombuffer(b"".join(enc[i] for i in long_idx), dtype=np.uint8
+                            ).astype(np.uint64)
+        llens = lens[long_idx]
+        offs = np.concatenate([[0], np.cumsum(llens)[:-1]])
+        nwin = len(buf) - k + 1
+        h = np.zeros(nwin, dtype=np.uint64)
+        for j in range(k):
+            h += buf[j : nwin + j] * w[j]
+        h %= M
+        # mask the k-1 boundary-spanning window starts at each doc's tail
+        ends = offs + llens
+        bad = (np.repeat(ends - (k - 1), k - 1)
+               + np.tile(np.arange(k - 1, dtype=np.int64), len(ends)))
+        bad = bad[(bad >= 0) & (bad < nwin)]
+        h[bad] = M  # sentinel: strictly greater than any hash (< M)
+        fp[long_idx] = np.minimum.reduceat(h, np.minimum(offs, nwin - 1))
+
+    # short docs (< k bytes): Horner over all bytes — h = Σ b_j·B^{n-1-j}
+    # mod M, i.e. the weight tail w[k-n:] (w[k-1-j] = B^j)
+    for i in np.flatnonzero(lens < k):
+        b = np.frombuffer(enc[i], dtype=np.uint8).astype(np.uint64)
+        fp[i] = (b * w[k - len(b):]).sum() % M if len(b) else np.uint64(0)
+    return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                         "fp_rolling": fp.astype("int64")})

@@ -30,6 +30,7 @@ from __future__ import annotations
 import pickle
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -275,13 +276,29 @@ class ValidatorStage:
             band_ids = np.where(
                 np.isnan(bands_f), -1, np.floor(bands_f / bq.band_width)
             ).astype(np.int64)
+            # F4: conditioned band key = (category, band) — thresholds are
+            # then per-category downstream (fmt-conditioned outliers)
+            if bq.condition_on and bq.condition_on in batch.column_names:
+                cat_codes, cat_uniq = pd.factorize(
+                    np.asarray(batch[bq.condition_on].cast(pa.string())
+                               .to_pylist(), dtype=object))
+            else:
+                cat_codes, cat_uniq = None, None
             for pid in uniq_pids:
                 sel = (pids == pid) & ~np.isnan(vals) & (band_ids >= 0)
-                per_band: dict[int, bytes] = {}
-                for b in np.unique(band_ids[sel]):
-                    td = TDigest(bq.delta)
-                    td.add(vals[sel & (band_ids == b)])
-                    per_band[int(b)] = td.to_bytes()
+                per_band: dict = {}
+                if cat_codes is None:
+                    for b in np.unique(band_ids[sel]):
+                        td = TDigest(bq.delta)
+                        td.add(vals[sel & (band_ids == b)])
+                        per_band[int(b)] = td.to_bytes()
+                else:
+                    combo = cat_codes.astype(np.int64) * 1_000_000 + band_ids
+                    for cb in np.unique(combo[sel]):
+                        ci, b = divmod(int(cb), 1_000_000)
+                        td = TDigest(bq.delta)
+                        td.add(vals[sel & (combo == cb)])
+                        per_band[(str(cat_uniq[ci]), int(b))] = td.to_bytes()
                 out.partial(pid, self.epoch, "band_quantile",
                             pickle.dumps(per_band), int(sel.sum()))
 
@@ -344,10 +361,12 @@ def merge_payloads(check: str, payloads: list[bytes]) -> bytes:
     elif check.startswith("quantile:"):
         merged = TDigest.merge_all([TDigest.from_bytes(p) for p in payloads]).to_bytes()
     elif check == "band_quantile":
-        acc_b: dict[int, list[bytes]] = {}
+        # keys are ints (unconditioned) or (category, band) tuples (F4) —
+        # kept as-is so conditioned digests never merge across categories
+        acc_b: dict = {}
         for p in payloads:
             for b, d in pickle.loads(p).items():
-                acc_b.setdefault(int(b), []).append(d)
+                acc_b.setdefault(b, []).append(d)
         merged = pickle.dumps(
             {
                 b: TDigest.merge_all([TDigest.from_bytes(x) for x in lst]).to_bytes()

@@ -65,7 +65,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q11_drift_psi_events", "q12_exact_dedup_documents",
             "q13_token_count_documents", "q14_fingerprint_documents",
             "q15_quality_documents", "q20_ann_topk", "q22_topk_orders",
-            "q23_window_events_hourly"]
+            "q23_window_events_hourly", "q27_embdup_exact",
+            "q28_hashjoin_revenue"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
