@@ -28,6 +28,7 @@ import uuid
 
 import pyarrow.parquet as pq
 
+import ray as _ray
 import ray.data as rd
 
 from ..config import RunConfig
@@ -38,6 +39,34 @@ from .validate import EpochResult, run_passa, validate_epoch
 def _pid_of_path(path: str, cfg: RunConfig) -> int:
     m = re.search(cfg.partition_from[1], path)
     return int(m.group(1)) if m else 0
+
+
+@_ray.remote(num_cpus=1)
+def _write_chunk(tables, pids: list[int], passa_dir: str) -> dict[int, int]:
+    """Concat a chunk's Pass A blocks and write one atomic parquet per
+    partition.  Runs as a Ray task — chunk-bounded memory, off the driver."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.passa import PASSA_SCHEMA
+
+    tables = ray.get(list(tables))  # list arg keeps refs unresolved until here
+    blocks = [t for t in tables if t.num_rows > 0]
+    full = (
+        pa.concat_tables([t.cast(PASSA_SCHEMA) for t in blocks])
+        if blocks
+        else PASSA_SCHEMA.empty_table()
+    )
+    rows: dict[int, int] = {}
+    for pid in pids:
+        mask = pa.compute.equal(full["partition_id"], pa.scalar(pid, pa.int64()))
+        part_tbl = full.filter(mask)
+        fd, tmp = tempfile.mkstemp(dir=passa_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(part_tbl, tmp)
+        os.replace(tmp, os.path.join(passa_dir, f"part-{pid:05d}.parquet"))
+        rows[pid] = int(part_tbl.num_rows)
+    return rows
 
 
 def validate_epoch_checkpointed(
@@ -84,37 +113,33 @@ def validate_epoch_checkpointed(
         if crash_after_chunks is not None and ci >= crash_after_chunks:
             raise RuntimeError(f"simulated crash after {ci} chunks")
         passa = run_passa(chunk, cfg)
-        # persist per-partition slices atomically, then mark complete
-        import pyarrow as pa
+        # Persist per-partition slices atomically INSIDE a Ray task (the
+        # driver never touches the data path — VERDICT r1 #9); blocks
+        # reach the task zero-copy, only {pid: rows} ships back.  The
+        # checkpoint root must be cluster-visible storage (it already
+        # must be, for any other node to resume).
         import ray
 
-        from ..stages.passa import PASSA_SCHEMA
-
-        blocks = [t for t in ray.get(passa.to_arrow_refs()) if t.num_rows > 0]
-        full = (
-            pa.concat_tables([t.cast(PASSA_SCHEMA) for t in blocks])
-            if blocks
-            else PASSA_SCHEMA.empty_table()
+        chunk_pids = [_pid_of_path(p, cfg) for p in chunk]
+        rows_by_pid = ray.get(
+            _write_chunk.remote(passa.to_arrow_refs(), chunk_pids, passa_dir)
         )
-        for path in chunk:
-            pid = _pid_of_path(path, cfg)
-            mask = pa.compute.equal(full["partition_id"], pa.scalar(pid, pa.int64()))
-            part_tbl = full.filter(mask)
-            fd, tmp = tempfile.mkstemp(dir=passa_dir, suffix=".tmp")
-            os.close(fd)
-            pq.write_table(part_tbl, tmp)
-            os.replace(tmp, os.path.join(passa_dir, f"part-{pid:05d}.parquet"))
+        for pid in chunk_pids:
             manifest.mark_complete(
                 cfg.epoch, pid, cfg_hash, run_id,
-                metrics={"rows": int(part_tbl.num_rows)},
+                metrics={"rows": rows_by_pid[pid]},
             )
 
-    # all partitions checkpointed → downstream runs on the union
-    ckpt_files = sorted(
-        os.path.join(passa_dir, f)
-        for f in os.listdir(passa_dir)
-        if f.endswith(".parquet")
-    )
+    # All partitions checkpointed → downstream runs on the union of
+    # EXACTLY the current run's partitions (done ∪ todo) — a stale
+    # checkpoint file from a partition no longer in the input must not be
+    # silently unioned in (it would inflate counts and verdicts).
+    want = sorted({_pid_of_path(p, cfg) for p in part_paths})
+    ckpt_files = [
+        os.path.join(passa_dir, f"part-{pid:05d}.parquet") for pid in want
+    ]
+    missing = [f for f in ckpt_files if not os.path.exists(f)]
+    assert not missing, f"checkpoint files missing after compute: {missing}"
     passa_all = rd.read_parquet(ckpt_files).materialize()
     result = validate_epoch(part_paths, cfg, passa=passa_all)
     result.metrics["resumed_partitions"] = sorted(done)

@@ -22,12 +22,28 @@ import tempfile
 import time
 
 
+def _hash_fn_fingerprint() -> str:
+    """Fingerprint of the process-wide 64-bit hash function (polars
+    ``Series.hash``): checkpointed HLL registers are built from it and it
+    is only stable within one interpreter/polars version — a resume after
+    a polars upgrade must INVALIDATE old checkpoints, not merge registers
+    from two different hash functions (silent cardinality skew)."""
+    try:
+        import polars as pl
+
+        probe = pl.Series(["raqc", "fingerprint", "0"]).hash(seed=0).to_list()
+        return f"polars-{pl.__version__}-{probe[0]:x}{probe[1]:x}{probe[2]:x}"
+    except ImportError:  # pragma: no cover - blake2b fallback is versionless
+        return "blake2b"
+
+
 def checks_hash(cfg) -> str:
-    """Stable digest of the check configuration — a changed config
-    invalidates prior checkpoints (same idea as RAQC re-clipping when
-    extents change)."""
-    return hashlib.sha256(repr(sorted(repr(c) for c in cfg.checks)).encode()
-                          ).hexdigest()[:16]
+    """Stable digest of the check configuration + hash-function
+    fingerprint — a changed config OR a changed hash function (polars
+    upgrade) invalidates prior checkpoints (same idea as RAQC re-clipping
+    when extents change)."""
+    payload = repr(sorted(repr(c) for c in cfg.checks)) + _hash_fn_fingerprint()
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 class CheckpointManifest:

@@ -97,3 +97,31 @@ def test_config_change_invalidates_checkpoint(ray_session, t1_fixture, tmp_path)
     # changed config → recompute
     r3 = validate_epoch_checkpointed(parts, c2, ck)
     assert r3.metrics["computed_partitions"] == [0]
+
+
+def test_stale_checkpoint_not_unioned(ray_session, t1_fixture, tmp_path):
+    """ADVICE r1: a checkpoint file for a partition no longer in the input
+    (shrunk partition set) must not be silently unioned into downstream
+    checks."""
+    root = t1_fixture["root"]
+    parts = _parts(root, "e1")
+    ckpt = str(tmp_path / "ckptS")
+
+    full = validate_epoch_checkpointed(parts, _cfg(root, "e1"), ckpt,
+                                       chunk_partitions=2)
+    full_rows = full.verdicts.to_pandas()
+    n_full = int(full_rows[full_rows["check"] == "rowcount"]["n_rows"].sum()) \
+        if "rowcount" in set(full_rows["check"]) else None
+
+    # re-run on a SHRUNK input (first 3 partitions); part-00003.parquet
+    # is still on disk from the previous run
+    shrunk = validate_epoch_checkpointed(parts[:3], _cfg(root, "e1"), ckpt,
+                                         chunk_partitions=2)
+    v = shrunk.verdicts.to_pandas()
+    # -1 is the referential orphan pseudo-partition (by design); the
+    # stale on-disk partition 3 must be absent
+    assert set(v["partition_id"]) <= {-1, 0, 1, 2}, \
+        "stale partition 3 leaked into verdicts"
+    if n_full is not None:
+        n_shrunk = int(v[v["check"] == "rowcount"]["n_rows"].sum())
+        assert n_shrunk < n_full
