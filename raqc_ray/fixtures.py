@@ -104,6 +104,7 @@ def generate_partition(
     drift: bool,
     sample_pixels_dir: str | None = None,
     sample_stride: int = 0,
+    jpeg_frac: float = 0.0,
 ) -> tuple[list[str], list[str | None]]:
     """Generate + write one partition's parquet file; returns this
     partition's (caption_ids, caption_texts) contribution to the captions
@@ -141,7 +142,13 @@ def generate_partition(
         di = rng.choice(len(DIMS), p=dim_p)
         dj = rng.choice(len(DIMS), p=dim_p)
         w, h = int(DIMS[di]), int(DIMS[dj])
-        fmt = "ppm" if rng.random() < 0.5 else "png"
+        # single rng draw keeps the stream identical to jpeg_frac=0 runs
+        # (bench fixtures stay byte-for-byte reproducible)
+        r = rng.random()
+        if r < jpeg_frac:
+            fmt = "jpeg"
+        else:
+            fmt = "ppm" if r < jpeg_frac + (1.0 - jpeg_frac) / 2 else "png"
         img = synth_image(rng, w, h, brightness=brightness)
         w_arr[j], h_arr[j] = w, h
         fmt_arr[j] = fmt
@@ -244,6 +251,7 @@ def generate_epoch(
     sample_pixels_dir: str | None = None,
     n_pixel_samples: int = 64,
     parallel: bool = False,
+    jpeg_frac: float = 0.0,
 ) -> dict:
     """Write one epoch's partitioned parquet + captions table.
 
@@ -255,7 +263,7 @@ def generate_epoch(
     stride = max(1, rows // n_pixel_samples)
     args = [
         (out_dir, epoch, pid, rows, rows_per_partition, seed, drift,
-         sample_pixels_dir, stride)
+         sample_pixels_dir, stride, jpeg_frac)
         for pid in range(n_parts)
     ]
     if parallel:
@@ -296,6 +304,10 @@ def generate(root: str, profile: str = "t1", seed: int = 42,
     done-marker. Returns the fixture manifest.  ``parallel=True`` fans
     partition generation out as Ray tasks (bench-size fixtures)."""
     rows, rp = PROFILES[profile]
+    # lossy rows exercise the PSNR >= 40 dB decode invariant; bench
+    # profiles stay lossless (pure-python jpeg decode is ~10 ms/img —
+    # a throughput fixture must not be dominated by it)
+    jpeg_frac = 0.2 if profile in ("t1", "t2") else 0.0
     marker = os.path.join(root, "FIXTURE_DONE.json")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -304,12 +316,12 @@ def generate(root: str, profile: str = "t1", seed: int = 42,
     m1 = generate_epoch(
         os.path.join(root, "e1"), "e1", rows, rp, seed, drift=False,
         sample_pixels_dir=os.path.join(root, "expected", "pixels", "e1"),
-        parallel=parallel,
+        parallel=parallel, jpeg_frac=jpeg_frac,
     )
     m2 = generate_epoch(
         os.path.join(root, "e2"), "e2", rows, rp, seed + 1, drift=True,
         sample_pixels_dir=os.path.join(root, "expected", "pixels", "e2"),
-        parallel=parallel,
+        parallel=parallel, jpeg_frac=jpeg_frac,
     )
     manifest = {
         "profile": profile,

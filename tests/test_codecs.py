@@ -109,3 +109,49 @@ def test_psnr():
     noisy = np.clip(img.astype(np.int16) + rng.integers(-2, 3, img.shape), 0, 255
                     ).astype(np.uint8)
     assert psnr(img, noisy) > 40
+
+
+# ------------------------------------------------------------------ jpeg
+
+
+def test_jpeg_roundtrip_psnr():
+    """Lossy invariant (BASELINE 'PSNR>=40dB for lossy fmt'): encoder →
+    decoder round trip on fixture-style images stays above 40 dB."""
+    import numpy as np
+
+    from raqc_ray.codecs import decode_image, encode_image, psnr, synth_image
+
+    for i in range(8):
+        rng = np.random.default_rng(100 + i)
+        w, h = [int(x) for x in rng.choice([32, 64, 96, 128], 2)]
+        img = synth_image(rng, w, h)
+        out = decode_image(encode_image(img, "jpeg"), "jpeg")
+        assert out.shape == img.shape
+        assert psnr(img, out) >= 40.0
+
+
+def test_jpeg_odd_dims_and_flat():
+    import numpy as np
+
+    from raqc_ray.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((17, 23, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat))
+    assert out.shape == (17, 23, 3)
+    assert np.abs(out.astype(int) - 200).max() <= 2
+
+
+def test_jpeg_truncated_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from raqc_ray.codecs import DecodeError
+    from raqc_ray.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    b = encode_jpeg(img)
+    with _pytest.raises(DecodeError):
+        decode_jpeg(b[: len(b) // 3])
+    with _pytest.raises(DecodeError):
+        decode_jpeg(b"\x00\x01" + b[2:])
