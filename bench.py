@@ -133,6 +133,10 @@ def run_bench() -> dict:
         "n_images": n_images,
         "n_violations": int(n_violations),
         "bench_profile": manifest.get("profile"),
+        # per-epoch blocking-section wall times (VERDICT r1 #10): the
+        # CPU-independent part of these is the scaling residue
+        "stages": {"e1": r1.metrics.get("stage_sec", {}),
+                   "e2": r2.metrics.get("stage_sec", {})},
     }
     ray.shutdown()
     return out

@@ -26,6 +26,25 @@ def empty_violations_df() -> pd.DataFrame:
     )
 
 
+def violations_dataset(df: pd.DataFrame):
+    """Wrap a violation-sized DataFrame as a Dataset, stashing the frame
+    on the object so the pipeline can recover it WITHOUT another Ray
+    execution (stream_df) — checks stay Dataset-valued at the API, the
+    epoch assembly pays zero extra executor round-trips."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(df)
+    ds._raqc_df = df
+    return ds
+
+
+def stream_df(ds) -> pd.DataFrame:
+    """The violation frame behind a check's Dataset: the stashed pandas
+    when present (no execution), else a collect."""
+    df = getattr(ds, "_raqc_df", None)
+    return df if df is not None else ds.to_pandas()
+
+
 def cast_violations(ds):
     """Normalize any violation-shaped Dataset to VIOLATIONS_SCHEMA."""
     return ds.map_batches(

@@ -31,7 +31,8 @@ import pyarrow as pa
 import ray
 
 from ..config import NearDupCheck
-from ._util import empty_violations_df, grouped_counts
+from ._util import (empty_violations_df, grouped_counts,
+                    violations_dataset)
 
 # (start_bit, width) per band for max_hamming=2
 BANDS_3 = ((0, 22), (22, 21), (43, 21))
@@ -227,9 +228,7 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn,
         ["bucket"], min_total=2,
     )
     if len(sizes_tbl) == 0:
-        import ray.data as rd
-
-        return rd.from_pandas(empty_violations_df())
+        return violations_dataset(empty_violations_df())
     colliding = np.sort(sizes_tbl["bucket"].to_numpy(dtype=np.int64))
     hot = set(
         sizes_tbl.loc[sizes_tbl["n"] > spec.hot_bucket_cap, "bucket"].tolist()
@@ -327,10 +326,12 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn,
         if len(pdf) == 0 or "pair_key" not in pdf.columns:
             pdf = empty_pairs.copy()
         all_pairs = pd.concat([pdf, boundary_pairs], ignore_index=True)
-    # dedup pairs found in multiple bands (canonical pair key)
+    # dedup pairs found in multiple bands (canonical pair key); pairs are
+    # violation-sized, so the violations table is built eagerly — the
+    # caller gets a Dataset plus the stashed frame (no extra execution)
     uniq = all_pairs.drop_duplicates("pair_key")
-    uniq_pairs = rd.from_pandas(uniq if len(uniq) else empty_pairs)
-    return uniq_pairs.map_batches(
-        lambda b: _pairs_to_violations(b, epoch, spec.severity),
-        batch_format="pyarrow",
-    )
+    vio_tbl = _pairs_to_violations(
+        pa.Table.from_pandas(uniq if len(uniq) else empty_pairs,
+                             preserve_index=False),
+        epoch, spec.severity)
+    return violations_dataset(vio_tbl.to_pandas())

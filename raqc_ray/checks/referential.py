@@ -37,7 +37,7 @@ from ray.data.aggregate import Sum
 
 from ..config import ReferentialCheck
 from ..sketches.hll import hash64
-from ._util import empty_violations_df
+from ._util import empty_violations_df, violations_dataset
 
 
 def _int_partials(batch: pa.Table, spec: ReferentialCheck, pid_fn, side: int
@@ -163,7 +163,7 @@ def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
             .to_pandas()
         )
         if len(agg) == 0 or "khash" not in agg.columns:
-            return rd.from_pandas(empty_violations_df())
+            return violations_dataset(empty_violations_df())
         cand = np.sort(agg["khash"].to_numpy(dtype=np.int64))
     else:
         def _segment_reduce(tbl):
@@ -190,7 +190,7 @@ def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
 
         cand = collect_and_reduce(partials, _segment_reduce)
     if cand is None or len(cand) == 0:
-        return rd.from_pandas(empty_violations_df())
+        return violations_dataset(empty_violations_df())
     cand_ref = ray.put(cand)
 
     cdf = images_ds.map_batches(
@@ -203,6 +203,6 @@ def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
         )
     ).to_pandas()
     if len(cdf) == 0 or "image_id" not in cdf.columns:
-        return rd.from_pandas(empty_violations_df())
+        return violations_dataset(empty_violations_df())
     out = _verify_candidates(cdf, epoch, spec.severity)
-    return rd.from_pandas(out.reset_index(drop=True))
+    return violations_dataset(out.reset_index(drop=True))

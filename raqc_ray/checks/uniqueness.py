@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 
 from ..sketches.hll import hash64
-from ._util import empty_violations_df
+from ._util import empty_violations_df, violations_dataset
 
 
 def _hash_partials(batch: pa.Table, column: str, pid_fn) -> pa.Table:
@@ -103,7 +103,7 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
             .to_pandas()
         )
         if len(agg) == 0 or "khash" not in agg.columns:
-            return rd.from_pandas(empty_violations_df())
+            return violations_dataset(empty_violations_df())
         cand = np.sort(agg["khash"].to_numpy(dtype=np.int64))
     else:
         def _dup_hashes(tbl):
@@ -120,7 +120,7 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
 
         cand = collect_and_reduce(partials, _dup_hashes)
     if cand is None or len(cand) == 0:
-        return rd.from_pandas(empty_violations_df())
+        return violations_dataset(empty_violations_df())
     cand_ref = ray.put(cand)
 
     kp = ds.map_batches(
@@ -128,7 +128,7 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
         batch_format="pyarrow",
     ).to_pandas()
     if len(kp) == 0 or "key" not in kp.columns:
-        return rd.from_pandas(empty_violations_df())
+        return violations_dataset(empty_violations_df())
     kp = kp.groupby(["key", "partition_id"], sort=False)["n"].sum().reset_index()
     true_totals = kp.groupby("key", sort=False)["n"].sum()
     dup_lut = {k: int(v) for k, v in true_totals[true_totals > 1].items()}
@@ -138,10 +138,8 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
 
 def _emit(dup_rows: pd.DataFrame, dup_lut: dict, epoch: str, severity: str,
           column: str):
-    import ray.data as rd
-
     if len(dup_rows) == 0:
-        return rd.from_pandas(empty_violations_df())
+        return violations_dataset(empty_violations_df())
     out = pd.DataFrame(
         {
             "partition_id": dup_rows["partition_id"].astype("int64"),
@@ -153,4 +151,4 @@ def _emit(dup_rows: pd.DataFrame, dup_lut: dict, epoch: str, severity: str,
             "severity": severity,
         }
     ).sort_values(["image_id", "partition_id"])
-    return rd.from_pandas(out.reset_index(drop=True))
+    return violations_dataset(out.reset_index(drop=True))

@@ -38,7 +38,6 @@ from ..checks import (
     referential_violations,
     uniqueness_violations,
 )
-from ..checks._util import cast_violations
 from ..config import (
     CardinalityCheck,
     DecodeCheck,
@@ -54,8 +53,8 @@ from ..config import (
 from ..partitions import make_pid_fn
 from ..schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
 from ..sketches import HyperLogLog, TDigest
-from ..stages.passa import (ROWCOUNT_CHECK, ValidatorStage, merge_partial_group,
-                            merge_payloads, premerge_block)
+from ..stages.passa import (ROWCOUNT_CHECK, ValidatorStage,
+                            merge_partial_group, merge_payloads)
 
 ROW_CHECKS = ("nullity", "range", "caption", "decode", "uniqueness", "near_dup",
               "referential")
@@ -164,6 +163,46 @@ def _merge_partials_table(tbl) -> dict:
     return merged
 
 
+def _split_passa_table(tbl):
+    """One reduce over Pass A output → (merged partials dict, violations
+    DataFrame).  Runs inside a Ray task (collect_and_reduce)."""
+    from ..checks._util import empty_violations_df
+
+    if tbl is None:
+        return {}, empty_violations_df()
+    kinds = np.asarray(tbl["kind"].to_pylist(), dtype=object)
+    vmask = pa.array(kinds == "v")
+    vio = tbl.filter(vmask).select(list(VIOLATIONS_SCHEMA.names)).to_pandas()
+    merged = _merge_partials_table(tbl.filter(pa.compute.invert(vmask)))
+    return merged, vio
+
+
+class _StageClock:
+    """Wall-time per blocking pipeline section → metrics["stage_sec"].
+
+    The CPU-independent residue of these sections is what caps N→4N
+    scaling efficiency; BENCH_r{N}.json carries the dict so regressions
+    are visible per round (VERDICT r1 #10)."""
+
+    def __init__(self):
+        self.t: dict[str, float] = {}
+
+    def stage(self, name: str):
+        import contextlib
+        import time as _time
+
+        @contextlib.contextmanager
+        def _cm():
+            t0 = _time.perf_counter()
+            try:
+                yield
+            finally:
+                self.t[name] = round(
+                    self.t.get(name, 0.0) + _time.perf_counter() - t0, 3)
+
+        return _cm()
+
+
 def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
     """Run all configured checks on one epoch. ``paths`` = parquet file(s)
     or directory (one file per partition).  ``passa`` may be supplied by a
@@ -176,6 +215,7 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
     fraction is what caps N→4N scaling efficiency)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    clock = _StageClock()
     pid_fn = make_pid_fn(cfg.partition_from)
 
     uniq = cfg.get(UniquenessCheck)
@@ -193,104 +233,106 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
               ref.compare if (ref and ref.side_path) else None]:
         if c and c not in narrow_cols:
             narrow_cols.append(c)
-    narrow_ds = (
+    narrow_plan = (
         _read(paths, cfg, columns=narrow_cols, bounded=True)
         if narrow_cols
         else None
     )
 
-    def _uniq_stream():
-        return uniqueness_violations(narrow_ds, uniq.column, cfg.epoch, pid_fn,
-                                     uniq.severity)
+    # Materialize the narrow projection ONCE, in a thread that overlaps
+    # Pass A's streaming: uniqueness/near-dup/referential each run 2-3
+    # executions over it, and an unmaterialized plan re-reads the parquet
+    # every time (measured 4-5 redundant reads/epoch ≈ 8 s at bench
+    # scale).  The materialized blocks are (id, phash)-sized — a few % of
+    # table bytes; at 10^12 rows they spill to local disk, which is still
+    # strictly cheaper than repeated remote-storage column reads.
+    def _narrow_mat():
+        with clock.stage("narrow_plan"):
+            return narrow_plan.materialize()
 
-    def _nd_stream():
-        return neardup_violations(narrow_ds, nd, cfg.epoch, pid_fn)
+    def _uniq_stream(nds):
+        with clock.stage("uniqueness"):
+            return uniqueness_violations(nds, uniq.column, cfg.epoch,
+                                         pid_fn, uniq.severity)
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        uniq_f = ex.submit(_uniq_stream) if uniq is not None else None
-        nd_f = ex.submit(_nd_stream) if nd is not None else None
-        if passa is None:
-            passa = run_passa(paths, cfg)
+    def _nd_stream(nds):
+        with clock.stage("neardup"):
+            return neardup_violations(nds, nd, cfg.epoch, pid_fn)
 
-        violations_streams = [
-            passa.filter(expr="kind == 'v'").drop_columns(
-                ["kind", "payload", "n_rows"]
-            )
-        ]
-
-        import os as _os
-
-        partials = passa.filter(expr="kind == 's'")
-        # optional distributed combiner: helps only when the partial
-        # stream is huge (very fat epochs); measured HARMFUL at bench
-        # scale (A/B: pair 87s→125s with it on at 32 CPUs — the pandas
-        # block stage delays the collect more than the driver merge costs)
-        if _os.environ.get("RAQC_PREMERGE"):
-            partials = partials.map_batches(
-                lambda df: premerge_block(df, cfg),
-                batch_format="pandas", batch_size=None,
-            )
-        # merge the partials in ONE remote task (driver GIL stays free so
-        # the two epochs' pipelines actually overlap)
-        from ..checks._util import collect_and_reduce
-
-        merged = collect_and_reduce(partials, _merge_partials_table)
-        uniq_stream = uniq_f.result() if uniq_f is not None else None
-        nd_stream = nd_f.result() if nd_f is not None else None
-
-    # ---- narrow shuffle checks (columns pruned at the read) -----------
-    if uniq_stream is not None:
-        violations_streams.append(uniq_stream)
-    if nd_stream is not None:
-        violations_streams.append(nd_stream)
-    if ref is not None and ref.side_path:
+    def _ref_stream(nds):
         from ..io import read_table
 
-        cap_ds = read_table(ref.side_path)
-        violations_streams.append(
-            referential_violations(narrow_ds, cap_ds, ref, cfg.epoch, pid_fn)
-        )
+        with clock.stage("referential"):
+            cap_ds = read_table(ref.side_path)
+            return referential_violations(nds, cap_ds, ref, cfg.epoch, pid_fn)
 
-    violations = violations_streams[0]
-    for s in violations_streams[1:]:
-        violations = violations.union(cast_violations(s))
-    violations = cast_violations(violations)
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        narrow_f = ex.submit(_narrow_mat) if narrow_plan is not None else None
+        uniq_f = (ex.submit(lambda: _uniq_stream(narrow_f.result()))
+                  if uniq is not None else None)
+        nd_f = (ex.submit(lambda: _nd_stream(narrow_f.result()))
+                if nd is not None else None)
+        ref_f = (ex.submit(lambda: _ref_stream(narrow_f.result()))
+                 if (ref is not None and ref.side_path) else None)
+        if passa is None:
+            with clock.stage("passa"):
+                passa = run_passa(paths, cfg)
 
-    # ---- verdict assembly (driver-side; inputs are violation-sized) ----
-    # single blocking execution: collect the (output-sized) violations and
-    # derive both the returned Dataset and the per-partition counts from
-    # the same frame; distributed fallback for pathological volumes
-    try:
-        vdf = violations.to_pandas(limit=2_000_000)
-    except ValueError:
-        vdf = None
-    if vdf is not None:
-        if "check" not in vdf.columns:  # empty dataset drops schema
-            vdf = vdf.reindex(columns=list(VIOLATIONS_SCHEMA.names))
-            vdf["partition_id"] = vdf["partition_id"].astype("int64")
-        violations = rd.from_arrow(
-            pa.Table.from_pandas(vdf, schema=VIOLATIONS_SCHEMA,
-                                 preserve_index=False)
-        )
-        n_vio = len(vdf)
-        vio_counts = (
-            vdf.groupby(["partition_id", "check"], sort=False)
-            .size()
-            .reset_index(name="count()")
-            if n_vio
-            else pd.DataFrame({"partition_id": [], "check": [], "count()": []})
-        )
-    else:
-        violations = violations.repartition(8).materialize()
-        n_vio = violations.count()
-        vio_counts = (
-            violations.groupby(["partition_id", "check"]).count().to_pandas()
-        )
+        # ONE remote reduce task splits Pass A output into merged stat
+        # partials AND the in-band violation table (previously two
+        # separate filter+collect executions); the driver GIL stays free
+        # so the two epochs actually overlap.  The premerge combiner was
+        # removed: measured HARMFUL at bench scale (pair 87s->125s).
+        from ..checks._util import collect_and_reduce
+
+        with clock.stage("merge_partials"):
+            merged, passa_vio = collect_and_reduce(passa, _split_passa_table)
+        uniq_stream = uniq_f.result() if uniq_f is not None else None
+        nd_stream = nd_f.result() if nd_f is not None else None
+        ref_stream = ref_f.result() if ref_f is not None else None
+
+    # ---- violation assembly: all inputs are violation-sized pandas (the
+    # reduce task's in-band table + each check's stashed frame) — no
+    # further Ray executions run here ------------------------------------
+    import time as _time
+
+    from ..checks._util import stream_df
+
+    _t0 = _time.perf_counter()
+    frames = [passa_vio]
+    for s in (uniq_stream, nd_stream, ref_stream):
+        if s is not None:
+            df = stream_df(s)
+            if len(df):
+                frames.append(df[list(VIOLATIONS_SCHEMA.names)])
+    vdf = (pd.concat(frames, ignore_index=True) if len(frames) > 1
+           else frames[0])
+    violations = rd.from_arrow(
+        pa.Table.from_pandas(vdf, schema=VIOLATIONS_SCHEMA,
+                             preserve_index=False)
+    )
+    violations._raqc_df = vdf
+    n_vio = len(vdf)
+    vio_counts = (
+        vdf.groupby(["partition_id", "check"], sort=False)
+        .size()
+        .reset_index(name="count()")
+        if n_vio
+        else pd.DataFrame({"partition_id": [], "check": [], "count()": []})
+    )
     count_lut = {
         (int(r["partition_id"]), r["check"]): int(r["count()"])
         for _, r in vio_counts.iterrows()
     }
-    verdicts = _build_verdicts(cfg, merged, count_lut)
+    clock.t["violations_assemble"] = round(_time.perf_counter() - _t0, 3)
+    with clock.stage("verdicts"):
+        # off-driver: verdict assembly loops pids × checks and computes
+        # sketch quantiles — 1-2 s of GIL-bound work that would serialize
+        # the two concurrent epochs if run on the driver
+        import ray as _r
+
+        verdicts = _r.get(_build_verdicts_remote.remote(cfg, merged,
+                                                        count_lut))
 
     metrics = {
         "epoch": cfg.epoch,
@@ -301,8 +343,29 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
             if c == ROWCOUNT_CHECK
         ),
         "n_violations": int(sum(count_lut.values())),
+        "stage_sec": clock.t,
     }
     return EpochResult(cfg.epoch, violations, verdicts, merged, metrics)
+
+
+def _split_passa_table(tbl):
+    """One reduce over Pass A output → (merged partials dict, violations
+    DataFrame).  Runs inside a Ray task (collect_and_reduce)."""
+    if tbl is None:
+        return {}, empty_df_like_violations()
+    kinds = tbl["kind"].to_numpy(zero_copy_only=False)
+    import numpy as _np
+
+    vmask = kinds == "v"
+    vio = tbl.filter(pa.array(vmask)).select(list(VIOLATIONS_SCHEMA.names))
+    merged = _merge_partials_table(tbl.filter(pa.array(~vmask)))
+    return merged, vio.to_pandas()
+
+
+def empty_df_like_violations() -> pd.DataFrame:
+    from ..checks._util import empty_violations_df
+
+    return empty_violations_df()
 
 
 def _build_verdicts(cfg: RunConfig, merged: dict, count_lut: dict) -> pa.Table:
@@ -510,3 +573,8 @@ def validate_epoch_pair(
                                         preserve_index=False)
             r2.verdicts = pa.concat_tables([r2.verdicts, dtab])
     return r1, r2
+
+
+import ray as _ray_mod
+
+_build_verdicts_remote = _ray_mod.remote(num_cpus=1)(_build_verdicts)
