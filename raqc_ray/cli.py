@@ -61,11 +61,15 @@ def main(argv=None) -> int:
     v.add_argument("--epoch", default="e1")
     v.add_argument("--out", required=True)
     v.add_argument("--checkpoint", default="", help="resume root (optional)")
+    v.add_argument("--plots", action="store_true",
+                   help="render hist2d + flag-map images (S8) under --out")
 
     vp = sub.add_parser("validate-pair", help="epoch pair + drift verdicts")
     vp.add_argument("--baseline", required=True)
     vp.add_argument("--current", required=True)
     vp.add_argument("--out", required=True)
+    vp.add_argument("--plots", action="store_true",
+                    help="render hist2d + flag-map images (S8) under --out")
 
     g = sub.add_parser("gen-fixture", help="deterministic synthetic fixture")
     g.add_argument("--root", required=True)
@@ -87,7 +91,12 @@ def main(argv=None) -> int:
                 res = validate_epoch_checkpointed(parts, cfg, args.checkpoint)
             else:
                 res = validate_epoch(parts, cfg)
-            print(json.dumps(write_outputs(res, args.out), default=str))
+            outputs = write_outputs(res, args.out)
+            if args.plots:
+                from .plots import write_epoch_plots
+
+                outputs["plots"] = write_epoch_plots(res, args.out)
+            print(json.dumps(outputs, default=str))
         elif args.cmd == "validate-pair":
             from .pipelines import validate_epoch_pair
 
@@ -104,6 +113,11 @@ def main(argv=None) -> int:
                 "e1": write_outputs(r1, os.path.join(args.out, "e1")),
                 "e2": write_outputs(r2, os.path.join(args.out, "e2")),
             }
+            if args.plots:
+                from .plots import write_epoch_plots
+
+                out["plots"] = (write_epoch_plots(r1, args.out)
+                                + write_epoch_plots(r2, args.out))
             print(json.dumps(out, default=str))
         elif args.cmd == "gen-fixture":
             from .fixtures import generate
