@@ -103,6 +103,28 @@ def collect_and_reduce(ds, reduce_fn, *args):
     return ray.get(_run.remote(refs, *args))
 
 
+def collect_and_reduce_sliced(ds, reduce_fn, nslices: int, *args) -> list:
+    """K-way parallel variant of collect_and_reduce: block refs are
+    striped into ``nslices`` groups, each reduced in its own Ray task;
+    the caller combines the K (small) results.  Use when the reduce does
+    real CPU work (sketch merges) that one task would serialize."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    k = max(1, min(nslices, len(refs)))
+
+    @ray.remote(num_cpus=1)
+    def _run(tables, *a):
+        import ray as _ray
+
+        tables = _ray.get(list(tables))
+        live = [t for t in tables if t.num_rows > 0]
+        tbl = pa.concat_tables(live) if live else None
+        return reduce_fn(tbl, *a)
+
+    return ray.get([_run.remote(refs[i::k], *args) for i in range(k)])
+
+
 def grouped_counts(partials_ds, key_cols: list[str], n_col: str = "n",
                    min_total: int | None = None,
                    driver_threshold: int = 2_000_000) -> pd.DataFrame:

@@ -53,8 +53,7 @@ from ..config import (
 from ..partitions import make_pid_fn
 from ..schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
 from ..sketches import HyperLogLog, TDigest
-from ..stages.passa import (ROWCOUNT_CHECK, ValidatorStage,
-                            merge_partial_group, merge_payloads)
+from ..stages.passa import ROWCOUNT_CHECK, ValidatorStage, merge_payloads
 
 ROW_CHECKS = ("nullity", "range", "caption", "decode", "uniqueness", "near_dup",
               "referential")
@@ -131,11 +130,12 @@ def run_passa(paths, cfg: RunConfig):
         stage = ValidatorStage(cfg)
         passa = ds.map_batches(stage, batch_format="pyarrow",
                                batch_size=cfg.batch_size)
-    # Pass A output is output-sized (violations + per-batch partials) —
-    # materializing it lets us split the two in-band streams without
-    # re-running the fat pass; coalescing first keeps downstream stages
-    # from paying per-block scheduling for hundreds of near-empty blocks.
-    return passa.repartition(shuffle_width()).materialize()
+    # Pass A output is output-sized (violations + per-batch partials) and
+    # is consumed exactly ONCE (the split reduce, or the checkpoint
+    # writer) — returning the LAZY dataset avoids a repartition barrier +
+    # materialize round-trip that used to cost several seconds of
+    # CPU-independent residue per epoch.
+    return passa
 
 
 def _merge_partials_table(tbl) -> dict:
@@ -161,6 +161,26 @@ def _merge_partials_table(tbl) -> dict:
             "n_rows": n_rows_acc[(pid, check)],
         }
     return merged
+
+
+def _combine_split_parts(parts):
+    """Combine K slices' (merged dict, violations df) into one."""
+    from collections import defaultdict
+
+    payloads: dict = defaultdict(list)
+    n_rows: dict = defaultdict(int)
+    for merged_k, _ in parts:
+        for key, m in merged_k.items():
+            payloads[key].append(m["payload"])
+            n_rows[key] += m["n_rows"]
+    merged = {
+        key: {"payload": (plist[0] if len(plist) == 1
+                          else merge_payloads(key[1], plist)),
+              "n_rows": n_rows[key]}
+        for key, plist in payloads.items()
+    }
+    vio = pd.concat([v for _, v in parts], ignore_index=True)
+    return merged, vio
 
 
 def _split_passa_table(tbl):
@@ -283,10 +303,14 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
         # separate filter+collect executions); the driver GIL stays free
         # so the two epochs actually overlap.  The premerge combiner was
         # removed: measured HARMFUL at bench scale (pair 87s->125s).
-        from ..checks._util import collect_and_reduce
+        from ..checks._util import collect_and_reduce_sliced
 
         with clock.stage("merge_partials"):
-            merged, passa_vio = collect_and_reduce(passa, _split_passa_table)
+            # K parallel reduce tasks over block slices (the payload
+            # merges — t-digest/HLL — are real CPU work at 512
+            # partitions); the tiny K-way combine runs on the driver
+            parts = collect_and_reduce_sliced(passa, _split_passa_table, 8)
+            merged, passa_vio = _combine_split_parts(parts)
         uniq_stream = uniq_f.result() if uniq_f is not None else None
         nd_stream = nd_f.result() if nd_f is not None else None
         ref_stream = ref_f.result() if ref_f is not None else None
@@ -346,6 +370,26 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
         "stage_sec": clock.t,
     }
     return EpochResult(cfg.epoch, violations, verdicts, merged, metrics)
+
+
+def _combine_split_parts(parts):
+    """Combine K slices' (merged dict, violations df) into one."""
+    from collections import defaultdict
+
+    payloads: dict = defaultdict(list)
+    n_rows: dict = defaultdict(int)
+    for merged_k, _ in parts:
+        for key, m in merged_k.items():
+            payloads[key].append(m["payload"])
+            n_rows[key] += m["n_rows"]
+    merged = {
+        key: {"payload": (plist[0] if len(plist) == 1
+                          else merge_payloads(key[1], plist)),
+              "n_rows": n_rows[key]}
+        for key, plist in payloads.items()
+    }
+    vio = pd.concat([v for _, v in parts], ignore_index=True)
+    return merged, vio
 
 
 def _split_passa_table(tbl):

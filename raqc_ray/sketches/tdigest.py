@@ -21,7 +21,8 @@ import numpy as np
 
 
 class TDigest:
-    __slots__ = ("delta", "means", "weights", "_buf", "n", "min", "max")
+    __slots__ = ("delta", "means", "weights", "_buf", "n", "min", "max",
+                 "_compressed")
 
     def __init__(self, delta: int = 200):
         self.delta = delta
@@ -31,6 +32,7 @@ class TDigest:
         self.n = 0.0
         self.min = np.inf
         self.max = -np.inf
+        self._compressed = True
 
     # -- update -----------------------------------------------------------
     def add(self, values: np.ndarray) -> None:
@@ -42,10 +44,16 @@ class TDigest:
         self.max = max(self.max, float(v.max()))
         self.n += v.size
         self._buf.append(v)
+        self._compressed = False
         if sum(b.size for b in self._buf) > 16 * self.delta:
             self._compress()
 
     def _compress(self) -> None:
+        # idempotent fast path: repeated quantile/cdf calls must not rerun
+        # the greedy merge loop (measured ~175 µs/call × thousands of
+        # verdict-stage calls at 512 partitions)
+        if self._compressed and not self._buf:
+            return
         if self._buf:
             bm = np.concatenate(self._buf)
             means = np.concatenate([self.means, bm])
@@ -54,6 +62,7 @@ class TDigest:
         else:
             means, weights = self.means, self.weights
         if means.size == 0:
+            self._compressed = True
             return
         order = np.lexsort((weights, means))
         means, weights = means[order], weights[order]
@@ -81,6 +90,7 @@ class TDigest:
         out_w.append(cur_w)
         self.means = np.asarray(out_m)
         self.weights = np.asarray(out_w)
+        self._compressed = True
 
     # -- query ------------------------------------------------------------
     def quantile(self, q: float) -> float:
@@ -149,6 +159,7 @@ class TDigest:
             w = np.concatenate(parts_w)
             order = np.lexsort((w, m))  # canonical order → order-insensitive result
             out.means, out.weights = m[order], w[order]
+            out._compressed = False
             out._compress()
         return out
 
@@ -165,4 +176,5 @@ class TDigest:
         delta, means, weights, n, mn, mx = pickle.loads(data)
         td = cls(delta)
         td.means, td.weights, td.n, td.min, td.max = means, weights, n, mn, mx
+        td._compressed = True  # serialized digests are always compressed
         return td
