@@ -5,8 +5,9 @@ output layout) is real and tested; the codec bodies for formats whose
 libraries are absent in this container (JPEG, audio, video) are stubbed
 behind clearly-marked seams:
 
-- images: ``ppm``/``png`` decode fully (raqc_ray.codecs); ``jpeg`` decodes
-  iff PIL is importable, else raises ``DecodeError``.
+- images: ``ppm``/``png``/``jpeg`` decode fully (raqc_ray.codecs; jpeg
+  via PIL when importable, else the vendored pure-python baseline
+  decoder in raqc_ray.jpeg).
 - audio/video: ``DeterministicFakeDecoder`` produces a seeded fake feature
   vector from the payload hash so the pipeline shape is exercisable end to
   end; swap in a real decoder by replacing one method.
@@ -41,7 +42,7 @@ FEATURE_SCHEMA = pa.schema(
 class ImageFeatureExtractor:
     """Actor-pool stage: decode + resize-to-grid feature (8×8 luma means).
 
-    Real decode for ppm/png; jpeg gated on PIL availability.
+    Real decode for ppm/png/jpeg (codecs.decode_image).
     """
 
     def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",

@@ -194,3 +194,28 @@ def test_groupscan_matches_per_group(ray_session):
     res = res.sort_values("k").reset_index(drop=True)[["k", "total", "n"]]
     exp = exp.sort_values("k").reset_index(drop=True).astype("int64")
     pd.testing.assert_frame_equal(res.astype("int64"), exp)
+
+
+def test_image_features_jpeg_payload():
+    """Multimodal decode is real for jpeg now (vendored baseline codec)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raqc_ray.codecs import encode_image, synth_image
+    from raqc_ray.ops.multimodal import ImageFeatureExtractor
+
+    rng = np.random.default_rng(3)
+    img = synth_image(rng, 64, 48)
+    batch = pa.table(
+        {"image_id": ["a", "b"],
+         "bytes": [encode_image(img, "jpeg"), b"truncated-garbage"],
+         "fmt": ["jpeg", "jpeg"]}
+    )
+    out = ImageFeatureExtractor()(batch).to_pandas()
+    assert bool(out.loc[0, "ok"]) is True
+    feat = np.asarray(out.loc[0, "feature"])
+    assert feat.shape == (64,)
+    # grid means of a near-lossless roundtrip track the source luma
+    luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2])
+    assert abs(feat.mean() - luma.mean()) < 2.0
+    assert bool(out.loc[1, "ok"]) is False
