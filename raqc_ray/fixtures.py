@@ -35,6 +35,12 @@ PROFILES = {
     # scaling-proxy fixture: 4× the work so the 32-CPU run is not
     # startup-latency-bound (512 partitions ≥ 4× the larger CPU count)
     "benchxl": (400_000, 782),
+    # jpeg-payload scaling fixture: the REPRESENTATIVE payload for an
+    # image+caption table (production tables are overwhelmingly JPEG);
+    # decode work per byte is ~500× the lossless formats, which moves the
+    # proxy out of the residue-bound regime the lossless fixture sits in
+    # at this disk budget (see BASELINE.md)
+    "benchjpeg": (100_000, 782),
 }
 
 DIMS = np.array([32, 64, 96, 128, 256], dtype=np.int32)
@@ -307,7 +313,7 @@ def generate(root: str, profile: str = "t1", seed: int = 42,
     # lossy rows exercise the PSNR >= 40 dB decode invariant; bench
     # profiles stay lossless (pure-python jpeg decode is ~10 ms/img —
     # a throughput fixture must not be dominated by it)
-    jpeg_frac = 0.2 if profile in ("t1", "t2") else 0.0
+    jpeg_frac = {"t1": 0.2, "t2": 0.2, "benchjpeg": 1.0}.get(profile, 0.0)
     marker = os.path.join(root, "FIXTURE_DONE.json")
     if os.path.exists(marker):
         with open(marker) as f:
