@@ -90,7 +90,10 @@ def run_bench() -> dict:
             else x
             for x in c.checks
         ]
-        c.batch_size = 2048
+        # jpeg decode is ~30 ms/img: 2048-row batches would mean ~25
+        # batches/epoch and a 40% actor-imbalance tail — size batches so
+        # every actor gets ≥15 of them
+        c.batch_size = 256 if BENCH_PROFILE == "benchjpeg" else 2048
         cfgs[e] = c
 
     t0 = time.time()

@@ -40,7 +40,7 @@ PROFILES = {
     # decode work per byte is ~500× the lossless formats, which moves the
     # proxy out of the residue-bound regime the lossless fixture sits in
     # at this disk budget (see BASELINE.md)
-    "benchjpeg": (100_000, 782),
+    "benchjpeg": (50_000, 782),
 }
 
 DIMS = np.array([32, 64, 96, 128, 256], dtype=np.int32)
@@ -111,6 +111,7 @@ def generate_partition(
     sample_pixels_dir: str | None = None,
     sample_stride: int = 0,
     jpeg_frac: float = 0.0,
+    dim_spec: tuple | None = None,
 ) -> tuple[list[str], list[str | None]]:
     """Generate + write one partition's parquet file; returns this
     partition's (caption_ids, caption_texts) contribution to the captions
@@ -119,7 +120,15 @@ def generate_partition(
     regenerate any single partition (resume tests)."""
     assert rows_per_partition >= 150, "corruption plan needs >=150 rows in partition 0"
     epoch_idx = 1 if drift else 0
-    dim_p = DIM_P_E2 if drift else DIM_P_E1
+    if dim_spec is not None:
+        # profile-pinned dims (e.g. benchjpeg: all 64×64 — pure-python
+        # jpeg entropy coding is superlinear in nonzero coefficients, so
+        # the scaling fixture pins a mid-size image)
+        dims_arr, dim_p = (np.asarray(dim_spec[0], dtype=np.int32),
+                           np.asarray(dim_spec[1]))
+    else:
+        dims_arr = DIMS
+        dim_p = DIM_P_E2 if drift else DIM_P_E1
     brightness = 15 if drift else 0
     plan = PLAN
     lo, hi = pid * rows_per_partition, min((pid + 1) * rows_per_partition, rows)
@@ -145,9 +154,9 @@ def generate_partition(
     for i in range(lo, hi):
         j = i - lo
         rng = _row_rng(seed, epoch_idx, i)
-        di = rng.choice(len(DIMS), p=dim_p)
-        dj = rng.choice(len(DIMS), p=dim_p)
-        w, h = int(DIMS[di]), int(DIMS[dj])
+        di = rng.choice(len(dims_arr), p=dim_p)
+        dj = rng.choice(len(dims_arr), p=dim_p)
+        w, h = int(dims_arr[di]), int(dims_arr[dj])
         # single rng draw keeps the stream identical to jpeg_frac=0 runs
         # (bench fixtures stay byte-for-byte reproducible)
         r = rng.random()
@@ -258,6 +267,7 @@ def generate_epoch(
     n_pixel_samples: int = 64,
     parallel: bool = False,
     jpeg_frac: float = 0.0,
+    dim_spec: tuple | None = None,
 ) -> dict:
     """Write one epoch's partitioned parquet + captions table.
 
@@ -269,7 +279,7 @@ def generate_epoch(
     stride = max(1, rows // n_pixel_samples)
     args = [
         (out_dir, epoch, pid, rows, rows_per_partition, seed, drift,
-         sample_pixels_dir, stride, jpeg_frac)
+         sample_pixels_dir, stride, jpeg_frac, dim_spec)
         for pid in range(n_parts)
     ]
     if parallel:
@@ -314,6 +324,7 @@ def generate(root: str, profile: str = "t1", seed: int = 42,
     # profiles stay lossless (pure-python jpeg decode is ~10 ms/img —
     # a throughput fixture must not be dominated by it)
     jpeg_frac = {"t1": 0.2, "t2": 0.2, "benchjpeg": 1.0}.get(profile, 0.0)
+    dim_spec = ([64], [1.0]) if profile == "benchjpeg" else None
     marker = os.path.join(root, "FIXTURE_DONE.json")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -322,12 +333,12 @@ def generate(root: str, profile: str = "t1", seed: int = 42,
     m1 = generate_epoch(
         os.path.join(root, "e1"), "e1", rows, rp, seed, drift=False,
         sample_pixels_dir=os.path.join(root, "expected", "pixels", "e1"),
-        parallel=parallel, jpeg_frac=jpeg_frac,
+        parallel=parallel, jpeg_frac=jpeg_frac, dim_spec=dim_spec,
     )
     m2 = generate_epoch(
         os.path.join(root, "e2"), "e2", rows, rp, seed + 1, drift=True,
         sample_pixels_dir=os.path.join(root, "expected", "pixels", "e2"),
-        parallel=parallel, jpeg_frac=jpeg_frac,
+        parallel=parallel, jpeg_frac=jpeg_frac, dim_spec=dim_spec,
     )
     manifest = {
         "profile": profile,

@@ -214,3 +214,46 @@ def test_hash_join_matches_pandas(ray_session):
     b = want.sort_values(["k", "v"]).reset_index(drop=True)
     assert (a["v"].to_numpy() == b["v"].to_numpy()).all()
     assert (a["w"].to_numpy() == b["w"].to_numpy()).all()
+
+
+def test_lsh_pairs_subset_of_exact(ray_session):
+    """Consistency: every LSH-reported embedding pair must appear in the
+    exact all-pairs result with the same cosine (LSH ⊆ exact)."""
+    import ray.data as rd
+
+    from raqc_ray.ops.dedup import embedding_dup_pairs, exact_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    n, dim = 800, 64
+    emb = rng.normal(size=(n, dim))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    for k in range(15):
+        v = emb[3 * k] + rng.normal(size=dim) * 0.05
+        emb[3 * k + 1] = v / np.linalg.norm(v)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(emb.astype(np.float32))}
+    )).repartition(3)
+    lsh = embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    exact = exact_cosine_pairs(ds, threshold=0.9).to_pandas()
+    ex = {(a, b): c for a, b, c in
+          zip(exact["vec_a"], exact["vec_b"], exact["cosine"])}
+    assert len(lsh) > 0
+    for a, b, c in zip(lsh["vec_a"], lsh["vec_b"], lsh["cosine"]):
+        assert (a, b) in ex
+        assert c == pytest.approx(ex[(a, b)], abs=1e-5)
+
+
+def test_hash_join_left_outer(ray_session):
+    import ray.data as rd
+
+    from raqc_ray.ops.join import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    right = pd.DataFrame({"rk": [2, 4], "w": ["b", "d"]})
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", right_on="rk", how="left_outer",
+                    num_partitions=2).to_pandas().sort_values("k")
+    assert list(got["k"]) == [1, 2, 3, 4]
+    matched = got.set_index("k")["w"]
+    assert matched[2] == "b" and matched[4] == "d"
+    assert pd.isna(matched[1]) and pd.isna(matched[3])

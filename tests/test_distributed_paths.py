@@ -133,3 +133,25 @@ def test_neardup_both_paths_identical(ray_session):
     a, b = _sorted_df(small), _sorted_df(wide)
     assert len(a) >= 12  # ≥6 pairs × 2 rows
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_decide_path_env_override(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from raqc_ray.checks._util import decide_path
+
+    ds = rd.range(100)
+    # no env: size decides
+    monkeypatch.delenv("RAQC_DISTRIBUTED_SCAN", raising=False)
+    _, n, dist = decide_path(ds, driver_threshold=10)
+    assert n == 100 and dist is True
+    _, _, dist = decide_path(ds, driver_threshold=1000)
+    assert dist is False
+    # env=1 forces distributed even when tiny
+    monkeypatch.setenv("RAQC_DISTRIBUTED_SCAN", "1")
+    _, _, dist = decide_path(ds, driver_threshold=1000)
+    assert dist is True
+    # env=0 forces single-task even when huge
+    monkeypatch.setenv("RAQC_DISTRIBUTED_SCAN", "0")
+    _, _, dist = decide_path(ds, driver_threshold=10)
+    assert dist is False
