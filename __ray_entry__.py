@@ -464,6 +464,25 @@ def q21_ivf_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id", "score", "rank"]]
 
 
+def q29_ivf_exhaustive_topk(sf_dir: str):
+    """IVF with nprobe = nlist probes EVERY cell — exact by construction,
+    which gives the IVF machinery a full SQL oracle (the approximate
+    q21 dial stays recall-tested instead)."""
+    from raqc_ray.ops.ann import ivf_topk
+
+    qdf = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr="vec_id < 8")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_list())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=5, nlist=16, nprobe=16).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
 def q22_topk_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -603,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_ngram_jaccard_documents": q26_ngram_jaccard_documents,
         "q27_embdup_exact": q27_embdup_exact,
         "q28_hashjoin_revenue": q28_hashjoin_revenue,
+        "q29_ivf_exhaustive_topk": q29_ivf_exhaustive_topk,
     }
 
 
@@ -726,6 +746,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q20_ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+            ), norms AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_aggregate(list_transform(embedding, x -> x * x),
+                            'sum')) AS nrm
+                FROM embeddings
+            ), s AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY q.qid) - 1 AS BIGINT) AS _qrow,
+                       q.qid, q.qe FROM q
+            ), sim AS (
+                SELECT s._qrow AS query_id, e.vec_id,
+                       list_cosine_similarity(s.qe, e.embedding) AS raw
+                FROM s, embeddings e
+            ), r AS (
+                SELECT query_id, vec_id, raw,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY raw DESC, vec_id) AS rank
+                FROM sim
+            )
+            SELECT query_id, vec_id, ROUND(raw, 4) AS score, CAST(rank AS BIGINT)
+                   AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "q29_ivf_exhaustive_topk": """
             WITH q AS (
                 SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
             ), norms AS (

@@ -66,7 +66,7 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q13_token_count_documents", "q14_fingerprint_documents",
             "q15_quality_documents", "q20_ann_topk", "q22_topk_orders",
             "q23_window_events_hourly", "q27_embdup_exact",
-            "q28_hashjoin_revenue"]
+            "q28_hashjoin_revenue", "q29_ivf_exhaustive_topk"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
