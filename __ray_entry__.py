@@ -87,29 +87,40 @@ def q1_pricing_summary(sf_dir: str):
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount", "l_shipdate"])
 
-    def add_rev(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        """Per-batch combiner: the shuffle moves one row per (flag,
+        status) per batch instead of every lineitem row."""
         keep = pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01")))
         t = t.filter(keep)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        return t.append_column("disc_price", rev)
+        df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice"]).to_pandas()
+        df = df.rename(columns={"l_quantity": "qty",
+                                "l_extendedprice": "price"})
+        df["disc_price"] = rev.to_numpy(zero_copy_only=False)
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price=("price", "sum"),
+            sum_disc_price=("disc_price", "sum"), count_order=("qty", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(add_rev, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
     )
-    for c, nd in (("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
-                  ("avg_qty", 4)):
-        out[c] = out[c].round(nd)
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
     out["count_order"] = out["count_order"].astype("int64")
-    return out
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "count_order"]]
 
 
 def q2_range_violations(sf_dir: str):
@@ -495,21 +506,31 @@ def q23_window_events_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def trunc(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": df["event_type"],
-                "hour": df["ts"].dt.floor("h"),
-                "value": df["value"],
-            }
-        )
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-batch combiner: batches are time-clustered, so each emits
+        a handful of (event_type, hour) rows — the shuffle moves partial
+        sums, not the 10^6-row event stream.  ``n_val`` preserves SQL
+        all-NULL SUM semantics across the two-level sum."""
+        g = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "hour": df["ts"].dt.floor("h"),
+             "value": df["value"]}
+        ).groupby(["event_type", "hour"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"),
+            n_val=("value", "count"),
+        ).reset_index()
+        return g
 
     out = (
-        ds.map_batches(trunc, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value", alias_name="sum_value"),
+                   Sum("n_val", alias_name="n_val"))
         .to_pandas()
     )
+    out.loc[out["n_val"] == 0, "sum_value"] = np.nan
+    out = out.drop(columns=["n_val"])
     out["sum_value"] = out["sum_value"].round(4)
     out["n"] = out["n"].astype("int64")
     return out
