@@ -6,11 +6,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..schema import VIOLATIONS_SCHEMA
-
-VIOLATION_COLS = ["partition_id", "epoch", "check", "image_id", "column",
-                  "detail", "severity"]
-
 
 def empty_violations_df() -> pd.DataFrame:
     return pd.DataFrame(
@@ -43,14 +38,6 @@ def stream_df(ds) -> pd.DataFrame:
     when present (no execution), else a collect."""
     df = getattr(ds, "_raqc_df", None)
     return df if df is not None else ds.to_pandas()
-
-
-def cast_violations(ds):
-    """Normalize any violation-shaped Dataset to VIOLATIONS_SCHEMA."""
-    return ds.map_batches(
-        lambda t: t.select(VIOLATION_COLS).cast(VIOLATIONS_SCHEMA),
-        batch_format="pyarrow",
-    )
 
 
 def decide_path(partials_ds, driver_threshold: int):

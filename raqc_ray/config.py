@@ -290,6 +290,12 @@ class RunConfig:
     # reader and the pipeline stalls).
     decode_concurrency: int | tuple[int, int] | None = None
     read_columns: tuple[str, ...] | None = None
+    # Wide partial-merge path for epochs whose per-batch partial stream
+    # is itself too large for the sliced single-task reduce (10^12-row
+    # epochs): per-block combiner + distributed groupby/map_groups merge.
+    # Byte-identical verdicts either way (test_wide_partials); also
+    # forced by RAQC_WIDE_PARTIALS=1.
+    wide_partials: bool = False
 
     def row_stat_checks(self) -> list[CheckSpec]:
         return [

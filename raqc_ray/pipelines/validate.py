@@ -163,6 +163,38 @@ def _merge_partials_table(tbl) -> dict:
     return merged
 
 
+def _wide_partials_merge(passa, cfg: RunConfig):
+    """Distributed merge of the kind='s' stream (premerge_block +
+    groupby/map_groups — stages/passa.py) and a separate output-sized
+    collect of the kind='v' stream.  Semantically identical to the
+    sliced single-task reduce; used when the partial stream itself is
+    huge (RunConfig.wide_partials / RAQC_WIDE_PARTIALS)."""
+    from ..checks._util import empty_violations_df
+    from ..stages.passa import merge_partial_group, premerge_block
+
+    mat = passa.materialize()
+    part_df = (
+        mat.filter(expr="kind == 's'")
+        .map_batches(lambda df: premerge_block(df, cfg),
+                     batch_format="pandas", batch_size=None)
+        .groupby(["partition_id", "epoch", "check"])
+        .map_groups(lambda g: merge_partial_group(g, cfg),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    merged = {
+        (int(r.partition_id), r.check): {"payload": bytes(r.payload),
+                                         "n_rows": int(r.n_rows)}
+        for r in part_df.itertuples()
+    } if len(part_df) and "check" in part_df.columns else {}
+    vdf = mat.filter(expr="kind == 'v'").to_pandas()
+    if len(vdf) == 0 or "check" not in vdf.columns:
+        vdf = empty_violations_df()
+    else:
+        vdf = vdf[list(VIOLATIONS_SCHEMA.names)]
+    return merged, vdf
+
+
 def _combine_split_parts(parts):
     """Combine K slices' (merged dict, violations df) into one."""
     from collections import defaultdict
@@ -305,12 +337,22 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
         # removed: measured HARMFUL at bench scale (pair 87s->125s).
         from ..checks._util import collect_and_reduce_sliced
 
+        import os as _os
+
+        wide = cfg.wide_partials or bool(_os.environ.get("RAQC_WIDE_PARTIALS"))
         with clock.stage("merge_partials"):
-            # K parallel reduce tasks over block slices (the payload
-            # merges — t-digest/HLL — are real CPU work at 512
-            # partitions); the tiny K-way combine runs on the driver
-            parts = collect_and_reduce_sliced(passa, _split_passa_table, 8)
-            merged, passa_vio = _combine_split_parts(parts)
+            if wide:
+                # 10^12-row path: per-block combiner shrinks the partial
+                # stream to ≈ one payload per (partition, check) per
+                # block, then a distributed groupby/map_groups merge —
+                # nothing input-sized ever lands in one task
+                merged, passa_vio = _wide_partials_merge(passa, cfg)
+            else:
+                # K parallel reduce tasks over block slices (the payload
+                # merges — t-digest/HLL — are real CPU work at 512
+                # partitions); the tiny K-way combine runs on the driver
+                parts = collect_and_reduce_sliced(passa, _split_passa_table, 8)
+                merged, passa_vio = _combine_split_parts(parts)
         uniq_stream = uniq_f.result() if uniq_f is not None else None
         nd_stream = nd_f.result() if nd_f is not None else None
         ref_stream = ref_f.result() if ref_f is not None else None
@@ -370,6 +412,38 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
         "stage_sec": clock.t,
     }
     return EpochResult(cfg.epoch, violations, verdicts, merged, metrics)
+
+
+def _wide_partials_merge(passa, cfg: RunConfig):
+    """Distributed merge of the kind='s' stream (premerge_block +
+    groupby/map_groups — stages/passa.py) and a separate output-sized
+    collect of the kind='v' stream.  Semantically identical to the
+    sliced single-task reduce; used when the partial stream itself is
+    huge (RunConfig.wide_partials / RAQC_WIDE_PARTIALS)."""
+    from ..checks._util import empty_violations_df
+    from ..stages.passa import merge_partial_group, premerge_block
+
+    mat = passa.materialize()
+    part_df = (
+        mat.filter(expr="kind == 's'")
+        .map_batches(lambda df: premerge_block(df, cfg),
+                     batch_format="pandas", batch_size=None)
+        .groupby(["partition_id", "epoch", "check"])
+        .map_groups(lambda g: merge_partial_group(g, cfg),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    merged = {
+        (int(r.partition_id), r.check): {"payload": bytes(r.payload),
+                                         "n_rows": int(r.n_rows)}
+        for r in part_df.itertuples()
+    } if len(part_df) and "check" in part_df.columns else {}
+    vdf = mat.filter(expr="kind == 'v'").to_pandas()
+    if len(vdf) == 0 or "check" not in vdf.columns:
+        vdf = empty_violations_df()
+    else:
+        vdf = vdf[list(VIOLATIONS_SCHEMA.names)]
+    return merged, vdf
 
 
 def _combine_split_parts(parts):
