@@ -294,8 +294,12 @@ class RunConfig:
     # is itself too large for the sliced single-task reduce (10^12-row
     # epochs): per-block combiner + distributed groupby/map_groups merge.
     # Byte-identical verdicts either way (test_wide_partials); also
-    # forced by RAQC_WIDE_PARTIALS=1.
+    # forced by RAQC_WIDE_PARTIALS=1.  Triggers AUTOMATICALLY when the
+    # materialized partial stream exceeds wide_partials_threshold rows
+    # (same decide-by-size pattern as checks/_util.decide_path), so the
+    # default config is 10^12-row-safe without opt-in.
     wide_partials: bool = False
+    wide_partials_threshold: int = 2_000_000
 
     def row_stat_checks(self) -> list[CheckSpec]:
         return [

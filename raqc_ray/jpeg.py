@@ -350,13 +350,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     restart_interval = 0
     scan_start = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise DecodeError("jpeg: bad marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with no length segment
+            continue
+        if pos + 2 > len(data):
+            raise DecodeError("jpeg: truncated marker segment")
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT

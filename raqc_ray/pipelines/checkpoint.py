@@ -139,7 +139,13 @@ def validate_epoch_checkpointed(
         os.path.join(passa_dir, f"part-{pid:05d}.parquet") for pid in want
     ]
     missing = [f for f in ckpt_files if not os.path.exists(f)]
-    assert not missing, f"checkpoint files missing after compute: {missing}"
+    if missing:
+        # Explicit raise (not assert): under ``python -O`` an assert is
+        # stripped and a missing part file would silently drop a
+        # partition from downstream validation.
+        raise FileNotFoundError(
+            f"checkpoint files missing after compute: {missing}"
+        )
     passa_all = rd.read_parquet(ckpt_files).materialize()
     result = validate_epoch(part_paths, cfg, passa=passa_all)
     result.metrics["resumed_partitions"] = sorted(done)

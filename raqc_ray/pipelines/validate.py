@@ -163,72 +163,6 @@ def _merge_partials_table(tbl) -> dict:
     return merged
 
 
-def _wide_partials_merge(passa, cfg: RunConfig):
-    """Distributed merge of the kind='s' stream (premerge_block +
-    groupby/map_groups — stages/passa.py) and a separate output-sized
-    collect of the kind='v' stream.  Semantically identical to the
-    sliced single-task reduce; used when the partial stream itself is
-    huge (RunConfig.wide_partials / RAQC_WIDE_PARTIALS)."""
-    from ..checks._util import empty_violations_df
-    from ..stages.passa import merge_partial_group, premerge_block
-
-    mat = passa.materialize()
-    part_df = (
-        mat.filter(expr="kind == 's'")
-        .map_batches(lambda df: premerge_block(df, cfg),
-                     batch_format="pandas", batch_size=None)
-        .groupby(["partition_id", "epoch", "check"])
-        .map_groups(lambda g: merge_partial_group(g, cfg),
-                    batch_format="pandas")
-        .to_pandas()
-    )
-    merged = {
-        (int(r.partition_id), r.check): {"payload": bytes(r.payload),
-                                         "n_rows": int(r.n_rows)}
-        for r in part_df.itertuples()
-    } if len(part_df) and "check" in part_df.columns else {}
-    vdf = mat.filter(expr="kind == 'v'").to_pandas()
-    if len(vdf) == 0 or "check" not in vdf.columns:
-        vdf = empty_violations_df()
-    else:
-        vdf = vdf[list(VIOLATIONS_SCHEMA.names)]
-    return merged, vdf
-
-
-def _combine_split_parts(parts):
-    """Combine K slices' (merged dict, violations df) into one."""
-    from collections import defaultdict
-
-    payloads: dict = defaultdict(list)
-    n_rows: dict = defaultdict(int)
-    for merged_k, _ in parts:
-        for key, m in merged_k.items():
-            payloads[key].append(m["payload"])
-            n_rows[key] += m["n_rows"]
-    merged = {
-        key: {"payload": (plist[0] if len(plist) == 1
-                          else merge_payloads(key[1], plist)),
-              "n_rows": n_rows[key]}
-        for key, plist in payloads.items()
-    }
-    vio = pd.concat([v for _, v in parts], ignore_index=True)
-    return merged, vio
-
-
-def _split_passa_table(tbl):
-    """One reduce over Pass A output → (merged partials dict, violations
-    DataFrame).  Runs inside a Ray task (collect_and_reduce)."""
-    from ..checks._util import empty_violations_df
-
-    if tbl is None:
-        return {}, empty_violations_df()
-    kinds = np.asarray(tbl["kind"].to_pylist(), dtype=object)
-    vmask = pa.array(kinds == "v")
-    vio = tbl.filter(vmask).select(list(VIOLATIONS_SCHEMA.names)).to_pandas()
-    merged = _merge_partials_table(tbl.filter(pa.compute.invert(vmask)))
-    return merged, vio
-
-
 class _StageClock:
     """Wall-time per blocking pipeline section → metrics["stage_sec"].
 
@@ -339,8 +273,20 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
 
         import os as _os
 
-        wide = cfg.wide_partials or bool(_os.environ.get("RAQC_WIDE_PARTIALS"))
         with clock.stage("merge_partials"):
+            # Decide the merge path by SIZE (materialized partial-stream
+            # rows), like every other check's decide_path: the sliced
+            # single-task reduce is fastest while partials are small but
+            # concatenates an input-proportional stream at 10^12-row
+            # scale.  RAQC_WIDE_PARTIALS stays as an explicit override
+            # (1 forces wide, 0 forces sliced).
+            passa = passa.materialize()
+            env = _os.environ.get("RAQC_WIDE_PARTIALS")
+            if env is not None and env != "":
+                wide = env.lower() not in ("0", "false")
+            else:
+                wide = (cfg.wide_partials
+                        or passa.count() > cfg.wide_partials_threshold)
             if wide:
                 # 10^12-row path: per-block combiner shrinks the partial
                 # stream to ≈ one payload per (partition, check) per
@@ -419,11 +365,12 @@ def _wide_partials_merge(passa, cfg: RunConfig):
     groupby/map_groups — stages/passa.py) and a separate output-sized
     collect of the kind='v' stream.  Semantically identical to the
     sliced single-task reduce; used when the partial stream itself is
-    huge (RunConfig.wide_partials / RAQC_WIDE_PARTIALS)."""
+    huge — auto-selected by materialized size in run_epoch, or forced
+    via RunConfig.wide_partials / RAQC_WIDE_PARTIALS=1."""
     from ..checks._util import empty_violations_df
     from ..stages.passa import merge_partial_group, premerge_block
 
-    mat = passa.materialize()
+    mat = passa.materialize()  # no-op if caller already materialized
     part_df = (
         mat.filter(expr="kind == 's'")
         .map_batches(lambda df: premerge_block(df, cfg),
@@ -469,21 +416,15 @@ def _combine_split_parts(parts):
 def _split_passa_table(tbl):
     """One reduce over Pass A output → (merged partials dict, violations
     DataFrame).  Runs inside a Ray task (collect_and_reduce)."""
-    if tbl is None:
-        return {}, empty_df_like_violations()
-    kinds = tbl["kind"].to_numpy(zero_copy_only=False)
-    import numpy as _np
+    from ..checks._util import empty_violations_df
 
+    if tbl is None:
+        return {}, empty_violations_df()
+    kinds = tbl["kind"].to_numpy(zero_copy_only=False)
     vmask = kinds == "v"
     vio = tbl.filter(pa.array(vmask)).select(list(VIOLATIONS_SCHEMA.names))
     merged = _merge_partials_table(tbl.filter(pa.array(~vmask)))
     return merged, vio.to_pandas()
-
-
-def empty_df_like_violations() -> pd.DataFrame:
-    from ..checks._util import empty_violations_df
-
-    return empty_violations_df()
 
 
 def _build_verdicts(cfg: RunConfig, merged: dict, count_lut: dict) -> pa.Table:

@@ -293,12 +293,20 @@ class ValidatorStage:
                         td.add(vals[sel & (band_ids == b)])
                         per_band[int(b)] = td.to_bytes()
                 else:
-                    combo = cat_codes.astype(np.int64) * 1_000_000 + band_ids
-                    for cb in np.unique(combo[sel]):
-                        ci, b = divmod(int(cb), 1_000_000)
-                        td = TDigest(bq.delta)
-                        td.add(vals[sel & (combo == cb)])
-                        per_band[(str(cat_uniq[ci]), int(b))] = td.to_bytes()
+                    # Group on (cat_code, band_id) pairs directly — no
+                    # arithmetic packing (band_id has no upper bound, and
+                    # factorize code -1 marks a null condition value, which
+                    # must be skipped, not aliased onto the last category).
+                    cc = cat_codes.astype(np.int64)
+                    sel_c = sel & (cc >= 0)
+                    pairs = np.stack([cc[sel_c], band_ids[sel_c]], axis=1)
+                    vsel = vals[sel_c]
+                    if pairs.size:
+                        for ci, b in np.unique(pairs, axis=0):
+                            td = TDigest(bq.delta)
+                            td.add(vsel[(pairs[:, 0] == ci) & (pairs[:, 1] == b)])
+                            per_band[(str(cat_uniq[ci]), int(b))] = td.to_bytes()
+                    sel = sel_c
                 out.partial(pid, self.epoch, "band_quantile",
                             pickle.dumps(per_band), int(sel.sum()))
 

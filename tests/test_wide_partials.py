@@ -64,3 +64,39 @@ def test_wide_equals_narrow(ray_session, docs_parquet):
     pd.testing.assert_frame_equal(d1[cols], d2[cols])
     assert (d1["check"] == d2["check"]).all()
     assert len(d1) == len(d2) and len(v1) > 0
+
+
+def test_size_trigger_selects_wide(ray_session, docs_parquet, monkeypatch):
+    """Default config must auto-route through the wide merge when the
+    materialized partial stream exceeds wide_partials_threshold
+    (VERDICT r2 Next #4) — and produce the same verdicts."""
+    from raqc_ray.config import (CardinalityCheck, NullityCheck,
+                                 QuantileCheck, RunConfig, StatsCheck,
+                                 UniquenessCheck)
+    from raqc_ray.pipelines import validate as V
+
+    calls = {"wide": 0}
+    real = V._wide_partials_merge
+
+    def spy(passa, cfg):
+        calls["wide"] += 1
+        return real(passa, cfg)
+
+    monkeypatch.setattr(V, "_wide_partials_merge", spy)
+    monkeypatch.delenv("RAQC_WIDE_PARTIALS", raising=False)
+    cfg = RunConfig(
+        checks=[NullityCheck(columns=("text",)),
+                StatsCheck(columns=("n_chars",)),
+                CardinalityCheck(column="doc_id"),
+                QuantileCheck(column="n_chars"),
+                UniquenessCheck(column="doc_id")],
+        epoch="w",
+        partition_from=("expr",
+                        lambda b: b["doc_id"].to_numpy(zero_copy_only=False) % 4),
+        wide_partials=False,
+        wide_partials_threshold=1,  # every real stream exceeds this
+    )
+    r = V.validate_epoch(docs_parquet, cfg)
+    assert calls["wide"] == 1
+    d = r.verdicts.to_pandas()
+    assert len(d) > 0 and (d["epoch"] == "w").all()
