@@ -546,7 +546,9 @@ def q24_rolling_fp_documents(sf_dir: str):
 
 def q26_ngram_jaccard_documents(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs (MinHash-LSH candidates +
-    exact shingle-set verification) — rows-only (custom hash)."""
+    exact shingle-set verification) — full DuckDB oracle: set-Jaccard of
+    shingle hashes equals set-Jaccard of the shingles themselves, which
+    SQL computes via list functions + an explode/self-join."""
     from raqc_ray.ops.dedup import ngram_jaccard_pairs
 
     df = ngram_jaccard_pairs(
@@ -613,6 +615,63 @@ def q28_hashjoin_revenue(sf_dir: str):
     return out
 
 
+def q30_hamming_pairs(sf_dir: str):
+    """Exact Hamming-≤2 near-dup violations through the engine's salted
+    banded machinery (checks/neardup.py — SURVEY §2.5 A10), with a FULL
+    DuckDB oracle: phash is derived deterministically from doc_id with
+    arithmetic exactly reproducible in SQL (three modular-multiply bit
+    chunks; odd docs flip one bit of their even partner → planted
+    Hamming-1 pairs), and ground truth is the bit_count(xor) self-join.
+    Every stage of the production near-dup path runs: bucket pre-count,
+    collision broadcast, fused explode-filter-salt, group scan."""
+    import numpy as np
+
+    from raqc_ray.checks._util import stream_df
+    from raqc_ray.checks.neardup import neardup_violations
+    from raqc_ray.config import NearDupCheck
+    from raqc_ray.partitions import make_pid_fn
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def add_phash(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = d - d % 2
+        ph = (((base * 69069) % 4194301)
+              | (((base * 48271) % 2097143) << 22)
+              | (((base * 16807) % 524287) << 43))
+        ph = ph ^ np.where(d % 2 == 1, np.int64(1) << (d % 40), np.int64(0))
+        return pa.table(
+            {"image_id": pc.cast(t["doc_id"], pa.string()),
+             "phash": pa.array(ph, pa.int64()),
+             "pid": pa.array(d % 8, pa.int64())}
+        )
+
+    keyed = ds.map_batches(add_phash, batch_format="pyarrow")
+    vio = neardup_violations(
+        keyed, NearDupCheck(column="phash", max_hamming=2), "r",
+        make_pid_fn(("column", "pid")),
+    )
+    df = stream_df(vio)[["partition_id", "epoch", "check", "image_id",
+                         "column", "detail", "severity"]]
+    return df.reset_index(drop=True)
+
+
+_Q30_PHASH_SQL = """
+    SELECT doc_id,
+           xor(
+             CAST(((doc_id - doc_id % 2) * 69069) % 4194301 AS BIGINT)
+             | (CAST(((doc_id - doc_id % 2) * 48271) % 2097143 AS BIGINT) << 22)
+             | (CAST(((doc_id - doc_id % 2) * 16807) % 524287 AS BIGINT) << 43),
+             CASE WHEN doc_id % 2 = 1
+                  THEN CAST(1 AS BIGINT) << CAST(doc_id % 40 AS INT)
+                  ELSE CAST(0 AS BIGINT) END
+           ) AS phash
+    FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -644,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q27_embdup_exact": q27_embdup_exact,
         "q28_hashjoin_revenue": q28_hashjoin_revenue,
         "q29_ivf_exhaustive_topk": q29_ivf_exhaustive_topk,
+        "q30_hamming_pairs": q30_hamming_pairs,
     }
 
 
@@ -825,6 +885,64 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "q26_ngram_jaccard_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), sh AS (
+                -- shingle IDENTITY (k-token windows; whole token list for
+                -- short docs) — the engine hashes these, but set-Jaccard
+                -- is invariant under the injective hash
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN
+                           list_distinct([t[i] || chr(1) || t[i+1] || chr(1)
+                                          || t[i+2]
+                                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, chr(1))] END AS shingles
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i2.doc_a, i2.doc_b,
+                   ROUND(CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i), 6)
+                       AS jaccard
+            FROM inter i2
+            JOIN sizes sa ON sa.doc_id = i2.doc_a
+            JOIN sizes sb ON sb.doc_id = i2.doc_b
+            WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.5
+        """,
+        "q30_hamming_pairs": """
+            WITH ph AS (""" + _Q30_PHASH_SQL + """
+            ), pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       bit_count(xor(a.phash, b.phash)) AS dist
+                FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 2
+            )
+            SELECT a_id % 8 AS partition_id, 'r' AS epoch,
+                   'near_dup' AS "check", CAST(a_id AS VARCHAR) AS image_id,
+                   'phash' AS "column",
+                   'near-dup of ' || CAST(b_id AS VARCHAR) || ' (hamming='
+                       || CAST(dist AS VARCHAR) || ')' AS detail,
+                   'error' AS severity
+            FROM pairs
+            UNION ALL
+            SELECT b_id % 8, 'r', 'near_dup', CAST(b_id AS VARCHAR), 'phash',
+                   'near-dup of ' || CAST(a_id AS VARCHAR) || ' (hamming='
+                       || CAST(dist AS VARCHAR) || ')', 'error'
+            FROM pairs
+        """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
+        # (q26 moved to the oracled set in round 3: shingle-set Jaccard is
+        # hash-invariant, so the DuckDB list-functions form is exact.)
     }

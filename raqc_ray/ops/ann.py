@@ -27,9 +27,10 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _partial_topk(batch: pa.Table, qref, k: int) -> pa.Table:
+    from .dedup import _emb_matrix
+
     q = ray.get(qref)  # (nq, dim) normalized query matrix, broadcast once
-    emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-    emb = _normalize(emb)
+    emb = _normalize(_emb_matrix(batch["embedding"], q.shape[1]))
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
     sim = q @ emb.T  # (nq, batch)
     kk = min(k, sim.shape[1])
@@ -96,16 +97,26 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
     each batch scores only rows whose cell is probed by some query)."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
     if train_sample is None:
+        # Uniform random sample across ALL blocks (seeded, deterministic
+        # given the input), not limit() — first-blocks training skews the
+        # quantizer on clustered/sorted tables.  The sample pass streams
+        # and ships only the sampled rows.
+        n = emb_ds.count()
+        frac = min(1.0, 4096.0 / max(n, 1))
+        sampled = (emb_ds.random_sample(frac, seed=3) if frac < 1.0
+                   else emb_ds)
         train_sample = np.stack(
-            emb_ds.limit(2048).to_pandas()["embedding"].to_list()
+            sampled.to_pandas()["embedding"].to_list()
         )
     cents = train_coarse_quantizer(train_sample, nlist=nlist)
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     ref = ray.put((q, cents, probe))
 
     def scan(batch: pa.Table) -> pa.Table:
+        from .dedup import _emb_matrix
+
         qm, cm, pr = ray.get(ref)
-        emb = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        emb = _normalize(_emb_matrix(batch["embedding"], qm.shape[1]))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         cells = np.argmax(emb @ cm.T, axis=1)  # (batch,)
         out_q, out_v, out_s = [], [], []

@@ -105,8 +105,8 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _explode_bands(df: pd.DataFrame, num_perm: int, bands: int) -> pd.DataFrame:
-    """Band keys for every (doc, band), fully vectorized: signatures
+def _band_keys(df: pd.DataFrame, num_perm: int, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 LSH band keys, fully vectorized: signatures
     reshape to (n_docs, bands, rows_per_band) and each band chunk hashes
     via ``rows_per_band`` chained splitmix64 rounds (position-mixed, so
     chunk order matters).  Identical chunks → identical keys, so LSH
@@ -124,12 +124,7 @@ def _explode_bands(df: pd.DataFrame, num_perm: int, bands: int) -> pd.DataFrame:
         jmix = np.uint64((j * int(_SHINGLE_MIX)) & 0xFFFFFFFFFFFFFFFF)
         h = _mix64(h ^ (S[:, :, j] + jmix))
     band_idx = np.arange(bands, dtype=np.uint64)[None, :]
-    key = ((band_idx << np.uint64(56)) ^ (h >> np.uint64(8))).view(np.int64)
-    return pd.DataFrame(
-        {"band_key": key.ravel(),
-         "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), bands),
-         "sig": np.repeat(df["sig"].to_numpy(), bands)}
-    )
+    return ((band_idx << np.uint64(56)) ^ (h >> np.uint64(8))).view(np.int64)
 
 
 def _scan_band_group(g: pd.DataFrame, num_perm: int, threshold: float) -> pd.DataFrame:
@@ -175,20 +170,24 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     # stateless tasks, not an actor pool: MinHasher's state is two small
     # seeded arrays (rebuilt per task in ~µs); tasks skip actor spin-up
     hasher = MinHasher(num_perm=num_perm, k_shingle=k_shingle)
-    sigs = docs_ds.map_batches(hasher, batch_format="pandas")
-    exploded = sigs.map_batches(
-        lambda df: _explode_bands(df, num_perm, bands), batch_format="pandas"
-    ).materialize()
+    # materialize the SIGNATURES (one 8·num_perm-byte row per doc), not
+    # the band explosion: the stream is consumed twice (count pass +
+    # explode pass) and the old exploded materialize duplicated every
+    # signature ×bands in the object store before any collision filter
+    sigs = docs_ds.map_batches(hasher, batch_format="pandas").materialize()
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        u, c = np.unique(df["band_key"].to_numpy(np.int64), return_counts=True)
+        u, c = np.unique(_band_keys(df, num_perm, bands).ravel(),
+                         return_counts=True)
         return pd.DataFrame({"band_key": u, "n": c})
 
-    # only colliding band buckets can yield a pair → shrink the keyed scan
-    # from ~n·bands groups to collision-sized (same trick as the engine's
-    # phash near-dup check)
+    # narrow pre-pass: count collisions on band KEYS only (nothing
+    # exploded, no signatures shipped) — only colliding buckets can yield
+    # a pair, so the keyed scan shrinks from ~n·bands groups to
+    # collision-sized (same pattern as checks/neardup.py and embedding
+    # near-dup below)
     coll_tbl = grouped_counts(
-        exploded.map_batches(_partial, batch_format="pandas"),
+        sigs.map_batches(_partial, batch_format="pandas"),
         ["band_key"], min_total=2,
     )
     if len(coll_tbl) == 0:
@@ -202,15 +201,24 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     coll = np.sort(coll_tbl["band_key"].to_numpy(dtype=np.int64))
     ref = ray.put(coll)
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
+    def explode_colliding(df: pd.DataFrame) -> pd.DataFrame:
+        """Fused explode + collision filter: signatures are duplicated
+        per band ONLY for rows landing in a colliding bucket (typically
+        a tiny fraction), so the sort that follows moves collision-sized
+        data instead of ×bands the signature volume."""
         c = ray.get(ref)
-        b = df["band_key"].to_numpy(dtype=np.int64)
-        idx = np.clip(np.searchsorted(c, b), 0, len(c) - 1)
-        return df[c[idx] == b]
+        keys = _band_keys(df, num_perm, bands).ravel()
+        idx = np.clip(np.searchsorted(c, keys), 0, len(c) - 1)
+        keep = c[idx] == keys
+        return pd.DataFrame(
+            {"band_key": keys[keep],
+             "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), bands)[keep],
+             "sig": np.repeat(df["sig"].to_numpy(), bands)[keep]}
+        )
 
     from .groupscan import scan_sorted_groups
 
-    kept = exploded.map_batches(keep, batch_format="pandas")
+    kept = sigs.map_batches(explode_colliding, batch_format="pandas")
     empty_pairs = _scan_band_group(
         pd.DataFrame({"band_key": [], "doc_id": [], "sig": []}), num_perm, threshold
     )

@@ -65,8 +65,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q11_drift_psi_events", "q12_exact_dedup_documents",
             "q13_token_count_documents", "q14_fingerprint_documents",
             "q15_quality_documents", "q20_ann_topk", "q22_topk_orders",
-            "q23_window_events_hourly", "q27_embdup_exact",
-            "q28_hashjoin_revenue", "q29_ivf_exhaustive_topk"]
+            "q23_window_events_hourly", "q26_ngram_jaccard_documents",
+            "q27_embdup_exact", "q28_hashjoin_revenue",
+            "q29_ivf_exhaustive_topk", "q30_hamming_pairs"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
@@ -84,7 +85,7 @@ def test_query_matches_oracle(entry_mod, oracle_con, name):
 ROWS_ONLY_KEYS = ["q16_langid_documents", "q17_minhash_dedup_documents",
                   "q18_simhash_documents", "q19_embdup_embeddings",
                   "q21_ivf_ann_topk", "q24_rolling_fp_documents",
-                  "q25_validate_documents", "q26_ngram_jaccard_documents"]
+                  "q25_validate_documents"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
@@ -105,3 +106,18 @@ def test_entry_smoke(entry_mod):
     res = _to_pandas(entry_mod.entry())
     assert len(res) > 0
     assert "check" in res.columns and "pass" in res.columns
+
+
+def test_q30_both_reduction_paths_match_oracle(entry_mod, oracle_con,
+                                               monkeypatch):
+    """The near-dup machinery's single-task AND distributed group scans
+    must both reproduce the exact bit_count(xor) ground truth
+    (VERDICT r2 Next #1)."""
+    ora_df = _canon(oracle_con.execute(
+        entry_mod.oracle_sql()["q30_hamming_pairs"]).df())
+    for env in ("0", "1"):
+        monkeypatch.setenv("RAQC_DISTRIBUTED_SCAN", env)
+        ray_df = _canon(_to_pandas(
+            entry_mod.queries()["q30_hamming_pairs"](SF_DIR)))
+        pd.testing.assert_frame_equal(ray_df, ora_df, check_dtype=False)
+    monkeypatch.delenv("RAQC_DISTRIBUTED_SCAN", raising=False)
