@@ -118,13 +118,22 @@ def run_bench() -> dict:
     ]
     qtimes: dict[str, float] = {"validate_pair_images": round(t_validate, 3)}
     qs = entrymod.queries()
+    # best-of-2 per query (VERDICT r2 #10): the host has ±20-30%
+    # run-to-run noise — min of two runs separates real regressions from
+    # host noise at the cost of one extra pass over the (small) sf tables
+    reps = int(os.environ.get("RAQC_BENCH_QUERY_REPS", "2"))
     for name in bench_queries:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume lazily-built Datasets fully
-        if hasattr(res, "to_pandas"):
-            res = res.to_pandas() if not hasattr(res, "count") else res.count()
-        qtimes[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume lazily-built Datasets fully
+            if hasattr(res, "to_pandas"):
+                res = (res.to_pandas() if not hasattr(res, "count")
+                       else res.count())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        qtimes[name] = round(best, 3)
 
     total = round(sum(qtimes.values()), 3)
     out = {
@@ -147,15 +156,7 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling() -> dict:
-    # Default scaling fixture: jpeg payload — the representative format
-    # for an image+caption table, whose decode work per byte (~500× the
-    # lossless codecs here) puts both CPU levels in the work-bound regime
-    # the 10^12-row target lives in (measured 0.838; BASELINE.md).  The
-    # lossless 4× fixture remains via RAQC_SCALING_PROFILE=benchxl — at
-    # this disk budget it is residue-bound and measures the overhead
-    # floor instead (0.487 best).
-    profile = os.environ.get("RAQC_SCALING_PROFILE", "benchjpeg")
+def _scaling_one_profile(profile: str) -> dict:
     fixture = f"/tmp/raqc_fixtures/{profile}"
 
     # generate the fixture once (its own ray session), warm page cache
@@ -170,7 +171,8 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO,
-                   RAQC_BENCH_FIXTURE=fixture, RAQC_BENCH_PROFILE=profile)
+                   RAQC_BENCH_FIXTURE=fixture, RAQC_BENCH_PROFILE=profile,
+                   RAQC_BENCH_QUERY_REPS="1")
         # Pin the whole process tree to ncpu physical cores: ray's
         # num_cpus only limits scheduler slots — numpy/zlib inside workers
         # and ray internals would otherwise spill onto all host cores and
@@ -196,10 +198,9 @@ def run_scaling() -> dict:
     thr_lo = r_lo["n_images"] / r_lo["queries"]["validate_pair_images"]
     thr_hi = r_hi["n_images"] / r_hi["queries"]["validate_pair_images"]
     eff = thr_hi / ((hi / lo) * thr_lo)
-    result = {
-        "metric": "scaling_efficiency",
+    return {
+        "profile": profile,
         "value": round(eff, 3),
-        "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
         "images_per_sec_lo": round(thr_lo, 1),
@@ -209,7 +210,35 @@ def run_scaling() -> dict:
         "full_lo": r_lo,
         "full_hi": r_hi,
     }
-    return result
+
+
+def run_scaling() -> dict:
+    """Measure N→4N scaling on BOTH fixtures by default (ADVICE r2):
+
+    - ``benchjpeg`` — jpeg payload; decode work per byte (~500× the
+      lossless codecs here) puts both CPU levels in the work-bound
+      regime the 10^12-row image-table target lives in.  This is the
+      headline number for the ≥ 0.8 criterion.
+    - ``benchxl`` — lossless 4× fixture; at this disk budget it is
+      residue-bound and measures the engine's coordination/shuffle
+      overhead floor — reported alongside so the residue stays visible.
+
+    ``RAQC_SCALING_PROFILE`` restricts the run to a single profile."""
+    env_prof = os.environ.get("RAQC_SCALING_PROFILE")
+    profiles = [env_prof] if env_prof else ["benchjpeg", "benchxl"]
+    per = {p: _scaling_one_profile(p) for p in profiles}
+    head = per.get("benchjpeg", per[profiles[0]])
+    return {
+        "metric": "scaling_efficiency",
+        "value": head["value"],
+        "unit": "ratio",
+        "headline_profile": head["profile"],
+        "cpus_lo": head["cpus_lo"],
+        "cpus_hi": head["cpus_hi"],
+        "images_per_sec_lo": head["images_per_sec_lo"],
+        "images_per_sec_hi": head["images_per_sec_hi"],
+        "profiles": per,
+    }
 
 
 if __name__ == "__main__":

@@ -84,32 +84,10 @@ class QualityScorer:
         )
 
 
-class LangId:
-    """Stopword/character-n-gram language heuristic (en/de/fr/es/other)."""
-
-    def __init__(self) -> None:
-        self.word_re = re.compile(r"[a-zA-Z']+")
-        self.tables = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
-
-    def predict_one(self, s: str) -> str:
-        ws = [w.lower() for w in self.word_re.findall(s or "")]
-        if not ws:
-            return "other"
-        best, best_score = "other", 0
-        for lang, table in self.tables.items():
-            score = sum(w in table for w in ws)
-            if score > best_score:
-                best, best_score = lang, score
-        return best if best_score > 0 else "other"
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "lang": df["lang"],
-                "lang_pred": df["text"].map(self.predict_one),
-            }
-        )
+# Real language ID lives in ops/langid.py (26-language char-n-gram
+# scorer, script-gated, vectorized across the batch); re-exported here
+# under the original name so existing pipelines keep working.
+from .langid import TrigramLangId as LangId  # noqa: E402
 
 
 def rolling_fingerprint(df: pd.DataFrame, text_col: str = "text", k: int = 16

@@ -194,7 +194,36 @@ class ValidatorStage:
         pixel_mean = np.full(n, np.nan)
         if self.decode and self.decode.bytes_col in batch.column_names:
             d = self.decode
-            bts = batch[d.bytes_col].to_pylist()
+            # Zero-copy access to the Arrow binary column: slice the value
+            # buffer per row instead of to_pylist(), which would copy
+            # EVERY image into Python bytes up front (ADVICE r2).  Only
+            # rows that actually decode pay a single bytes() copy, one at
+            # a time.
+            barr = batch[d.bytes_col].combine_chunks()
+            if pa.types.is_large_binary(barr.type):
+                odt = np.int64
+            elif pa.types.is_binary(barr.type):
+                odt = np.int32
+            else:
+                odt = None
+            if odt is not None and len(barr):
+                bufs = barr.buffers()
+                offs = np.frombuffer(bufs[1], dtype=odt)[
+                    barr.offset : barr.offset + len(barr) + 1]
+                data_mv = (memoryview(bufs[2]) if bufs[2] is not None
+                           else memoryview(b""))
+                nulls = pc.is_null(barr).to_numpy(zero_copy_only=False)
+
+                def _row_bytes(i: int):
+                    if nulls[i] or offs[i + 1] == offs[i]:
+                        return None
+                    return bytes(data_mv[offs[i] : offs[i + 1]])
+            else:
+                bts = barr.to_pylist()
+
+                def _row_bytes(i: int):
+                    return bts[i]
+
             fmts = batch[d.fmt_col].to_pylist()
             ws = batch[d.w_col].to_numpy(zero_copy_only=False)
             hs = batch[d.h_col].to_numpy(zero_copy_only=False)
@@ -202,9 +231,11 @@ class ValidatorStage:
                 (ws >= d.w_min) & (ws <= d.w_max) & (hs >= d.w_min) & (hs <= d.w_max)
             )
             for i in range(n):
-                b = bts[i]
-                if b is None or len(b) == 0 or not dims_ok[i]:
+                if not dims_ok[i]:
                     continue  # already reported by nullity/range
+                b = _row_bytes(i)
+                if b is None or len(b) == 0:
+                    continue
                 try:
                     img = decode_image(b, fmts[i])
                 except DecodeError as e:

@@ -125,7 +125,9 @@ def test_langid():
     li = LangId()
     assert li.predict_one("the cat and the dog of a house is that it") == "en"
     assert li.predict_one("der hund und die katze ist ein tier nicht") == "de"
-    assert li.predict_one("xyzzy qwerty 12345") == "other"
+    # out-of-profile character soup → no confident match
+    assert li.predict_one("zzq xq jj kk 88 9 77") == "other"
+    assert li.predict_one("") == "other"
 
 
 def test_multimodal_image_features(ray_session, t1_fixture):
