@@ -130,3 +130,161 @@ def extract_image_features(ds, batch_size: int = 128, concurrency=2):
         ImageFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("ok", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → area-mean resize → re-encode (ppm).
+
+    Fully real: input ppm/png/jpeg decodes via the vendored codecs, the
+    resize is an exact area-mean (box filter) over integer pixel bins —
+    deterministic and testable against closed-form expectations — and the
+    output re-encodes as PPM (the cheap lossless container here; swap the
+    encoder for a C codec in production).  Output rows stay fat, so size
+    ``batch_size`` with the memory rule in the module docstring."""
+
+    def __init__(self, out_w: int, out_h: int, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", id_col: str = "image_id"):
+        from ..codecs import encode_ppm
+
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        self.bytes_col, self.fmt_col, self.id_col = bytes_col, fmt_col, id_col
+        self._encode = encode_ppm
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        gh, gw = self.out_h, self.out_w
+        ys = (np.arange(gh + 1) * h) // gh
+        xs = (np.arange(gw + 1) * w) // gw
+        if h < gh or w < gw:
+            # upscale: nearest-neighbor index map (no fractional kernels —
+            # determinism over beauty for a validation engine)
+            yi = np.minimum((np.arange(gh) * h) // gh, h - 1)
+            xi = np.minimum((np.arange(gw) * w) // gw, w - 1)
+            return img[yi][:, xi]
+        acc = np.add.reduceat(img.astype(np.float64), ys[:gh], axis=0)
+        acc = np.add.reduceat(acc, xs[:gw], axis=1)
+        area = np.outer(np.diff(ys), np.diff(xs))[:, :, None]
+        return np.clip(np.rint(acc / area), 0, 255).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].cast(pa.string()).to_pylist()
+        bts = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        out = {k: [] for k in RESIZED_SCHEMA.names}
+        for iid, b, fmt in zip(ids, bts, fmts):
+            out["image_id"].append(iid)
+            out["w"].append(self.out_w)
+            out["h"].append(self.out_h)
+            out["fmt"].append("ppm")
+            try:
+                img = decode_image(b, fmt)
+                out["bytes"].append(self._encode(self._resize(img)))
+                out["ok"].append(True)
+                out["error"].append(None)
+            except (DecodeError, TypeError) as e:
+                out["bytes"].append(None)
+                out["ok"].append(False)
+                out["error"].append(str(e))
+        return pa.table(out, schema=RESIZED_SCHEMA)
+
+
+def resize_images(ds, out_w: int, out_h: int, batch_size: int = 64,
+                  concurrency=2):
+    """images table → RESIZED_SCHEMA Dataset (actor pool; fat in, fat
+    out — small batches)."""
+    return ds.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("frame_idx", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("feature", pa.list_(pa.float32())),
+        ("ok", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: video payload → k sampled frames (row expansion).
+
+    The container has no video codec, so per-frame DECODE is stubbed —
+    each sampled frame's feature is a deterministic function of
+    (payload digest, frame index), the same seam as
+    ``DeterministicFakeDecoder`` — but every piece of Ray-side plumbing
+    is real and tested: uniform frame-index sampling over a declared
+    ``n_frames`` metadata column, 1→k row expansion inside ``map_batches``
+    (a flat-map over Arrow), stable output schema, null/zero-frame
+    handling.  Swap ``_frame_feature`` for a pyav/ffmpeg call where
+    available."""
+
+    def __init__(self, k: int = 4, id_col: str = "item_id",
+                 bytes_col: str = "bytes", nframes_col: str = "n_frames",
+                 dim: int = 16):
+        self.k, self.id_col, self.bytes_col = int(k), id_col, bytes_col
+        self.nframes_col, self.dim = nframes_col, dim
+
+    def _frame_feature(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        digest = hashlib.blake2b(payload or b"",
+                                 digest_size=8).digest()
+        seed = int.from_bytes(digest, "little") ^ (frame_idx * 0x9E3779B9)
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=self.dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].cast(pa.string()).to_pylist()
+        bts = batch[self.bytes_col].to_pylist()
+        nfs = batch[self.nframes_col].to_numpy(zero_copy_only=False)
+        out = {k: [] for k in FRAME_SCHEMA.names}
+        for iid, b, nf in zip(ids, bts, nfs):
+            nf = int(nf)
+            if b is None or nf <= 0:
+                out["item_id"].append(iid)
+                out["frame_idx"].append(-1)
+                out["n_frames"].append(nf)
+                out["feature"].append(None)
+                out["ok"].append(False)
+                out["error"].append("null payload" if b is None
+                                    else "no frames")
+                continue
+            # uniform sample of min(k, nf) distinct frame indices
+            kk = min(self.k, nf)
+            idxs = np.unique((np.arange(kk) * nf) // kk)
+            for fi in idxs.tolist():
+                out["item_id"].append(iid)
+                out["frame_idx"].append(int(fi))
+                out["n_frames"].append(nf)
+                out["feature"].append(self._frame_feature(bytes(b), int(fi)))
+                out["ok"].append(True)
+                out["error"].append(None)
+        return pa.table(out, schema=FRAME_SCHEMA)
+
+
+def sample_video_frames(ds, k: int = 4, batch_size: int = 32,
+                        concurrency=2, **cols):
+    """videos table → FRAME_SCHEMA Dataset (1→k row expansion in an
+    actor pool; fat payloads in, narrow frame features out)."""
+    return ds.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"k": k, **cols},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -296,8 +296,16 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
             else:
                 # K parallel reduce tasks over block slices (the payload
                 # merges — t-digest/HLL — are real CPU work at 512
-                # partitions); the tiny K-way combine runs on the driver
-                parts = collect_and_reduce_sliced(passa, _split_passa_table, 8)
+                # partitions); the tiny K-way combine runs on the driver.
+                # K scales with the cluster so the post-Pass-A merge tail
+                # shrinks with added CPUs instead of capping efficiency.
+                import ray as _ray
+
+                nsl = max(4, min(16,
+                                 int(_ray.cluster_resources().get("CPU", 8)
+                                     // 2)))
+                parts = collect_and_reduce_sliced(passa, _split_passa_table,
+                                                  nsl)
                 merged, passa_vio = _combine_split_parts(parts)
         uniq_stream = uniq_f.result() if uniq_f is not None else None
         nd_stream = nd_f.result() if nd_f is not None else None

@@ -221,3 +221,69 @@ def test_image_features_jpeg_payload():
     luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2])
     assert abs(feat.mean() - luma.mean()) < 2.0
     assert bool(out.loc[1, "ok"]) is False
+
+
+def test_image_resize_area_mean(ray_session):
+    """Area-mean downscale of a block-constant image must hit the block
+    means exactly; plumbing through the actor-pool stage preserves ids
+    and marks undecodable rows instead of dying."""
+    import ray.data as rd
+
+    from raqc_ray.codecs import decode_image, encode_ppm
+    from raqc_ray.ops.multimodal import resize_images
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:4, :4] = 10; img[:4, 4:] = 30; img[4:, :4] = 50; img[4:, 4:] = 70
+    tbl = pd.DataFrame(
+        {"image_id": ["a", "bad"],
+         "bytes": [encode_ppm(img), b"not an image"],
+         "fmt": ["ppm", "ppm"]})
+    out = resize_images(rd.from_pandas(tbl), 2, 2,
+                        concurrency=1).to_pandas().set_index("image_id")
+    assert bool(out.loc["a", "ok"]) and not bool(out.loc["bad", "ok"])
+    small = decode_image(bytes(out.loc["a", "bytes"]), "ppm")
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 10 and small[0, 1, 0] == 30
+    assert small[1, 0, 0] == 50 and small[1, 1, 0] == 70
+    # upscale path: 2x2 -> 4x4 nearest repeats each pixel
+    up = resize_images(rd.from_pandas(tbl.iloc[:1]), 16, 16,
+                       concurrency=1).to_pandas()
+    big = decode_image(bytes(up["bytes"].iloc[0]), "ppm")
+    assert big.shape == (16, 16, 3)
+
+
+def test_video_frame_sampler(ray_session):
+    """1->k row expansion: uniform distinct frame indices, deterministic
+    features, null/zero-frame rows marked not exploded."""
+    import ray.data as rd
+
+    from raqc_ray.ops.multimodal import sample_video_frames
+
+    import pyarrow as pa
+    import ray
+
+    tbl = pd.DataFrame(
+        {"item_id": ["v1", "v2", "v3", "v4"],
+         "bytes": [b"payload-one", b"p2", None, b"p4"],
+         "n_frames": [100, 2, 50, 0]})
+
+    def collect(ds):
+        # arrow-side collect: pandas TensorArray casting rejects the
+        # mixed None/list<float32> feature column by design
+        return pa.concat_tables(
+            ray.get(ds.to_arrow_refs())).to_pandas(ignore_metadata=True)
+
+    out = collect(sample_video_frames(rd.from_pandas(tbl), k=4,
+                                      concurrency=1))
+    g = out.groupby("item_id")
+    assert len(g.get_group("v1")) == 4          # k samples
+    assert g.get_group("v1")["frame_idx"].tolist() == [0, 25, 50, 75]
+    assert len(g.get_group("v2")) == 2          # min(k, n_frames)
+    assert not g.get_group("v3")["ok"].any()    # null payload
+    assert not g.get_group("v4")["ok"].any()    # zero frames
+    # determinism: same payload + frame -> same feature
+    out2 = collect(sample_video_frames(rd.from_pandas(tbl), k=4,
+                                       concurrency=1))
+    f1 = np.stack(g.get_group("v1")["feature"].to_list())
+    f2 = np.stack(out2[out2["item_id"] == "v1"]["feature"].to_list())
+    assert np.array_equal(f1, f2)
