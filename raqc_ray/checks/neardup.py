@@ -213,8 +213,11 @@ def _pairs_to_violations(batch: pa.Table, epoch: str, severity: str) -> pa.Table
 
 
 def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn,
-                       driver_threshold: int = 20_000_000):
-    """ds projected to [image_id, phash (+path)]. Returns a violations Dataset."""
+                       driver_threshold: int = 20_000_000,
+                       partials_ds=None):
+    """ds projected to [image_id, phash (+path)]. Returns a violations
+    Dataset.  ``partials_ds`` (optional): precomputed (bucket, n) partial
+    counts from the fused pre-pass — skips this check's own size scan."""
     bands, salts = _bands_for(spec.max_hamming)
     # Pre-aggregated bucket sizes straight from [phash] (no id strings) →
     # two broadcast sets:
@@ -222,7 +225,7 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn,
     #    keyed scan shrinks from ~n groups to collision-sized
     #  - hot (n > cap): shuffle key gets salted (skew handling, B:14)
     sizes_tbl = grouped_counts(
-        ds.map_batches(
+        partials_ds if partials_ds is not None else ds.map_batches(
             lambda b: _phash_bucket_counts(b, spec, bands), batch_format="pyarrow"
         ),
         ["bucket"], min_total=2,

@@ -124,18 +124,22 @@ def _verify_candidates(cdf: pd.DataFrame, epoch: str, severity: str
 
 def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
                            epoch: str, pid_fn,
-                           driver_threshold: int = 50_000_000):
+                           driver_threshold: int = 50_000_000,
+                           partials_ds=None):
     """images_ds projected to [image_id, caption (+path)]; captions_ds to
-    [image_id, caption]. Returns a violations Dataset."""
+    [image_id, caption]. Returns a violations Dataset.  ``partials_ds``
+    (optional): precomputed two-sided (khash, n_img, n_cap, h_img, h_cap)
+    partials from the fused pre-pass — skips both partial scans here."""
     import ray.data as rd
 
-    partials = images_ds.map_batches(
+    partials = (partials_ds if partials_ds is not None
+                else images_ds.map_batches(
         lambda b: _int_partials(b, spec, pid_fn, 0), batch_format="pyarrow"
     ).union(
         captions_ds.map_batches(
             lambda b: _int_partials(b, spec, pid_fn, 1), batch_format="pyarrow"
         )
-    )
+    ))
     from ._util import collect_and_reduce, decide_path
 
     partials, _n, distributed = decide_path(partials, driver_threshold)

@@ -76,13 +76,18 @@ def _key_partials(batch: pa.Table, column: str, pid_fn, cand_ref) -> pa.Table:
 
 def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
                           severity: str = "error",
-                          driver_threshold: int = 50_000_000):
-    """ds must already be projected to [column (+ path)] — prune at the read."""
+                          driver_threshold: int = 50_000_000,
+                          partials_ds=None):
+    """ds must already be projected to [column (+ path)] — prune at the read.
+
+    ``partials_ds`` (optional): a precomputed (khash, n, …) partial
+    stream — the fused single-scan pre-pass built by validate_epoch; when
+    given, this check skips its own scan over ``ds`` for phase 1."""
     import ray.data as rd
 
-    partials = ds.map_batches(
+    partials = (partials_ds if partials_ds is not None else ds.map_batches(
         lambda b: _hash_partials(b, column, pid_fn), batch_format="pyarrow"
-    )
+    ))
     from ._util import collect_and_reduce, decide_path
 
     partials, _n, distributed = decide_path(partials, driver_threshold)

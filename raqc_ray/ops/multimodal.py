@@ -25,6 +25,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..arrow_util import binary_row_accessor
 from ..codecs import DecodeError, decode_image
 
 FEATURE_SCHEMA = pa.schema(
@@ -54,11 +55,12 @@ class ImageFeatureExtractor:
         import json
 
         ids = batch[self.id_col].cast(pa.string()).to_pylist()
-        bts = batch[self.bytes_col].to_pylist()
+        row_bytes = binary_row_accessor(batch[self.bytes_col])
         fmts = batch[self.fmt_col].to_pylist()
         out = {k: [] for k in FEATURE_SCHEMA.names}
         g = self.grid
-        for i, (iid, b, fmt) in enumerate(zip(ids, bts, fmts)):
+        for i, (iid, fmt) in enumerate(zip(ids, fmts)):
+            b = row_bytes(i)
             out["item_id"].append(iid)
             out["modality"].append("image")
             try:
@@ -181,10 +183,11 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].cast(pa.string()).to_pylist()
-        bts = batch[self.bytes_col].to_pylist()
+        row_bytes = binary_row_accessor(batch[self.bytes_col])
         fmts = batch[self.fmt_col].to_pylist()
         out = {k: [] for k in RESIZED_SCHEMA.names}
-        for iid, b, fmt in zip(ids, bts, fmts):
+        for i, (iid, fmt) in enumerate(zip(ids, fmts)):
+            b = row_bytes(i)
             out["image_id"].append(iid)
             out["w"].append(self.out_w)
             out["h"].append(self.out_h)
@@ -252,10 +255,11 @@ class VideoFrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].cast(pa.string()).to_pylist()
-        bts = batch[self.bytes_col].to_pylist()
+        row_bytes = binary_row_accessor(batch[self.bytes_col])
         nfs = batch[self.nframes_col].to_numpy(zero_copy_only=False)
         out = {k: [] for k in FRAME_SCHEMA.names}
-        for iid, b, nf in zip(ids, bts, nfs):
+        for i, (iid, nf) in enumerate(zip(ids, nfs)):
+            b = row_bytes(i)
             nf = int(nf)
             if b is None or nf <= 0:
                 out["item_id"].append(iid)

@@ -236,29 +236,97 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
         with clock.stage("narrow_plan"):
             return narrow_plan.materialize()
 
-    def _uniq_stream(nds):
+    def _fused_views(nds):
+        """ONE scan computes every shuffle check's phase-1 partials.
+
+        uniqueness / near-dup / referential each used to open their own
+        map_batches pass over the narrow projection (3 full scans + 3
+        hash passes per epoch, all competing with the decode pool).  The
+        fused pass emits each check's partial rows from the same block
+        visit, harmonized into one all-int64 table tagged by ``src``, and
+        materializes ONCE; each check then consumes a filtered view whose
+        execution moves only partial-sized data.  Violations are
+        byte-identical — the per-check partial ROWS are unchanged, only
+        their transport is shared."""
+        from ..io import read_table
+        from ..checks.neardup import _bands_for, _phash_bucket_counts
+        from ..checks.referential import _int_partials
+        from ..checks.uniqueness import _hash_partials
+
+        bands = _bands_for(nd.max_hamming)[0] if nd else None
+        COLS = ["src", "khash", "partition_id", "n", "bucket",
+                "n_img", "n_cap", "h_img", "h_cap", "pid"]
+
+        def pad(t: pa.Table, src: int) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in COLS:
+                if c == "src":
+                    cols[c] = pa.array(np.full(n, src, dtype=np.int64))
+                elif c in t.column_names:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.array(np.zeros(n, dtype=np.int64))
+            return pa.table(cols)
+
+        def img_side(b: pa.Table) -> pa.Table:
+            parts = []
+            if uniq is not None:
+                parts.append(pad(_hash_partials(b, uniq.column, pid_fn), 0))
+            if nd is not None:
+                parts.append(pad(_phash_bucket_counts(b, nd, bands), 1))
+            if ref is not None and ref.side_path:
+                parts.append(pad(_int_partials(b, ref, pid_fn, 0), 2))
+            return pa.concat_tables(parts)
+
+        fused = nds.map_batches(img_side, batch_format="pyarrow")
+        cap_ds = None
+        if ref is not None and ref.side_path:
+            cap_ds = read_table(ref.side_path)
+            fused = fused.union(cap_ds.map_batches(
+                lambda b: pad(_int_partials(b, ref, pid_fn, 1), 2),
+                batch_format="pyarrow"))
+        mat = fused.materialize()
+        views = {}
+        if uniq is not None:
+            views["uniq"] = mat.filter(expr="src == 0")
+        if nd is not None:
+            views["nd"] = mat.filter(expr="src == 1")
+        if ref is not None and ref.side_path:
+            views["ref"] = mat.filter(expr="src == 2")
+        return views, cap_ds
+
+    def _uniq_stream(nds, part):
         with clock.stage("uniqueness"):
             return uniqueness_violations(nds, uniq.column, cfg.epoch,
-                                         pid_fn, uniq.severity)
+                                         pid_fn, uniq.severity,
+                                         partials_ds=part)
 
-    def _nd_stream(nds):
+    def _nd_stream(nds, part):
         with clock.stage("neardup"):
-            return neardup_violations(nds, nd, cfg.epoch, pid_fn)
+            return neardup_violations(nds, nd, cfg.epoch, pid_fn,
+                                      partials_ds=part)
 
-    def _ref_stream(nds):
-        from ..io import read_table
-
+    def _ref_stream(nds, cap_ds, part):
         with clock.stage("referential"):
-            cap_ds = read_table(ref.side_path)
-            return referential_violations(nds, cap_ds, ref, cfg.epoch, pid_fn)
+            return referential_violations(nds, cap_ds, ref, cfg.epoch,
+                                          pid_fn, partials_ds=part)
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    with ThreadPoolExecutor(max_workers=6) as ex:
         narrow_f = ex.submit(_narrow_mat) if narrow_plan is not None else None
-        uniq_f = (ex.submit(lambda: _uniq_stream(narrow_f.result()))
+        fused_f = (ex.submit(lambda: _fused_views(narrow_f.result()))
+                   if narrow_f is not None
+                   and (uniq is not None or nd is not None
+                        or (ref is not None and ref.side_path)) else None)
+        uniq_f = (ex.submit(lambda: _uniq_stream(
+                      narrow_f.result(), fused_f.result()[0].get("uniq")))
                   if uniq is not None else None)
-        nd_f = (ex.submit(lambda: _nd_stream(narrow_f.result()))
+        nd_f = (ex.submit(lambda: _nd_stream(
+                    narrow_f.result(), fused_f.result()[0].get("nd")))
                 if nd is not None else None)
-        ref_f = (ex.submit(lambda: _ref_stream(narrow_f.result()))
+        ref_f = (ex.submit(lambda: _ref_stream(
+                     narrow_f.result(), fused_f.result()[1],
+                     fused_f.result()[0].get("ref")))
                  if (ref is not None and ref.side_path) else None)
         if passa is None:
             with clock.stage("passa"):

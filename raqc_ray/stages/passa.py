@@ -199,31 +199,9 @@ class ValidatorStage:
             # EVERY image into Python bytes up front (ADVICE r2).  Only
             # rows that actually decode pay a single bytes() copy, one at
             # a time.
-            barr = batch[d.bytes_col].combine_chunks()
-            if pa.types.is_large_binary(barr.type):
-                odt = np.int64
-            elif pa.types.is_binary(barr.type):
-                odt = np.int32
-            else:
-                odt = None
-            if odt is not None and len(barr):
-                bufs = barr.buffers()
-                offs = np.frombuffer(bufs[1], dtype=odt)[
-                    barr.offset : barr.offset + len(barr) + 1]
-                data_mv = (memoryview(bufs[2]) if bufs[2] is not None
-                           else memoryview(b""))
-                nulls = pc.is_null(barr).to_numpy(zero_copy_only=False)
+            from ..arrow_util import binary_row_accessor
 
-                def _row_bytes(i: int):
-                    if nulls[i] or offs[i + 1] == offs[i]:
-                        return None
-                    return bytes(data_mv[offs[i] : offs[i + 1]])
-            else:
-                bts = barr.to_pylist()
-
-                def _row_bytes(i: int):
-                    return bts[i]
-
+            _row_bytes = binary_row_accessor(batch[d.bytes_col])
             fmts = batch[d.fmt_col].to_pylist()
             ws = batch[d.w_col].to_numpy(zero_copy_only=False)
             hs = batch[d.h_col].to_numpy(zero_copy_only=False)
