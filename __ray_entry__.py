@@ -658,6 +658,77 @@ def q30_hamming_pairs(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q31_asof_events_orders(sf_dir: str):
+    """Distributed as-of join (ops/asof.py): each event picks the latest
+    order of the same user placed at-or-before the event — full DuckDB
+    ``ASOF JOIN`` oracle. The engine needs no pre-dedup of equal
+    (custkey, orderdate) rows: rights sort by (ts, o_orderkey) so
+    searchsorted's last-eligible pick equals joining a MAX_BY-deduped
+    side, which is exactly what the oracle's ``od`` view expresses."""
+    from raqc_ray.ops.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return asof_join(ev, orders, on="user_id", left_ts="ts",
+                     right_ts="o_orderdate", right_on="o_custkey",
+                     tiebreak="o_orderkey")
+
+
+def q32_sessions_events(sf_dir: str):
+    """Gap-based sessionization (ops/sessions.py): 6-hour-gap sessions
+    per user over the event stream — full SQL oracle (LAG → flag →
+    running SUM → GROUP BY)."""
+    from raqc_ray.ops.sessions import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    res, bdf = sessionize(ev, "user_id", "ts", "6h", value_col="value",
+                          tiebreak="event_id")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("user_id", "session_id", "n_events"):
+        df[c] = df[c].astype("int64")
+    for c in ("session_start", "session_end"):
+        df[c] = pd.to_datetime(df[c])
+    df["sum_value"] = df["sum_value"].astype("float64").round(4)
+    return df[["user_id", "session_id", "session_start", "session_end",
+               "n_events", "sum_value"]]
+
+
+def q33_topk_orders_per_cust(sf_dir: str):
+    """Grouped top-k (ops/topk.py): each customer's 3 priciest orders
+    with 1-based rank — full ROW_NUMBER window oracle. The per-block
+    prune combiner means the sort shuffles ≤ 3 rows per customer per
+    block, not the orders table."""
+    from raqc_ray.ops.topk import grouped_topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    res, bdf = grouped_topk(orders, key="o_custkey",
+                            order_by="o_totalprice", k=3,
+                            ascending=False, tiebreak="o_orderkey")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("o_orderkey", "o_custkey", "rank"):
+        df[c] = df[c].astype("int64")
+    df["o_totalprice"] = df["o_totalprice"].astype("float64")
+    return df[["o_custkey", "rank", "o_orderkey", "o_orderdate",
+               "o_totalprice"]]
+
+
+def q34_interval_join_events(sf_dir: str):
+    """Distributed interval join (ops/rangejoin.py): every (event,
+    prior-event) pair of the same user within a 6-hour band (inclusive
+    both ends, self-pairs dropped) — plain SQL range-predicate join
+    oracle. A self band join is the worst case for the operator (both
+    sides are the full stream), which is exactly what it should prove."""
+    from raqc_ray.ops.rangejoin import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    prior = ev.rename_columns({"event_id": "p_event_id", "ts": "p_ts"})
+    out = interval_join(ev, prior, on="user_id", left_ts="ts",
+                        right_ts="p_ts", lower="0s", upper="6h")
+    return out.filter(expr="p_event_id != event_id")
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -704,6 +775,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_hashjoin_revenue": q28_hashjoin_revenue,
         "q29_ivf_exhaustive_topk": q29_ivf_exhaustive_topk,
         "q30_hamming_pairs": q30_hamming_pairs,
+        "q31_asof_events_orders": q31_asof_events_orders,
+        "q32_sessions_events": q32_sessions_events,
+        "q33_topk_orders_per_cust": q33_topk_orders_per_cust,
+        "q34_interval_join_events": q34_interval_join_events,
     }
 
 
@@ -940,6 +1015,58 @@ def oracle_sql() -> dict[str, str]:
                    'near-dup of ' || CAST(a_id AS VARCHAR) || ' (hamming='
                        || CAST(dist AS VARCHAR) || ')', 'error'
             FROM pairs
+        """,
+        "q31_asof_events_orders": """
+            WITH od AS (
+                SELECT o_custkey, o_orderdate,
+                       MAX(o_orderkey) AS o_orderkey,
+                       MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.ts, e.user_id,
+                   od.o_orderkey, od.o_orderdate, od.o_totalprice
+            FROM events e ASOF JOIN od
+              ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        """,
+        "q32_sessions_events": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+                            THEN 1 ELSE 0 END AS news
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(news) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "q33_topk_orders_per_cust": """
+            SELECT o_custkey, CAST(rnk AS BIGINT) AS rank, o_orderkey,
+                   o_orderdate, o_totalprice
+            FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "q34_interval_join_events": """
+            SELECT e.event_id, e.ts, e.user_id,
+                   p.event_id AS p_event_id, p.ts AS p_ts
+            FROM events e JOIN events p
+              ON e.user_id = p.user_id
+             AND p.event_id <> e.event_id
+             AND p.ts <= e.ts
+             AND p.ts >= e.ts - INTERVAL 6 HOUR
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -24,11 +24,14 @@ import numpy as np
 import pandas as pd
 
 
-def scan_sorted_groups(ds, key: str, group_fn, out_empty: pd.DataFrame):
+def scan_sorted_groups(ds, key: str, group_fn, out_empty: pd.DataFrame,
+                       min_group: int = 2):
     """Returns (results_dataset, boundary_results_df).
 
     ``group_fn(g: pd.DataFrame) -> pd.DataFrame`` with columns matching
-    ``out_empty``; groups of size 1 are skipped (no pair can exist).
+    ``out_empty``; groups smaller than ``min_group`` are skipped (the
+    default 2 fits pair ops — no pair can exist in a singleton; per-group
+    transforms like sessionization pass ``min_group=1``).
     """
     out_cols = list(out_empty.columns)
 
@@ -44,7 +47,7 @@ def scan_sorted_groups(ds, key: str, group_fn, out_empty: pd.DataFrame):
                 starts = np.concatenate([[0], bounds])
                 ends = np.concatenate([bounds, [len(interior)]])
                 for s, e in zip(starts.tolist(), ends.tolist()):
-                    if e - s >= 2:
+                    if e - s >= min_group:
                         r = group_fn(interior.iloc[s:e])
                         if len(r):
                             res_frames.append(r)
@@ -75,16 +78,20 @@ def scan_sorted_groups(ds, key: str, group_fn, out_empty: pd.DataFrame):
 
     results = scanned.filter(expr="__boundary__ == 0")
     bdf = scanned.filter(expr="__boundary__ == 1").to_pandas()
+    if "__boundary__" in bdf.columns:
+        # group_fn must never see the internal marker (a passthrough-style
+        # group_fn would leak it into its output)
+        bdf = bdf.drop(columns="__boundary__")
     boundary_results = out_empty.copy()
     if len(bdf):
         frames = []
         for _, g in bdf.groupby(key, sort=False):
-            if len(g) >= 2:
+            if len(g) >= min_group:
                 r = group_fn(g)
                 if len(r):
                     frames.append(r)
         if frames:
             boundary_results = pd.concat(frames, ignore_index=True)
-    input_cols = [c for c in bdf.columns if c not in out_cols + ["__boundary__"]]
+    input_cols = [c for c in bdf.columns if c not in out_cols]
     results = results.drop_columns(["__boundary__"] + [c for c in input_cols])
     return results, boundary_results
