@@ -115,6 +115,10 @@ def run_bench() -> dict:
         "q17_minhash_dedup_documents",
         "q20_ann_topk",
         "q23_window_events_hourly",
+        # round 3: sort-based custom joins (new keys — absent from
+        # r1/r2 BENCH artifacts; compare totals minus these)
+        "q31_asof_events_orders",
+        "q33_topk_orders_per_cust",
     ]
     qtimes: dict[str, float] = {"validate_pair_images": round(t_validate, 3)}
     qs = entrymod.queries()
