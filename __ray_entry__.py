@@ -729,6 +729,52 @@ def q34_interval_join_events(sf_dir: str):
     return out.filter(expr="p_event_id != event_id")
 
 
+def q35_semijoin_customers(sf_dir: str):
+    """Distributed semi join (ops/join.semi_join, Ray-native left_semi
+    hash shuffle): customers with >= 1 order over 400k — EXISTS
+    oracle. The right side is filtered + projected to its key column
+    before the shuffle (only keys move)."""
+    from raqc_ray.ops.join import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    big = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .filter(expr="o_totalprice > 400000.0")
+           .select_columns(["o_custkey"]))
+    return semi_join(cust, big, on="c_custkey", right_on="o_custkey")
+
+
+def q36_antijoin_customers(sf_dir: str):
+    """Distributed anti join (ops/join.anti_join, Ray-native left_anti
+    hash shuffle): customers with NO order over 400k — NOT EXISTS
+    oracle (the exact complement of q35's 1298 rows)."""
+    from raqc_ray.ops.join import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    big = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .filter(expr="o_totalprice > 400000.0")
+           .select_columns(["o_custkey"]))
+    return anti_join(cust, big, on="c_custkey", right_on="o_custkey")
+
+
+def q37_running_events(sf_dir: str):
+    """Per-key ordered window functions (ops/window.grouped_running):
+    running value sum + row number + lag gap per user over the event
+    stream — full SQL window oracle (SUM / ROW_NUMBER / LAG OVER)."""
+    from raqc_ray.ops.window import grouped_running
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    res, bdf = grouped_running(ev, key="user_id", order_by="ts",
+                               value_col="value", tiebreak="event_id")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("event_id", "user_id", "row_number"):
+        df[c] = df[c].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"])
+    for c in ("value", "running_sum", "gap_ms"):
+        df[c] = df[c].astype("float64")
+    return df[["event_id", "ts", "user_id", "value", "row_number",
+               "running_sum", "gap_ms"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -779,6 +825,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_sessions_events": q32_sessions_events,
         "q33_topk_orders_per_cust": q33_topk_orders_per_cust,
         "q34_interval_join_events": q34_interval_join_events,
+        "q35_semijoin_customers": q35_semijoin_customers,
+        "q36_antijoin_customers": q36_antijoin_customers,
+        "q37_running_events": q37_running_events,
     }
 
 
@@ -1067,6 +1116,27 @@ def oracle_sql() -> dict[str, str]:
              AND p.event_id <> e.event_id
              AND p.ts <= e.ts
              AND p.ts >= e.ts - INTERVAL 6 HOUR
+        """,
+        "q35_semijoin_customers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        """,
+        "q36_antijoin_customers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+        """,
+        "q37_running_events": """
+            SELECT event_id, ts, user_id, value,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_number,
+                   ROUND(SUM(value) OVER w, 4) AS running_sum,
+                   CAST(date_diff('microsecond', lag(ts) OVER w, ts)
+                        AS DOUBLE) / 1000.0 AS gap_ms
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -38,3 +38,22 @@ def hash_join(left_ds, right_ds, on, right_on=None, how: str = "inner",
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,
     )
+
+
+def semi_join(left_ds, right_ds, on, right_on=None,
+              num_partitions: int | None = None):
+    """Distributed semi join: left rows with >= 1 key match on the
+    right (``EXISTS`` semantics — left columns only, no duplication
+    however many right rows match). Same hash-shuffle plan as
+    :func:`hash_join`; the right side should be pre-filtered and
+    projected to its key columns so only keys shuffle."""
+    return hash_join(left_ds, right_ds, on, right_on, how="left_semi",
+                     num_partitions=num_partitions)
+
+
+def anti_join(left_ds, right_ds, on, right_on=None,
+              num_partitions: int | None = None):
+    """Distributed anti join: left rows with NO key match on the right
+    (``NOT EXISTS`` semantics). See :func:`semi_join`."""
+    return hash_join(left_ds, right_ds, on, right_on, how="left_anti",
+                     num_partitions=num_partitions)

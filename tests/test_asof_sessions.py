@@ -205,3 +205,84 @@ def test_interval_join_planted(rd):
         (100, 2), (100, 3), (101, 1), (102, 4), (102, 5)
     ]
     assert out["rid"].dtype == np.int64
+
+def test_grouped_running_planted(rd):
+    from raqc_ray.ops.window import grouped_running
+
+    ev = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2],
+            "t": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:00",
+                                 "2024-01-01 00:01", "2024-01-01 05:00"]),
+            "v": [1.5, 2.25, 4.0, 8.0],
+            "eid": [2, 1, 3, 4],  # ties at 00:00 break by eid: 1 then 2
+        }
+    )
+    res, bdf = grouped_running(
+        rd.from_pandas(ev).repartition(3), key="u", order_by="t",
+        value_col="v", tiebreak="eid",
+    )
+    out = (
+        pd.concat([res.to_pandas(), bdf], ignore_index=True)
+        .astype({"u": "int64", "eid": "int64", "row_number": "int64"})
+        .sort_values(["u", "row_number"])
+        .reset_index(drop=True)
+    )
+    assert out["eid"].tolist() == [1, 2, 3, 4]
+    assert out["running_sum"].tolist() == [2.25, 3.75, 7.75, 8.0]
+    assert out["row_number"].tolist() == [1, 2, 3, 1]
+    gaps = out["gap_ms"].tolist()
+    assert np.isnan(gaps[0]) and np.isnan(gaps[3])  # each key's first row
+    assert gaps[1] == 0.0 and gaps[2] == 60_000.0
+
+
+def test_grouped_running_partition_invariant(rd):
+    from raqc_ray.ops.window import grouped_running
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 15, 400),
+            "t": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, 400), unit="m"),
+            "v": rng.random(400),
+            "eid": np.arange(400),
+        }
+    )
+    outs = []
+    for nparts in (1, 6):
+        res, bdf = grouped_running(
+            rd.from_pandas(df).repartition(nparts), key="u", order_by="t",
+            value_col="v", tiebreak="eid",
+        )
+        o = (
+            pd.concat([res.to_pandas(), bdf], ignore_index=True)
+            .astype({"u": "int64", "eid": "int64", "row_number": "int64"})
+            .sort_values(["u", "row_number"])
+            .reset_index(drop=True)[
+                ["u", "eid", "row_number", "running_sum", "gap_ms"]
+            ]
+        )
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_semi_anti_join_planted(rd):
+    from raqc_ray.ops.join import anti_join, semi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    # k=1 matches twice: semi must emit the left row ONCE
+    right = pd.DataFrame({"rk": [1, 1, 3], "rv": [7, 8, 9]})
+    semi = (
+        semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", num_partitions=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert semi["k"].tolist() == [1, 3]
+    assert list(semi.columns) == ["k", "lv"]  # left columns only
+    anti = (
+        anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", num_partitions=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert anti["k"].tolist() == [2, 4]

@@ -69,7 +69,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q27_embdup_exact", "q28_hashjoin_revenue",
             "q29_ivf_exhaustive_topk", "q30_hamming_pairs",
             "q31_asof_events_orders", "q32_sessions_events",
-            "q33_topk_orders_per_cust", "q34_interval_join_events"]
+            "q33_topk_orders_per_cust", "q34_interval_join_events",
+            "q35_semijoin_customers", "q36_antijoin_customers",
+            "q37_running_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
