@@ -775,6 +775,49 @@ def q37_running_events(sf_dir: str):
                "running_sum", "gap_ms"]]
 
 
+def q38_audio_features(sf_dir: str):
+    """Audio multimodal plumbing (ops/audio.py): synthesize one
+    deterministic WAV payload per document (sample count and rate are
+    modular functions of doc_id), then decode + feature-extract through
+    the distributed actor-pool stage. The oracle recomputes
+    n_samples / sample_rate / duration_sec from doc_id in SQL, proving
+    the Ray-side plumbing and RIFF parsing end-to-end; the analytic
+    features (rms / zcr / clip_frac) are closed-form pytest gates in
+    test_audio.py instead."""
+    import numpy as np
+
+    from raqc_ray.ops.audio import extract_audio_features, wav_encode
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for d in df["doc_id"].to_numpy():
+            n = 2000 + int(d % 10) * 500
+            sr = 8000 if d % 2 == 0 else 16000
+            t = np.arange(n) / sr
+            payloads.append(
+                wav_encode(0.5 * np.sin(2 * np.pi * 440.0 * t), sr)
+            )
+        return pd.DataFrame({"item_id": df["doc_id"].astype(str),
+                             "bytes": payloads})
+
+    # concurrency 2: the pool must never cover every CPU slot or the
+    # upstream synth/read starves (4-CPU test sessions deadlock)
+    feats = extract_audio_features(
+        docs.map_batches(synth, batch_format="pandas"),
+        batch_size=256, concurrency=2,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "doc_id": feats["item_id"].astype("int64"),
+            "n_samples": feats["n_samples"].astype("int64"),
+            "sample_rate": feats["sample_rate"].astype("int64"),
+            "duration_sec": feats["duration_sec"].astype("float64"),
+        }
+    )
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -828,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_semijoin_customers": q35_semijoin_customers,
         "q36_antijoin_customers": q36_antijoin_customers,
         "q37_running_events": q37_running_events,
+        "q38_audio_features": q38_audio_features,
     }
 
 
@@ -1137,6 +1181,16 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 1000.0 AS gap_ms
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q38_audio_features": """
+            SELECT doc_id,
+                   CAST(2000 + (doc_id % 10) * 500 AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 8000
+                             ELSE 16000 END AS BIGINT) AS sample_rate,
+                   CAST(2000 + (doc_id % 10) * 500 AS DOUBLE)
+                     / (CASE WHEN doc_id % 2 = 0 THEN 8000
+                             ELSE 16000 END) AS duration_sec
+            FROM documents
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
