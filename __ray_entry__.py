@@ -818,6 +818,40 @@ def q38_audio_features(sf_dir: str):
     )
 
 
+def q39_hash_sample_documents(sf_dir: str):
+    """Deterministic hash sample (ops/sample.hash_sample): keep ~10% of
+    documents by Lehmer-hashed doc_id — shuffle-free, reproducible on
+    any cluster size / block layout, and SQL-expressible, so the
+    predicate itself is oracle-checked row-for-row."""
+    from raqc_ray.ops.sample import hash_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return hash_sample(docs, "doc_id", rate=0.1, salt=7)
+
+
+def q40_hash_split_documents(sf_dir: str):
+    """Deterministic train/val/test split (ops/sample.hash_split) +
+    per-split rollup. The CASE-range oracle recomputes the exact
+    integer hash bounds, proving split assignment is stable and
+    label-exact, not just approximately 80/10/10."""
+    from ray.data.aggregate import Count, Sum
+
+    from raqc_ray.ops.sample import hash_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    tagged = hash_split(docs, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = (
+        tagged.groupby("split")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -872,6 +906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_antijoin_customers": q36_antijoin_customers,
         "q37_running_events": q37_running_events,
         "q38_audio_features": q38_audio_features,
+        "q39_hash_sample_documents": q39_hash_sample_documents,
+        "q40_hash_split_documents": q40_hash_split_documents,
     }
 
 
@@ -1191,6 +1227,27 @@ def oracle_sql() -> dict[str, str]:
                      / (CASE WHEN doc_id % 2 = 0 THEN 8000
                              ELSE 16000 END) AS duration_sec
             FROM documents
+        """,
+        # q39/q40 integer constants are int(rate * (2^31-1)) cumulative
+        # bounds — they must mirror ops/sample.py's truncation exactly
+        "q39_hash_sample_documents": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE (((doc_id + 7) * 48271) % 2147483647) * 48271
+                  % 2147483647 < 214748364
+        """,
+        "q40_hash_split_documents": """
+            WITH h AS (
+                SELECT ((doc_id * 48271) % 2147483647) * 48271
+                       % 2147483647 AS hv, n_chars
+                FROM documents
+            )
+            SELECT CASE WHEN hv < 1717986917 THEN 'train'
+                        WHEN hv < 1932735281 THEN 'val'
+                        WHEN hv < 2147483645 THEN 'test'
+                        ELSE 'rest' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM h GROUP BY 1
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -1,0 +1,85 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+A 100-TB training-data pipeline needs samples and train/val/test
+splits that are (a) shuffle-free — a pure per-row predicate, no
+all-to-all, no coordination; (b) REPRODUCIBLE — the same row lands in
+the same split on every run, any cluster size, any block layout; and
+(c) consistent across tables — any table sharing the key column splits
+identically, so features computed elsewhere stay aligned. Random
+sampling (``ds.random_sample``) has none of these properties.
+
+The hash is TWO Lehmer / Park–Miller LCG steps ``h(k) = ((k * 48271
+mod M) * 48271) mod M`` with ``M = 2^31 - 1`` (Park & Miller, CACM
+1988) — a single step is MONOTONE for keys below ``M/48271 ≈ 44k``
+(no wraparound), which would turn a rate threshold into a key-range
+cut on small/clustered ids; the composed step's effective multiplier
+``48271² mod M ≈ 1.8e8`` wraps every ~12 consecutive keys. Both steps
+are expressible verbatim in ANSI SQL, which gives the operator a full
+DuckDB oracle (q39/q40). int64 arithmetic holds without overflow for
+keys up to ~1.9e14, covering the 10^12-row target with ~190×
+headroom; beyond that swap in a 128-bit modmul. ``salt`` decorrelates
+independent samples over the same key.
+
+Both operators are single ``map_batches`` predicates over zero-copy
+Arrow — they compose with any upstream read and prune rows before
+anything expensive runs.
+
+RAQC analog: none (SURVEY §2.6 — the reference has no sampling); part
+of the §2 "large-scale training-data pipeline" surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_M = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_A = 48_271
+
+
+def _lehmer(keys: np.ndarray, salt: int) -> np.ndarray:
+    h = ((keys + np.int64(salt)) * np.int64(_A)) % np.int64(_M)
+    return (h * np.int64(_A)) % np.int64(_M)
+
+
+def hash_sample(ds, key_col: str, rate: float, salt: int = 0):
+    """Keep rows whose hashed key falls under ``rate`` (0..1).
+
+    Sampling is BY KEY: every row of a given key is kept or dropped
+    together (duplicate keys travel as a unit — the right contract for
+    sampling documents/images with repeated ids)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = np.int64(int(rate * _M))
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(_lehmer(keys, salt) < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds, key_col: str, splits: dict[str, float], salt: int = 0,
+               split_col: str = "split"):
+    """Append a deterministic split label per row.
+
+    ``splits`` maps label → fraction (must sum to ≤ 1; any remainder
+    labels ``"rest"``). Labels are assigned by hash ranges in the
+    given dict order, so ``{"train": .8, "val": .1, "test": .1}`` is
+    stable forever — adding data never moves an old row between
+    splits."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    labels = list(splits) + ["rest"]
+    # cumulative upper bound per label, in units of the hash modulus
+    bounds = np.cumsum([int(f * _M) for f in splits.values()] + [_M])
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(bounds, _lehmer(keys, salt), side="right")
+        return b.append_column(
+            split_col, pa.array(np.array(labels, dtype=object)[idx])
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
