@@ -852,6 +852,19 @@ def q40_hash_split_documents(sf_dir: str):
     return out
 
 
+def q41_distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT) (ops/distinct.py): distinct users
+    per event type via block-dedup combiner + two-level groupby —
+    plain SQL oracle."""
+    from raqc_ray.ops.distinct import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_count_distinct(ev, "event_type", "user_id",
+                                 out_col="n_users").to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -908,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_audio_features": q38_audio_features,
         "q39_hash_sample_documents": q39_hash_sample_documents,
         "q40_hash_split_documents": q40_hash_split_documents,
+        "q41_distinct_users_by_type": q41_distinct_users_by_type,
     }
 
 
@@ -1248,6 +1262,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM h GROUP BY 1
+        """,
+        "q41_distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
