@@ -46,6 +46,30 @@ def _warm_cache(paths) -> None:
                 pass
 
 
+def _session_cpu_seconds():
+    """Total CPU core-seconds of this process + every live descendant
+    (raylet and its workers are descendants of the driver under
+    address="local"). Sampled just before shutdown, this is a
+    host-contention-robust work measure: if total core-seconds match
+    across CPU levels, the engine did the same work and any wall-clock
+    efficiency gap is scheduling residue + host noise, not extra
+    computation."""
+    try:
+        import psutil
+
+        me = psutil.Process()
+        total = 0.0
+        for p in [me] + me.children(recursive=True):
+            try:
+                t = p.cpu_times()
+                total += t.user + t.system
+            except psutil.Error:
+                pass
+        return round(total, 1)
+    except Exception:
+        return None
+
+
 def run_bench() -> dict:
     import ray
 
@@ -155,6 +179,7 @@ def run_bench() -> dict:
         # CPU-independent part of these is the scaling residue
         "stages": {"e1": r1.metrics.get("stage_sec", {}),
                    "e2": r2.metrics.get("stage_sec", {})},
+        "cpu_core_sec": _session_cpu_seconds(),
     }
     ray.shutdown()
     return out
@@ -211,6 +236,16 @@ def _scaling_one_profile(profile: str) -> dict:
         "images_per_sec_hi": round(thr_hi, 1),
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
+        # host-noise-robust work check: core-seconds ≈ equal across
+        # levels ⇒ no extra computation at higher parallelism; the
+        # wall-clock efficiency gap is residue/scheduling, not work
+        "cpu_core_sec_lo": r_lo.get("cpu_core_sec"),
+        "cpu_core_sec_hi": r_hi.get("cpu_core_sec"),
+        "work_ratio_hi_vs_lo": (
+            round(r_hi["cpu_core_sec"] / r_lo["cpu_core_sec"], 3)
+            if r_lo.get("cpu_core_sec") and r_hi.get("cpu_core_sec")
+            else None
+        ),
         "full_lo": r_lo,
         "full_hi": r_hi,
     }
