@@ -865,6 +865,21 @@ def q41_distinct_users_by_type(sf_dir: str):
     return out
 
 
+def q42_pivot_events_by_user(sf_dir: str):
+    """Pivot/crosstab (ops/pivot.py): per-user event-type count matrix
+    with a declared label domain — one combiner pass + one hash
+    aggregation; SUM(CASE) oracle."""
+    from raqc_ray.ops.pivot import pivot_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = pivot_agg(ev, "user_id", "event_type",
+                    ["click", "view", "purchase", "signup", "error"],
+                    prefix="n_").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -922,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_hash_sample_documents": q39_hash_sample_documents,
         "q40_hash_split_documents": q40_hash_split_documents,
         "q41_distinct_users_by_type": q41_distinct_users_by_type,
+        "q42_pivot_events_by_user": q42_pivot_events_by_user,
     }
 
 
@@ -1267,6 +1283,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "q42_pivot_events_by_user": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
