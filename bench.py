@@ -47,13 +47,12 @@ def _warm_cache(paths) -> None:
 
 
 def _session_cpu_seconds():
-    """Total CPU core-seconds of this process + every live descendant
-    (raylet and its workers are descendants of the driver under
-    address="local"). Sampled just before shutdown, this is a
-    host-contention-robust work measure: if total core-seconds match
-    across CPU levels, the engine did the same work and any wall-clock
-    efficiency gap is scheduling residue + host noise, not extra
-    computation."""
+    """One-shot total CPU core-seconds of this process + every LIVE
+    descendant. Only valid for short windows: a process's cpu_times
+    vanish when it exits, and Ray reaps idle workers mid-run, so a
+    single pre-shutdown sample UNDERCOUNTS long runs (measured: the
+    13-min jpeg pair at 8 CPUs sampled 1,037 core-s vs ~5,800
+    actually burned). Use :class:`_CpuSampler` for run totals."""
     try:
         import psutil
 
@@ -70,9 +69,50 @@ def _session_cpu_seconds():
         return None
 
 
+class _CpuSampler:
+    """Background thread sampling cpu_times of the driver + all
+    descendants every ``interval`` seconds, keeping the max per
+    (pid, create_time) so CPU burned by workers that Ray reaps
+    mid-run is retained (to within one sampling interval).
+    ``total()`` stops the thread and sums the maxima."""
+
+    def __init__(self, interval: float = 2.0):
+        import threading
+
+        self._seen: dict = {}
+        self._stop = threading.Event()
+        self._interval = interval
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._t.start()
+        return self
+
+    def _run(self):
+        try:
+            import psutil
+        except Exception:
+            return
+        me = psutil.Process()
+        while not self._stop.is_set():
+            for p in [me] + me.children(recursive=True):
+                try:
+                    t = p.cpu_times()
+                    self._seen[(p.pid, p.create_time())] = t.user + t.system
+                except Exception:
+                    pass
+            self._stop.wait(self._interval)
+
+    def total(self):
+        self._stop.set()
+        self._t.join(timeout=5)
+        return round(sum(self._seen.values()), 1) if self._seen else None
+
+
 def run_bench() -> dict:
     import ray
 
+    cpu_sampler = _CpuSampler().start()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -195,7 +235,7 @@ def run_bench() -> dict:
         # CPU-independent part of these is the scaling residue
         "stages": {"e1": r1.metrics.get("stage_sec", {}),
                    "e2": r2.metrics.get("stage_sec", {})},
-        "cpu_core_sec": _session_cpu_seconds(),
+        "cpu_core_sec": cpu_sampler.total(),
     }
     ray.shutdown()
     return out
