@@ -880,6 +880,41 @@ def q42_pivot_events_by_user(sf_dir: str):
     return out
 
 
+def q43_users_intersect_customers(sf_dir: str):
+    """Distributed INTERSECT (ops/setops.py): distinct event user ids
+    that are also customer keys — SQL INTERSECT oracle."""
+    from raqc_ray.ops.setops import intersect_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = intersect_distinct(ev, cust, on="user_id", right_on="c_custkey")
+    return _typed_pandas(out)
+
+
+def q44_users_except_customers(sf_dir: str):
+    """Distributed EXCEPT (ops/setops.py): distinct event user ids
+    with no matching customer key — SQL EXCEPT oracle (exact
+    complement of q43 within the distinct user universe)."""
+    from raqc_ray.ops.setops import except_distinct
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = except_distinct(ev, cust, on="user_id", right_on="c_custkey")
+    return _typed_pandas(out)
+
+
+def _typed_pandas(ds) -> pd.DataFrame:
+    """Dataset → pandas, preserving the declared schema when the
+    result has zero rows (Ray's to_pandas returns a column-less frame
+    for an empty Dataset even though ds.schema() knows the columns)."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        from raqc_ray.ops._join_util import arrow_schema
+
+        df = arrow_schema(ds).empty_table().to_pandas()
+    return df
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -938,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_hash_split_documents": q40_hash_split_documents,
         "q41_distinct_users_by_type": q41_distinct_users_by_type,
         "q42_pivot_events_by_user": q42_pivot_events_by_user,
+        "q43_users_intersect_customers": q43_users_intersect_customers,
+        "q44_users_except_customers": q44_users_except_customers,
     }
 
 
@@ -1297,6 +1334,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'error'
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
+        """,
+        "q43_users_intersect_customers": """
+            SELECT user_id FROM events
+            INTERSECT
+            SELECT c_custkey FROM customer
+        """,
+        "q44_users_except_customers": """
+            SELECT user_id FROM events
+            EXCEPT
+            SELECT c_custkey FROM customer
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

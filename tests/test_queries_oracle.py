@@ -73,7 +73,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q35_semijoin_customers", "q36_antijoin_customers",
             "q37_running_events", "q38_audio_features",
             "q39_hash_sample_documents", "q40_hash_split_documents",
-            "q41_distinct_users_by_type", "q42_pivot_events_by_user"]
+            "q41_distinct_users_by_type", "q42_pivot_events_by_user",
+            "q43_users_intersect_customers", "q44_users_except_customers"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
