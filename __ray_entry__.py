@@ -903,6 +903,162 @@ def q44_users_except_customers(sf_dir: str):
     return _typed_pandas(out)
 
 
+def q45_token_counts_documents(sf_dir: str):
+    """Token explode→count (ops/unnest.py): global corpus token
+    frequencies with the exploded stream never shuffled (per-block
+    value_counts partials) — unnest(string_split) SQL oracle."""
+    from raqc_ray.ops.unnest import token_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    out = token_counts(docs, "text", min_count=100).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q46_corr_lineitem(sf_dir: str):
+    """Grouped bivariate moments (ops/moments.py): CORR / COVAR_SAMP /
+    STDDEV_SAMP of (quantity, extendedprice) per returnflag from one
+    raw-moment partial pass — SQL aggregate oracle, rounded 6dp both
+    sides."""
+    from raqc_ray.ops.moments import grouped_moments
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_moments(li, "l_returnflag", "l_quantity",
+                          "l_extendedprice").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q47_quantiles_qty_by_flag(sf_dir: str):
+    """Exact grouped discrete quantiles (ops/quantile_exact.py): p25 /
+    p50 / p90 of quantity per returnflag via distributed value-count
+    histogram (no per-group sort of rows) — quantile_disc oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_quantile_disc
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = grouped_quantile_disc(li, "l_returnflag", "l_quantity",
+                                qs=(0.25, 0.5, 0.9)).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    for c in ("q0_25", "q0_5", "q0_9"):
+        out[c] = out[c].astype("float64")
+    return out
+
+
+def q48_rollup_revenue(sf_dir: str):
+    """ROLLUP aggregation (ops/rollup.py): order count + revenue by
+    (nation, year), (nation), () — input aggregated once at the finest
+    level, coarser levels re-aggregate the keys-sized result; nation
+    names arrive via broadcast map-side joins (ops/join.broadcast_join)
+    — GROUP BY ROLLUP oracle with COALESCE sentinels."""
+    from raqc_ray.ops.join import broadcast_join
+    from raqc_ray.ops.rollup import rollup_agg
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name"]).to_pandas()
+    lut = cust.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey")[["c_custkey", "n_name"]]
+    joined = broadcast_join(orders, lut, on="o_custkey",
+                            right_on="c_custkey")
+
+    def add_year(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["yr"] = d["o_orderdate"].dt.year.astype("int64").astype(str)
+        return d
+
+    withyr = joined.map_batches(add_year, batch_format="pandas")
+    out = rollup_agg(withyr, ["n_name", "yr"], "o_totalprice").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].astype("float64")
+    return out
+
+
+def q49_json_props_events(sf_dir: str):
+    """JSON field extraction (ops/jsonops.py): vectorized regex pull of
+    the flat integer props field `k` (pc.extract_regex, no per-row
+    json.loads), filter, then grouped count/sum — json_extract SQL
+    oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from raqc_ray.ops.jsonops import extract_json_int
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    out = (extract_json_int(ev, "props", "k")
+           .filter(expr="k >= 50")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return out
+
+
+def q50_hopping_window_events(sf_dir: str):
+    """Hopping-window aggregate (ops/window.hopping_window): 2-hour
+    windows every hour over the event stream; the k× fan-out is
+    pre-aggregated inside each block so the shuffle moves (windows ×
+    blocks) partials — unnest-based SQL oracle."""
+    from raqc_ray.ops.window import hopping_window
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    out = hopping_window(ev, "ts", "value", "2h", "1h").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].astype("float64")
+    out["window_start"] = pd.to_datetime(out["window_start"])
+    return out
+
+
+def q51_ntile_events(sf_dir: str):
+    """Per-key NTILE (ops/window.grouped_ntile): quartile of each
+    event's value within its user's history — NTILE(4) OVER window
+    oracle (tiebreak on event_id makes the order total)."""
+    from raqc_ray.ops.window import grouped_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    res, bdf = grouped_ntile(ev, key="user_id", order_by="value",
+                             n_tiles=4, tiebreak="event_id")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("event_id", "user_id", "tile"):
+        df[c] = df[c].astype("int64")
+    df["value"] = df["value"].astype("float64")
+    return df[["event_id", "user_id", "value", "tile"]]
+
+
+def q52_broadcast_revenue_by_region(sf_dir: str):
+    """Broadcast map-side join (ops/join.broadcast_join): orders →
+    (customer⋈nation⋈region) lookup shipped once via ray.put, zero
+    shuffle of the fact stream, then a tiny grouped count/sum — plain
+    3-way-join SQL oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from raqc_ray.ops.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    lut = (cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey",
+                  right_on="r_regionkey"))[["c_custkey", "r_name"]]
+    out = (broadcast_join(orders, lut, on="o_custkey",
+                          right_on="c_custkey")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="revenue"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].astype("float64").round(4)
+    return out
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -975,6 +1131,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_pivot_events_by_user": q42_pivot_events_by_user,
         "q43_users_intersect_customers": q43_users_intersect_customers,
         "q44_users_except_customers": q44_users_except_customers,
+        "q45_token_counts_documents": q45_token_counts_documents,
+        "q46_corr_lineitem": q46_corr_lineitem,
+        "q47_quantiles_qty_by_flag": q47_quantiles_qty_by_flag,
+        "q48_rollup_revenue": q48_rollup_revenue,
+        "q49_json_props_events": q49_json_props_events,
+        "q50_hopping_window_events": q50_hopping_window_events,
+        "q51_ntile_events": q51_ntile_events,
+        "q52_broadcast_revenue_by_region": q52_broadcast_revenue_by_region,
     }
 
 
@@ -1344,6 +1508,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             EXCEPT
             SELECT c_custkey FROM customer
+        """,
+        "q45_token_counts_documents": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token HAVING COUNT(*) >= 100
+        """,
+        "q46_corr_lineitem": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr,
+                   ROUND(covar_samp(l_quantity, l_extendedprice), 6)
+                       AS covar_samp,
+                   ROUND(stddev_samp(l_quantity), 6) AS stddev_x,
+                   ROUND(stddev_samp(l_extendedprice), 6) AS stddev_y
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q47_quantiles_qty_by_flag": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_disc(l_quantity, 0.25) AS q0_25,
+                   quantile_disc(l_quantity, 0.5)  AS q0_5,
+                   quantile_disc(l_quantity, 0.9)  AS q0_9
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q48_rollup_revenue": """
+            WITH base AS (
+                SELECT n_name,
+                       CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT)
+                            AS VARCHAR) AS yr,
+                       o_totalprice
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT COALESCE(n_name, 'ALL') AS n_name,
+                   COALESCE(yr, 'ALL') AS yr,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 4) AS sum_value
+            FROM base GROUP BY ROLLUP(n_name, yr)
+        """,
+        "q49_json_props_events": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            WHERE k >= 50 GROUP BY event_type
+        """,
+        "q50_hopping_window_events": """
+            SELECT window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM (SELECT unnest([date_trunc('hour', ts),
+                                 date_trunc('hour', ts)
+                                 - INTERVAL 1 HOUR]) AS window_start,
+                         value
+                  FROM events)
+            GROUP BY window_start
+        """,
+        "q51_ntile_events": """
+            SELECT event_id, user_id, value,
+                   CAST(NTILE(4) OVER (PARTITION BY user_id
+                                       ORDER BY value, event_id)
+                        AS BIGINT) AS tile
+            FROM events
+        """,
+        "q52_broadcast_revenue_by_region": """
+            SELECT r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -1,0 +1,62 @@
+"""Exact grouped discrete quantiles (``quantile_disc`` semantics) via
+distributed value counts — no per-group sort, no group ever collected.
+
+Ray-Data-first plan: ``map_batches`` reduces each block to
+``(key, value) → count`` partials (pandas groupby, vectorized), ONE
+hash ``groupby([key, value]).aggregate(Sum)`` makes the counts global,
+then ``groupby(key).map_groups`` — over the value-histogram rows, NOT
+the input rows — sorts each key's distinct values, cumsums the counts
+and selects index ``ceil(q·n) − 1`` (DuckDB's ``quantile_disc`` rule,
+verified empirically on edge sizes).  The exchange and the map_groups
+input are both (distinct values per key) × keys — for quantized /
+integer-like measures that is orders of magnitude below row count, the
+regime where exactness at 10^12 rows is affordable.  For continuous
+high-cardinality values use the t-digest path
+(:mod:`raqc_ray.sketches.tdigest`) instead; this operator is the exact
+complement, same split as HLL vs :mod:`raqc_ray.ops.distinct`.
+
+RAQC analog: SURVEY §2.5 A2/A4 (band percentiles / medians) — those
+use t-digest inside the validation pipeline; this is the exact path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def grouped_quantile_disc(ds, key: str, value_col: str,
+                          qs: tuple[float, ...] = (0.5,),
+                          prefix: str = "q"):
+    """Dataset with one row per key: ``(key, n, {prefix}{q}...)`` where
+    each quantile column holds the exact discrete quantile of
+    ``value_col`` (the smallest value whose cumulative count reaches
+    ``ceil(q·n)``)."""
+    from ray.data.aggregate import Sum
+
+    qcols = [f"{prefix}{str(q).replace('.', '_')}" for q in qs]
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False, as_index=False).sum()
+
+    partial = ds.map_batches(block_counts, batch_format="pandas")
+    hist = partial.groupby([key, value_col]).aggregate(
+        Sum("__c", alias_name="__c"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy()
+        c = s["__c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        row = {key: [g[key].iloc[0]], "n": [n]}
+        for q, col in zip(qs, qcols):
+            target = max(1, math.ceil(q * n))
+            row[col] = [v[int(np.searchsorted(cum, target))]]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")

@@ -1,0 +1,78 @@
+"""Token explode / unnest — the row-multiplying transform (one row per
+list element) plus the combined explode→count that a corpus-statistics
+pass actually wants at scale.
+
+Ray-Data-first plan: :func:`explode_tokens` is a pure ``map_batches``
+row multiplier (Arrow ``list_flatten`` + ``list_parent_indices`` gather
+— no Python loop over rows, no shuffle; block sizes grow by the fan-out
+factor so callers chain ``repartition`` only if the next stage needs
+it).  :func:`token_counts` NEVER materializes the exploded stream: a
+per-block combiner counts tokens inside each block (``value_counts`` on
+the flattened Arrow array), so the hash ``groupby`` that follows moves
+one ``(token, partial_n)`` row per distinct token per block — corpus
+positions never leave their block.  At 10^12 documents the exchange is
+vocabulary-sized × blocks, not token-stream-sized.
+
+RAQC analog: none (SURVEY §2 — the reference has no list/unnest ops);
+part of the §2 "large-scale training-data pipeline" surface (vocab
+building, stopword audits, n-gram corpus stats).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def explode_tokens(ds, id_col: str, text_col: str, sep: str = " ",
+                   token_col: str = "token", pos_col: str = "pos",
+                   drop_empty: bool = True):
+    """One output row per token: ``(id_col, pos_col, token_col)`` with
+    ``pos`` the 0-based token position within its document.  Matches
+    SQL ``unnest(string_split(text, sep))`` (empty tokens from repeated
+    separators are dropped when ``drop_empty``, which also matches the
+    oracle's ``WHERE token <> ''``)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], sep)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        # 0-based position within each list: global index minus the
+        # parent list's offset (vectorized via the list offsets)
+        import numpy as np
+
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(flat), dtype=np.int64) - starts[
+            parent.to_numpy(zero_copy_only=False)]
+        ids = pc.take(b[id_col], parent)
+        out = pa.table({id_col: ids, pos_col: pa.array(pos),
+                        token_col: flat})
+        if drop_empty:
+            out = out.filter(pc.not_equal(out[token_col], ""))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_counts(ds, text_col: str, sep: str = " ",
+                 token_col: str = "token", count_col: str = "n",
+                 min_count: int = 1):
+    """Global token frequency table ``(token, n)`` without ever
+    shuffling the exploded token stream: per-block ``value_counts``
+    partials → hash groupby SUM over (vocab × blocks) rows."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b[text_col], sep))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({token_col: vc.field("values"),
+                         count_col: pc.cast(vc.field("counts"), pa.int64())})
+
+    partial = ds.map_batches(block_counts, batch_format="pyarrow")
+    out = (partial.groupby(token_col)
+           .aggregate(Sum(count_col, alias_name=count_col)))
+    if min_count > 1:
+        out = out.filter(expr=f"{count_col} >= {min_count}")
+    return out.select_columns([token_col, count_col])

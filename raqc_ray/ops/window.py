@@ -35,6 +35,90 @@ from ._join_util import arrow_schema
 from .groupscan import scan_sorted_groups
 
 
+def grouped_ntile(ds, key: str, order_by: str, n_tiles: int,
+                  tiebreak: str | None = None, out_col: str = "tile"):
+    """Per-key NTILE: appends ``out_col`` (int64, 1-based) bucketing
+    each key's rows into ``n_tiles`` near-equal groups in ``(order_by,
+    tiebreak)`` order — SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY
+    order_by, tiebreak)`` semantics (the first ``n_rows % n_tiles``
+    buckets take the extra row).  Same one-sort + sorted-group-scan
+    plan as :func:`grouped_running`; ``tiebreak`` must make the order
+    total or bucket boundaries are nondeterministic."""
+    out_empty = arrow_schema(ds).empty_table().to_pandas()
+    out_empty[out_col] = pd.Series(dtype="int64")
+    out_cols = list(out_empty.columns)
+    sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values(sort_cols, kind="mergesort")
+             .reset_index(drop=True))
+        n = len(s)
+        base, rem = divmod(n, n_tiles)
+        # bucket sizes: rem buckets of (base+1), then (n_tiles-rem) of base
+        sizes = np.full(min(n_tiles, n), base, dtype=np.int64)
+        sizes[:rem] += 1
+        s[out_col] = np.repeat(
+            np.arange(1, len(sizes) + 1, dtype=np.int64), sizes[sizes > 0])
+        return s[out_cols]
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)
+
+
+def hopping_window(ds, ts_col: str, value_col: str, window: str, hop: str,
+                   round_to: int = 4):
+    """Sliding/hopping window aggregate: one output row per window
+    start ``(window_start, n_events, sum_value)``; each input row lands
+    in ``window/hop`` windows.  ``window`` must be a multiple of
+    ``hop`` (both pandas offset strings, e.g. ``"2h"``/``"1h"``).
+
+    Scale plan: the fan-out never leaves its block — a per-block
+    combiner assigns each row its k covering window starts and
+    pre-aggregates ``(start → n, Σv)`` locally, so the hash ``groupby``
+    moves (windows × blocks) partial rows, not k× the event stream.
+    This is the streaming-window shape (tumbling = window == hop, see
+    q23) generalized to overlap.
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    w_us = int(pd.Timedelta(window).value // 1000)
+    h_us = int(pd.Timedelta(hop).value // 1000)
+    if w_us % h_us:
+        raise ValueError("window must be a multiple of hop")
+    k = w_us // h_us
+
+    def block_partials(b: pa.Table) -> pd.DataFrame:
+        ts = b[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        anchor = (ts // h_us) * h_us  # latest window start covering ts
+        starts = (anchor[:, None]
+                  - np.arange(k, dtype=np.int64)[None, :] * h_us).ravel()
+        vals = np.repeat(v, k)
+        df = pd.DataFrame({"window_start": starts, "n_events": 1,
+                           "sum_value": vals})
+        p = df.groupby("window_start", sort=False, as_index=False).sum()
+        p["n_events"] = p["n_events"].astype("int64")
+        return p
+
+    agg = (ds.map_batches(block_partials, batch_format="pyarrow")
+           .groupby("window_start")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "window_start": df["window_start"].astype("int64")
+            .to_numpy().astype("datetime64[us]"),
+            "n_events": df["n_events"].astype("int64"),
+            "sum_value": df["sum_value"].astype("float64").round(round_to),
+        })
+        return d
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def grouped_running(ds, key: str, order_by: str, value_col: str,
                     tiebreak: str | None = None, round_to: int = 4):
     """Returns (res_dataset, boundary_df) — caller unions.

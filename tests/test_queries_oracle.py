@@ -74,7 +74,11 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q37_running_events", "q38_audio_features",
             "q39_hash_sample_documents", "q40_hash_split_documents",
             "q41_distinct_users_by_type", "q42_pivot_events_by_user",
-            "q43_users_intersect_customers", "q44_users_except_customers"]
+            "q43_users_intersect_customers", "q44_users_except_customers",
+            "q45_token_counts_documents", "q46_corr_lineitem",
+            "q47_quantiles_qty_by_flag", "q48_rollup_revenue",
+            "q49_json_props_events", "q50_hopping_window_events",
+            "q51_ntile_events", "q52_broadcast_revenue_by_region"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
