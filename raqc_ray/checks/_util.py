@@ -40,6 +40,25 @@ def stream_df(ds) -> pd.DataFrame:
     return df if df is not None else ds.to_pandas()
 
 
+class TablePartials:
+    """In-memory phase-1 partials: an ObjectRef to ONE pyarrow table plus
+    its row count.  Produced by the fused pre-pass when the whole partial
+    stream is small (validate.py::_fused_views): splitting the fused
+    materialized table ONCE in a remote task replaces three
+    ``mat.filter(...)`` Dataset executions + three ``decide_path``
+    materializations per epoch — each a full streaming-executor run whose
+    driver-side scheduling loop is the measured benchxl scaling floor
+    (~28 s of driver CPU at 32 CPUs).  Checks accept it anywhere
+    ``partials_ds`` is accepted; ``decide_path`` routes it to the
+    single-task (small) branch by construction."""
+
+    __slots__ = ("ref", "n")
+
+    def __init__(self, ref, n: int):
+        self.ref = ref
+        self.n = int(n)
+
+
 def decide_path(partials_ds, driver_threshold: int):
     """Materialize a partials Dataset and pick the reduction path by SIZE.
 
@@ -55,6 +74,10 @@ def decide_path(partials_ds, driver_threshold: int):
     """
     import os as _os
 
+    if isinstance(partials_ds, TablePartials):
+        # pre-split in-memory partials: small by construction (the fused
+        # pre-pass only builds them under the split threshold)
+        return partials_ds, partials_ds.n, False
     mat = partials_ds.materialize()
     n = mat.count()
     env = _os.environ.get("RAQC_DISTRIBUTED_SCAN")
@@ -73,8 +96,16 @@ def collect_and_reduce(ds, reduce_fn, *args):
     remote task per reduction keeps the driver free; blocks reach the
     task zero-copy through the object store.  ``reduce_fn`` receives one
     concatenated arrow table (or None when the dataset is empty) and its
-    (small) return value ships back."""
+    (small) return value ships back.  Accepts :class:`TablePartials`
+    (already one in-store table) as well as a Dataset."""
     import ray
+
+    if isinstance(ds, TablePartials):
+        @ray.remote(num_cpus=1)
+        def _run_tbl(tbl, *a):
+            return reduce_fn(tbl if tbl.num_rows > 0 else None, *a)
+
+        return ray.get(_run_tbl.remote(ds.ref, *args))
 
     refs = ds.to_arrow_refs()
 
@@ -110,6 +141,37 @@ def collect_and_reduce_sliced(ds, reduce_fn, nslices: int, *args) -> list:
         return reduce_fn(tbl, *a)
 
     return ray.get([_run.remote(refs[i::k], *args) for i in range(k)])
+
+
+def map_blocks_collect(ds, fn, max_tasks: int = 1024):
+    """Apply ``fn(block_table) -> pa.Table`` over a Dataset's blocks as
+    PLAIN Ray tasks and return the concatenated result (or None when
+    empty).
+
+    Why: a ``map_batches(...).to_pandas()`` phase-2 scan is a full
+    streaming-executor run; its driver-side scheduling loop was the
+    measured benchxl 32-CPU scaling floor.  For an already-materialized
+    narrow projection, direct per-block tasks cost the driver only the
+    submissions.  Raw tasks have no streaming backpressure, so above
+    ``max_tasks`` blocks (10^12-row scale) this falls back to the
+    map_batches execution — outputs there are candidate-sized either
+    way."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    if len(refs) <= max_tasks:
+        @ray.remote(num_cpus=1)
+        def _blk(tbl):
+            return fn(tbl)
+
+        outs = ray.get([_blk.remote(r) for r in refs])
+    else:
+        outs = ray.get(
+            ds.map_batches(fn, batch_format="pyarrow").to_arrow_refs())
+    live = [t for t in outs if t is not None and t.num_rows > 0]
+    if live:
+        return pa.concat_tables(live)
+    return outs[0] if outs else None
 
 
 def grouped_counts(partials_ds, key_cols: list[str], n_col: str = "n",

@@ -197,15 +197,15 @@ def referential_violations(images_ds, captions_ds, spec: ReferentialCheck,
         return violations_dataset(empty_violations_df())
     cand_ref = ray.put(cand)
 
-    cdf = images_ds.map_batches(
-        lambda b: _candidate_rows(b, spec, pid_fn, 0, cand_ref),
-        batch_format="pyarrow",
-    ).union(
-        captions_ds.map_batches(
-            lambda b: _candidate_rows(b, spec, pid_fn, 1, cand_ref),
-            batch_format="pyarrow",
-        )
-    ).to_pandas()
+    from ._util import map_blocks_collect
+
+    t_img = map_blocks_collect(
+        images_ds, lambda b: _candidate_rows(b, spec, pid_fn, 0, cand_ref))
+    t_cap = map_blocks_collect(
+        captions_ds, lambda b: _candidate_rows(b, spec, pid_fn, 1, cand_ref))
+    live = [t for t in (t_img, t_cap) if t is not None and t.num_rows > 0]
+    cdf = (pa.concat_tables(live).to_pandas() if live
+           else empty_violations_df().iloc[:0])
     if len(cdf) == 0 or "image_id" not in cdf.columns:
         return violations_dataset(empty_violations_df())
     out = _verify_candidates(cdf, epoch, spec.severity)

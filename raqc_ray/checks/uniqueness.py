@@ -128,10 +128,11 @@ def uniqueness_violations(ds, column: str, epoch: str, pid_fn,
         return violations_dataset(empty_violations_df())
     cand_ref = ray.put(cand)
 
-    kp = ds.map_batches(
-        lambda b: _key_partials(b, column, pid_fn, cand_ref),
-        batch_format="pyarrow",
-    ).to_pandas()
+    from ._util import map_blocks_collect
+
+    kp_tbl = map_blocks_collect(
+        ds, lambda b: _key_partials(b, column, pid_fn, cand_ref))
+    kp = kp_tbl.to_pandas() if kp_tbl is not None else pd.DataFrame()
     if len(kp) == 0 or "key" not in kp.columns:
         return violations_dataset(empty_violations_df())
     kp = kp.groupby(["key", "partition_id"], sort=False)["n"].sum().reset_index()

@@ -300,6 +300,16 @@ class RunConfig:
     # default config is 10^12-row-safe without opt-in.
     wide_partials: bool = False
     wide_partials_threshold: int = 2_000_000
+    # Below this many materialized fused-partial rows, the shuffle
+    # checks' phase-1 streams are split ONCE in a remote task into three
+    # in-store arrow tables (checks/_util.TablePartials) instead of three
+    # filtered Dataset views — each view cost a full streaming-executor
+    # run whose driver-side loop was the measured 32-CPU scaling floor.
+    # Above it (10^12-row scale), the Dataset views + per-check
+    # distributed aggregation paths run unchanged.  16M all-int64 rows
+    # ≈ 250 MB in one split task / one reduce task — well inside a
+    # worker heap, far above the bench fixture (~2.4M rows/epoch).
+    fused_split_threshold: int = 16_000_000
 
     def row_stat_checks(self) -> list[CheckSpec]:
         return [

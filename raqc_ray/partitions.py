@@ -54,6 +54,16 @@ def make_pid_fn(partition_from: tuple):
             return np.asarray(fn(batch), dtype=np.int64)
 
         return pid_fn
+    if mode == "path_fn":
+        # like "expr" but the callable needs the ``path`` column (the
+        # reader must include paths) — used by the fused epoch-pair
+        # Pass A to derive (epoch, partition) from the file path
+        fn = partition_from[1]
+
+        def pid_fn(batch: pa.Table) -> np.ndarray:
+            return np.asarray(fn(batch), dtype=np.int64)
+
+        return pid_fn
 
     def pid_fn(batch: pa.Table) -> np.ndarray:
         return np.zeros(batch.num_rows, dtype=np.int64)

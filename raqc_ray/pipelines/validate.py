@@ -96,7 +96,7 @@ def shuffle_width() -> int:
 def _read(paths, cfg: RunConfig, columns=None, bounded: bool = False):
     from ..io import read_table
 
-    include_paths = cfg.partition_from[0] == "path"
+    include_paths = cfg.partition_from[0] in ("path", "path_fn")
     return read_table(
         paths, columns=columns, include_paths=include_paths,
         num_blocks=shuffle_width() if bounded else None,
@@ -279,14 +279,85 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
                 parts.append(pad(_int_partials(b, ref, pid_fn, 0), 2))
             return pa.concat_tables(parts)
 
-        fused = nds.map_batches(img_side, batch_format="pyarrow")
+        import os as _os
+
+        import ray as _ray
+
+        # Plain per-block Ray tasks over the ALREADY-MATERIALIZED narrow
+        # blocks (and the materialized captions), instead of a
+        # map_batches→union→materialize Dataset run: a streaming-executor
+        # execution costs a driver-side scheduling loop that was the
+        # measured 32-CPU scaling floor (~28 s driver CPU per benchxl
+        # pair); ~80 direct task submissions cost milliseconds.  Each
+        # task returns (partial table, row count); the counts (tiny)
+        # decide split-vs-distributed below without another execution.
         cap_ds = None
         if ref is not None and ref.side_path:
-            cap_ds = read_table(ref.side_path)
-            fused = fused.union(cap_ds.map_batches(
-                lambda b: pad(_int_partials(b, ref, pid_fn, 1), 2),
-                batch_format="pyarrow"))
-        mat = fused.materialize()
+            cap_ds = read_table(ref.side_path).materialize()
+
+        @_ray.remote(num_cpus=1, num_returns=2)
+        def _img_task(tbl: pa.Table):
+            out = img_side(tbl)
+            return out, out.num_rows
+
+        @_ray.remote(num_cpus=1, num_returns=2)
+        def _cap_task(tbl: pa.Table):
+            out = pad(_int_partials(tbl, ref, pid_fn, 1), 2)
+            return out, out.num_rows
+
+        pairs = [_img_task.remote(r) for r in nds.to_arrow_refs()]
+        if cap_ds is not None:
+            pairs += [_cap_task.remote(r) for r in cap_ds.to_arrow_refs()]
+        part_refs = [p[0] for p in pairs]
+        n_total = int(sum(_ray.get([p[1] for p in pairs])))
+        env = _os.environ.get("RAQC_DISTRIBUTED_SCAN")
+        force_dist = bool(env) and env.lower() not in ("0", "false")
+        if n_total <= cfg.fused_split_threshold and not force_dist:
+            # Small partial stream: ONE remote task splits the fused table
+            # into the three per-check projections (each an in-store arrow
+            # table).  The Dataset alternative — three mat.filter(...)
+            # views, each re-materialized by its check's decide_path — is
+            # three more full streaming-executor runs; their driver-side
+            # scheduling loops were the measured benchxl scaling floor.
+            import ray as _ray
+
+            from ..checks._util import TablePartials
+
+            SRC_COLS = {0: ["khash", "partition_id", "n"],
+                        1: ["bucket", "n"],
+                        2: ["khash", "n_img", "n_cap", "h_img", "h_cap"]}
+
+            @_ray.remote(num_cpus=1, num_returns=3)
+            def _split(tables):
+                tables = _ray.get(list(tables))
+                live = [t for t in tables if t.num_rows > 0]
+                if live:
+                    tbl = pa.concat_tables(live)
+                elif tables:
+                    tbl = tables[0].slice(0, 0)
+                else:
+                    tbl = pa.table({c: pa.array([], pa.int64())
+                                    for c in COLS})
+                src = tbl["src"].to_numpy(zero_copy_only=False)
+                out = []
+                for s in (0, 1, 2):
+                    part = tbl.filter(pa.array(src == s))
+                    out.append(part.select(SRC_COLS[s]))
+                return tuple(out)
+
+            u_ref, n_ref, r_ref = _split.remote(part_refs)
+            views = {}
+            if uniq is not None:
+                views["uniq"] = TablePartials(u_ref, n_total)
+            if nd is not None:
+                views["nd"] = TablePartials(n_ref, n_total)
+            if ref is not None and ref.side_path:
+                views["ref"] = TablePartials(r_ref, n_total)
+            return views, cap_ds
+        # 10^12-row path: wrap the partial blocks as a Dataset (no
+        # execution — the blocks already live in the object store) and
+        # hand each check a filtered view for its distributed aggregation.
+        mat = rd.from_arrow_refs(part_refs)
         views = {}
         if uniq is not None:
             views["uniq"] = mat.filter(expr="src == 0")
@@ -348,6 +419,8 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
             # concatenates an input-proportional stream at 10^12-row
             # scale.  RAQC_WIDE_PARTIALS stays as an explicit override
             # (1 forces wide, 0 forces sliced).
+            if hasattr(passa, "result"):  # fused-pair lazy handle
+                passa = passa.result()
             passa = passa.materialize()
             env = _os.environ.get("RAQC_WIDE_PARTIALS")
             if env is not None and env != "":
@@ -660,6 +733,107 @@ def _build_verdicts(cfg: RunConfig, merged: dict, count_lut: dict) -> pa.Table:
     return pa.Table.from_pandas(df, schema=VERDICTS_SCHEMA, preserve_index=False)
 
 
+_PAIR_PID_OFFSET = 1 << 40
+
+
+def _fused_pair_passa(baseline_paths, current_paths,
+                      baseline_cfg: RunConfig, current_cfg: RunConfig):
+    """Run Pass A ONCE over both epochs' files, split the (output-sized)
+    result per epoch with plain Ray tasks, then run the two epoch
+    pipelines concurrently with their Pass A handed in precomputed.
+
+    Requires identical check configs and path-mode partitioning (the
+    caller guards).  e2 rows are tagged by adding ``_PAIR_PID_OFFSET``
+    to their partition id inside the fused pid fn; the split task
+    restores ids and stamps each epoch's label into the ``epoch``
+    column.  Partial merges are associative and every check is
+    (epoch, pid)-local, so results match the two-execution path
+    (asserted by test_validate_e2e / test_fused_pair)."""
+    import copy
+    import re as _re
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray
+
+    rx = _re.compile(baseline_cfg.partition_from[1])
+    e2set = frozenset(str(p) for p in current_paths)
+
+    def fused_pid(batch: pa.Table) -> np.ndarray:
+        paths = batch["path"].to_pylist()
+        lut: dict[str, int] = {}
+        out = np.empty(len(paths), dtype=np.int64)
+        for i, p in enumerate(paths):
+            v = lut.get(p)
+            if v is None:
+                m = rx.search(p)
+                v = int(m.group(1)) if m else 0
+                if p in e2set:
+                    v += _PAIR_PID_OFFSET
+                lut[p] = v
+            out[i] = v
+        return out
+
+    total = (int(ray.cluster_resources().get("CPU", 4))
+             if ray.is_initialized() else 4)
+    fcfg = copy.copy(baseline_cfg)
+    fcfg.partition_from = ("path_fn", fused_pid)
+    fcfg.epoch = "__pair__"
+    if not fcfg.decode_concurrency:
+        fcfg.decode_concurrency = max(1, min(total - 2, (3 * total) // 4))
+
+    e1_label, e2_label = baseline_cfg.epoch, current_cfg.epoch
+
+    @ray.remote(num_cpus=1, num_returns=2)
+    def _esplit(tbl: pa.Table):
+        pids = tbl["partition_id"].to_numpy(zero_copy_only=False)
+        m2 = pids >= _PAIR_PID_OFFSET
+        i_pid = tbl.schema.get_field_index("partition_id")
+        i_ep = tbl.schema.get_field_index("epoch")
+
+        def fix(part: pa.Table, sub: np.ndarray, label: str, off: int):
+            part = part.set_column(
+                i_pid, "partition_id", pa.array(sub - off, pa.int64()))
+            return part.set_column(
+                i_ep, "epoch",
+                pa.array([label] * part.num_rows, type=pa.string()))
+
+        t1 = fix(tbl.filter(pa.array(~m2)), pids[~m2], e1_label, 0)
+        t2 = fix(tbl.filter(pa.array(m2)), pids[m2], e2_label,
+                 _PAIR_PID_OFFSET)
+        return t1, t2
+
+    def _build():
+        """Decode execution + per-epoch split — runs in its own thread
+        so each epoch's narrow reads / shuffle checks overlap the
+        decode, exactly as they did with per-epoch Pass A."""
+        passa_all = run_passa(
+            list(baseline_paths) + list(current_paths), fcfg
+        ).materialize()
+        pairs = [_esplit.remote(r) for r in passa_all.to_arrow_refs()]
+        return (rd.from_arrow_refs([p[0] for p in pairs]),
+                rd.from_arrow_refs([p[1] for p in pairs]))
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        both = ex.submit(_build)
+        f1 = ex.submit(validate_epoch, baseline_paths, baseline_cfg,
+                       _IndexedFuture(both, 0))
+        f2 = ex.submit(validate_epoch, current_paths, current_cfg,
+                       _IndexedFuture(both, 1))
+        return f1.result(), f2.result()
+
+
+class _IndexedFuture:
+    """Lazy handle to one element of a future tuple — lets the fused
+    pair hand each epoch its Pass A before the decode has finished."""
+
+    def __init__(self, fut, idx: int):
+        self._fut = fut
+        self._idx = idx
+
+    def result(self):
+        return self._fut.result()[self._idx]
+
+
 def validate_epoch_pair(
     baseline_paths, current_paths, baseline_cfg: RunConfig, current_cfg: RunConfig
 ) -> tuple[EpochResult, EpochResult]:
@@ -677,9 +851,31 @@ def validate_epoch_pair(
 
     import ray
 
+    fused_ok = (
+        not _os.environ.get("RAQC_SEQ_PAIR")
+        and _os.environ.get("RAQC_FUSED_PAIR", "1").lower()
+        not in ("0", "false")
+        and baseline_cfg.partition_from[0] == "path"
+        and baseline_cfg.partition_from == current_cfg.partition_from
+        and baseline_cfg.checks == current_cfg.checks
+        and baseline_cfg.batch_size == current_cfg.batch_size
+        and baseline_cfg.read_columns == current_cfg.read_columns
+    )
     if _os.environ.get("RAQC_SEQ_PAIR"):
         r1 = validate_epoch(baseline_paths, baseline_cfg)
         r2 = validate_epoch(current_paths, current_cfg)
+    elif fused_ok:
+        # Fused Pass A: ONE decode execution over BOTH epochs' files.
+        # Two concurrent per-epoch executions each got half the actor
+        # budget, paid their own pool ramp-up, and idled when one epoch
+        # drained first; the union stream shares one full-size pool.
+        # Epoch attribution rides the partition id (e2 pids offset by
+        # 2^40, restored in the split task) — every per-row check and
+        # per-(pid) partial is epoch-local by construction, and the
+        # partial merges are associative, so violations and verdicts
+        # are unchanged.
+        r1, r2 = _fused_pair_passa(baseline_paths, current_paths,
+                                   baseline_cfg, current_cfg)
     else:
         # split the decode-actor budget between the two concurrent pools —
         # two auto-sized pools would jointly reserve every CPU and starve
