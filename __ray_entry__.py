@@ -1059,6 +1059,126 @@ def q52_broadcast_revenue_by_region(sf_dir: str):
     return out
 
 
+def q53_argmax_order_per_cust(sf_dir: str):
+    """Grouped ARG_MAX (ops/argmax.py): each customer's single most
+    expensive order, whole row carried, keys×blocks combiner — window
+    ROW_NUMBER oracle with a total tiebreak."""
+    from raqc_ray.ops.argmax import grouped_arg_max
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = grouped_arg_max(orders, key="o_custkey", order_by="o_totalprice",
+                          tiebreak="o_orderkey").to_pandas()
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].astype("float64")
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"])
+    return out[["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]]
+
+
+def q54_string_features_documents(sf_dir: str):
+    """Vectorized string scalar functions (ops/strings.py): codepoint
+    length, uppercased 8-char head, digit-stripped source — pure
+    pyarrow.compute kernels, SQL string-function oracle."""
+    from raqc_ray.ops.strings import string_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = string_features(docs, "text", head_chars=8)
+    ds = string_features(ds, "source", head_chars=4,
+                         strip_pattern="[0-9]+", strip_replacement="#")
+    out = ds.select_columns(
+        ["doc_id", "text_len", "text_head", "source_stripped"]).to_pandas()
+    for c in ("doc_id", "text_len"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q55_multijoin_revenue_priority(sf_dir: str):
+    """Composed relational pipeline: lineitem ⋈ orders (distributed
+    hash join, two big sides) ⋈ customer ⋈ nation (broadcast lookups),
+    date filter pushed to the read side, grouped revenue by (nation,
+    order priority) — the TPC-H-Q3-shaped end-to-end oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from raqc_ray.ops.join import broadcast_join, hash_join
+
+    import pyarrow.compute as pc
+
+    cutoff = pa.scalar(pd.Timestamp("1995-03-15"),
+                       type=pa.timestamp("us"))
+
+    def after_cutoff(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["l_shipdate"], cutoff))
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+          .map_batches(after_cutoff, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name"]).to_pandas()
+    lut = cust.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey")[["c_custkey", "n_name"]]
+    withnat = broadcast_join(joined, lut, on="o_custkey",
+                             right_on="c_custkey")
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["n_name", "o_orderpriority"]].copy()
+        # per-row integer cents BEFORE summing: float sums of ~1e7 differ
+        # between association orders at the cent level, so the oracle
+        # compare is exact only if both sides sum integers
+        # floor(x*100 + 0.5): the SQL oracle spells the identical float
+        # ops, so per-row cents match bit-for-bit (no ROUND-semantics
+        # divergence between engines)
+        r = (df["l_extendedprice"].to_numpy()
+             * (1.0 - df["l_discount"].to_numpy()))
+        d["revenue_cents"] = np.floor(r * 100.0 + 0.5).astype(np.int64)
+        d["n"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby(["n_name", "o_orderpriority"], sort=False,
+                         as_index=False).sum()
+
+    out = (withnat.map_batches(revenue, batch_format="pandas")
+           .groupby(["n_name", "o_orderpriority"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("revenue_cents", alias_name="revenue_cents"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+def q56_dateparts_orders(sf_dir: str):
+    """Date-part extraction + grouped rollup by (year, quarter) over
+    the order stream — per-block combiner emits (year, quarter)
+    partials; EXTRACT-function oracle."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def parts(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "yr": df["o_orderdate"].dt.year.astype("int64"),
+            "qtr": df["o_orderdate"].dt.quarter.astype("int64"),
+        })
+        d["n"] = np.ones(len(d), dtype=np.int64)
+        d["sum_price"] = df["o_totalprice"].to_numpy()
+        return d.groupby(["yr", "qtr"], sort=False, as_index=False).sum()
+
+    out = (orders.map_batches(parts, batch_format="pandas")
+           .groupby(["yr", "qtr"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_price", alias_name="sum_price"))
+           .to_pandas())
+    for c in ("yr", "qtr", "n"):
+        out[c] = out[c].astype("int64")
+    out["sum_price"] = out["sum_price"].astype("float64").round(4)
+    return out
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1139,6 +1259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_hopping_window_events": q50_hopping_window_events,
         "q51_ntile_events": q51_ntile_events,
         "q52_broadcast_revenue_by_region": q52_broadcast_revenue_by_region,
+        "q53_argmax_order_per_cust": q53_argmax_order_per_cust,
+        "q54_string_features_documents": q54_string_features_documents,
+        "q55_multijoin_revenue_priority": q55_multijoin_revenue_priority,
+        "q56_dateparts_orders": q56_dateparts_orders,
     }
 
 
@@ -1586,6 +1710,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "q53_argmax_order_per_cust": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey DESC
+                         ) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        """,
+        "q54_string_features_documents": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS text_len,
+                   upper(substr(text, 1, 8)) AS text_head,
+                   regexp_replace(source, '[0-9]+', '#', 'g')
+                       AS source_stripped
+            FROM documents
+        """,
+        "q55_multijoin_revenue_priority": """
+            SELECT n_name, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY n_name, o_orderpriority
+        """,
+        "q56_dateparts_orders": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 4) AS sum_price
+            FROM orders GROUP BY 1, 2
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -1,0 +1,45 @@
+"""Vectorized string scalar functions over a Dataset column — the
+§2.7 scalar-function surface for text (length / case / slice / regex
+replace), all ``pyarrow.compute`` kernels over the block's UTF-8
+buffer: no Python per row, no copy besides the output column.
+
+Semantics match DuckDB/ANSI for the implemented subset (verified by
+the q53-family oracles): ``length`` counts codepoints
+(``pc.utf8_length``), ``upper``/``lower`` are full-Unicode,
+``substr(s, 1, n)`` is 1-based (``pc.utf8_slice_codeunits(0, n)``),
+``regexp_replace(..., 'g')`` is global (``pc.replace_substring_regex``).
+
+RAQC analog: SURVEY §2.7 (the reference's scalar functions are
+numeric raster ops only); text scalars are part of the §2
+training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def string_features(ds, col: str, head_chars: int = 8,
+                    strip_pattern: str | None = None,
+                    strip_replacement: str = ""):
+    """Appends ``{col}_len`` (int64 codepoints), ``{col}_head``
+    (uppercased first ``head_chars`` codepoints) and — when
+    ``strip_pattern`` is given — ``{col}_stripped`` (global regex
+    replace)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = b[col]
+        b = b.append_column(f"{col}_len",
+                            pc.cast(pc.utf8_length(s), pa.int64()))
+        b = b.append_column(
+            f"{col}_head",
+            pc.utf8_upper(pc.utf8_slice_codeunits(s, 0, head_chars)))
+        if strip_pattern is not None:
+            b = b.append_column(
+                f"{col}_stripped",
+                pc.replace_substring_regex(s, strip_pattern,
+                                           strip_replacement))
+        return b
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -174,6 +174,41 @@ def test_hopping_window_matches_bruteforce(rd):
         assert out.loc[ws, "sum_value"] == pytest.approx(s, abs=1e-3)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grouped_arg_max_matches_reference(rd, seed):
+    from raqc_ray.ops.argmax import grouped_arg_max
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "id": np.arange(n),
+        # coarse grid → ties in the order column exercise the tiebreak
+        "v": rng.integers(0, 6, n).astype(float),
+        "payload": rng.random(n),
+    })
+    out = (grouped_arg_max(rd.from_pandas(df), "k", "v", tiebreak="id")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.sort_values(["v", "id"])
+           .groupby("k", sort=False, as_index=False).tail(1)
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "id", "v", "payload"]],
+                                  exp[["k", "id", "v", "payload"]])
+
+
+def test_string_features_kernels(rd):
+    from raqc_ray.ops.strings import string_features
+
+    df = pd.DataFrame({"s": ["Hello World", "héllo", "a1b22c333", ""]})
+    out = string_features(rd.from_pandas(df), "s", head_chars=4,
+                          strip_pattern="[0-9]+",
+                          strip_replacement="#").to_pandas()
+    assert out["s_len"].tolist() == [11, 5, 9, 0]  # codepoints, not bytes
+    assert out["s_head"].tolist() == ["HELL", "HÉLL", "A1B2", ""]
+    assert out["s_stripped"].tolist() == ["Hello World", "héllo",
+                                          "a#b#c#", ""]
+
+
 def test_broadcast_join_matches_merge(rd):
     from raqc_ray.ops.join import broadcast_join
 

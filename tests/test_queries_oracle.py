@@ -78,7 +78,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q45_token_counts_documents", "q46_corr_lineitem",
             "q47_quantiles_qty_by_flag", "q48_rollup_revenue",
             "q49_json_props_events", "q50_hopping_window_events",
-            "q51_ntile_events", "q52_broadcast_revenue_by_region"]
+            "q51_ntile_events", "q52_broadcast_revenue_by_region",
+            "q53_argmax_order_per_cust", "q54_string_features_documents",
+            "q55_multijoin_revenue_priority", "q56_dateparts_orders"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
