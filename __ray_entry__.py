@@ -1179,6 +1179,41 @@ def q56_dateparts_orders(sf_dir: str):
     return out
 
 
+def q57_profile_documents(sf_dir: str):
+    """One-pass column profiler (ops/profile.py): per-column row/null/
+    exact-distinct counts, typed min/max, mean value or codepoint
+    length — (columns × blocks) partials, UNION-ALL SQL oracle."""
+    from raqc_ray.ops.profile import profile_table
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    out = profile_table(docs, ["doc_id", "text", "lang", "source",
+                               "n_chars"])
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    out["avg_val"] = out["avg_val"].astype("float64")
+    return out
+
+
+def q58_leadlag_events(sf_dir: str):
+    """Per-key LAG/LEAD window values (ops/window.grouped_lead_lag):
+    previous and next event value per user — SQL LAG/LEAD oracle
+    (tiebreak on event_id makes the order total)."""
+    from raqc_ray.ops.window import grouped_lead_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    res, bdf = grouped_lead_lag(ev, key="user_id", order_by="ts",
+                                value_col="value", tiebreak="event_id")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("event_id", "user_id"):
+        df[c] = df[c].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"])
+    for c in ("value", "lag_value", "lead_value"):
+        df[c] = df[c].astype("float64")
+    return df[["event_id", "ts", "user_id", "value", "lag_value",
+               "lead_value"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1263,6 +1298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_string_features_documents": q54_string_features_documents,
         "q55_multijoin_revenue_priority": q55_multijoin_revenue_priority,
         "q56_dateparts_orders": q56_dateparts_orders,
+        "q57_profile_documents": q57_profile_documents,
+        "q58_leadlag_events": q58_leadlag_events,
     }
 
 
@@ -1748,6 +1785,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(SUM(o_totalprice), 4) AS sum_price
             FROM orders GROUP BY 1, 2
+        """,
+        "q57_profile_documents": """
+            SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_val,
+                   ROUND(AVG(doc_id), 4) AS avg_val
+            FROM documents
+            UNION ALL
+            SELECT 'text', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(text) AS BIGINT),
+                   CAST(COUNT(DISTINCT text) AS BIGINT),
+                   CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR),
+                   ROUND(AVG(length(text)), 4)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+                   CAST(COUNT(DISTINCT lang) AS BIGINT),
+                   CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR),
+                   ROUND(AVG(length(lang)), 4)
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(source) AS BIGINT),
+                   CAST(COUNT(DISTINCT source) AS BIGINT),
+                   CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR),
+                   ROUND(AVG(length(source)), 4)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+                   CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+                   CAST(MIN(n_chars) AS VARCHAR),
+                   CAST(MAX(n_chars) AS VARCHAR),
+                   ROUND(AVG(n_chars), 4)
+            FROM documents
+        """,
+        "q58_leadlag_events": """
+            SELECT event_id, ts, user_id, value,
+                   LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS lag_value,
+                   LEAD(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS lead_value
+            FROM events
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

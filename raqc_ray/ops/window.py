@@ -64,6 +64,37 @@ def grouped_ntile(ds, key: str, order_by: str, n_tiles: int,
     return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)
 
 
+def grouped_lead_lag(ds, key: str, order_by: str, value_col: str,
+                     tiebreak: str | None = None,
+                     lag_col: str = "lag_value",
+                     lead_col: str = "lead_value"):
+    """Per-key LAG/LEAD of ``value_col`` in ``(order_by, tiebreak)``
+    order — SQL ``LAG(v) OVER`` / ``LEAD(v) OVER`` semantics (null at
+    each key's edges).  Same one-sort + sorted-group-scan plan as
+    :func:`grouped_running`; the per-group shift is one vectorized
+    slice."""
+    out_empty = arrow_schema(ds).empty_table().to_pandas()
+    out_empty[lag_col] = pd.Series(dtype="float64")
+    out_empty[lead_col] = pd.Series(dtype="float64")
+    out_cols = list(out_empty.columns)
+    sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values(sort_cols, kind="mergesort")
+             .reset_index(drop=True))
+        v = s[value_col].to_numpy(dtype=np.float64)
+        lag = np.full(len(s), np.nan)
+        lead = np.full(len(s), np.nan)
+        if len(s) > 1:
+            lag[1:] = v[:-1]
+            lead[:-1] = v[1:]
+        s[lag_col] = lag
+        s[lead_col] = lead
+        return s[out_cols]
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)
+
+
 def hopping_window(ds, ts_col: str, value_col: str, window: str, hop: str,
                    round_to: int = 4):
     """Sliding/hopping window aggregate: one output row per window

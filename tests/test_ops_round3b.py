@@ -209,6 +209,48 @@ def test_string_features_kernels(rd):
                                           "a#b#c#", ""]
 
 
+def test_profile_table_reference(rd):
+    from raqc_ray.ops.profile import profile_table
+
+    df = pd.DataFrame({
+        "a": [1, 2, 2, None],
+        "s": ["xx", "y", None, "zzz"],
+    })
+    out = profile_table(rd.from_pandas(df), ["a", "s"]).set_index("col")
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["a", "min_val"] == "1.0" and out.loc["a", "max_val"] == "2.0"
+    assert out.loc["a", "avg_val"] == pytest.approx(5 / 3, abs=1e-4)
+    assert out.loc["s", "n_null"] == 1 and out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_val"] == "xx" and out.loc["s", "max_val"] == "zzz"
+    assert out.loc["s", "avg_val"] == pytest.approx(2.0, abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_grouped_lead_lag_matches_reference(rd, seed):
+    from raqc_ray.ops.window import grouped_lead_lag
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, n),
+        "id": np.arange(n),
+        "t": rng.integers(0, 40, n),  # duplicate order values
+        "v": np.round(rng.random(n) * 10, 3),
+    })
+    res, bdf = grouped_lead_lag(rd.from_pandas(df), key="k", order_by="t",
+                                value_col="v", tiebreak="id")
+    out = (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+           .sort_values("id").reset_index(drop=True))
+    exp = df.sort_values(["k", "t", "id"]).copy()
+    exp["lag_value"] = exp.groupby("k")["v"].shift(1)
+    exp["lead_value"] = exp.groupby("k")["v"].shift(-1)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    for c in ("lag_value", "lead_value"):
+        a, b = out[c].to_numpy(), exp[c].to_numpy()
+        assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()
+
+
 def test_broadcast_join_matches_merge(rd):
     from raqc_ray.ops.join import broadcast_join
 
