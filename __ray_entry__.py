@@ -1214,6 +1214,78 @@ def q58_leadlag_events(sf_dir: str):
                "lead_value"]]
 
 
+def q59_rank_events(sf_dir: str):
+    """Per-key RANK / DENSE_RANK / PERCENT_RANK (ops/window.
+    grouped_rank): each event's rank within its user's history by the
+    integer-floored value (the coarsening makes real ties, exercising
+    shared-rank semantics) — SQL window-function oracle."""
+    from raqc_ray.ops.window import grouped_rank
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def coarsen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "user_id"]].assign(
+            val_i=np.floor(df["value"].to_numpy()).astype(np.int64))
+        return df
+
+    res, bdf = grouped_rank(ev.map_batches(coarsen, batch_format="pandas"),
+                            key="user_id", order_by="val_i")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("event_id", "user_id", "val_i", "rank", "dense_rank"):
+        df[c] = df[c].astype("int64")
+    df["pct_rank"] = df["pct_rank"].astype("float64")
+    return df[["event_id", "user_id", "val_i", "rank", "dense_rank",
+               "pct_rank"]]
+
+
+def q60_regex_documents(sf_dir: str):
+    """Per-doc regex feature extraction (ops/strings.regex_features):
+    match counts + first match for corpus-firing word patterns AND the
+    PII presets (email/URL — zero on this corpus, planted-fixture
+    tested) — RE2 on both sides, regexp_extract_all/regexp_extract
+    oracle."""
+    from raqc_ray.ops.strings import PII_PATTERNS, regex_features
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pats = {"s_word": r"\bs[a-z]+", "aa_word": r"a[a-z]*a",
+            **PII_PATTERNS}
+    df = regex_features(docs, "text", pats, ["doc_id"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    for name in pats:
+        df[f"n_{name}"] = df[f"n_{name}"].astype("int64")
+        df[f"first_{name}"] = df[f"first_{name}"].astype(str)
+    return df
+
+
+def q61_mode_priority(sf_dir: str):
+    """Per-status MODE of order priority (ops/argmax.grouped_mode):
+    partial counts → tiny groupby → k=1 payload combiner, ties to the
+    smallest value — ROW_NUMBER-over-counts SQL oracle."""
+    from raqc_ray.ops.argmax import grouped_mode
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    df = grouped_mode(orders, "o_orderstatus", "o_orderpriority").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["o_orderstatus", "o_orderpriority", "n"]]
+
+
+def q62_outlier_events(sf_dir: str):
+    """Exact-integer grouped mean-multiple outlier filter
+    (ops/outliers.grouped_mean_outliers): events whose scaled value
+    exceeds 2× their event_type's mean, threshold computed in
+    arbitrary-precision ints so the flag set is bit-reproducible —
+    HUGEINT-arithmetic SQL oracle."""
+    from raqc_ray.ops.outliers import grouped_mean_outliers
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    df = grouped_mean_outliers(ev, key="event_type", value_col="value",
+                               scale=1_000_000, num=2, den=1,
+                               keep_cols=["event_id"]).to_pandas()
+    for c in ("event_id", "vi"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "event_type", "vi"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1300,6 +1372,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q56_dateparts_orders": q56_dateparts_orders,
         "q57_profile_documents": q57_profile_documents,
         "q58_leadlag_events": q58_leadlag_events,
+        "q59_rank_events": q59_rank_events,
+        "q60_regex_documents": q60_regex_documents,
+        "q61_mode_priority": q61_mode_priority,
+        "q62_outlier_events": q62_outlier_events,
     }
 
 
@@ -1831,6 +1907,65 @@ def oracle_sql() -> dict[str, str]:
                    LEAD(value) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "q59_rank_events": """
+            SELECT event_id, user_id,
+                   CAST(FLOOR(value) AS BIGINT) AS val_i,
+                   CAST(RANK() OVER w AS BIGINT) AS rank,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rank,
+                   PERCENT_RANK() OVER w AS pct_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(FLOOR(value) AS BIGINT))
+        """,
+        "q60_regex_documents": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\bs[a-z]+')) AS BIGINT)
+                       AS n_s_word,
+                   regexp_extract(text, '\bs[a-z]+') AS first_s_word,
+                   CAST(len(regexp_extract_all(text, 'a[a-z]*a')) AS BIGINT)
+                       AS n_aa_word,
+                   regexp_extract(text, 'a[a-z]*a') AS first_aa_word,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   regexp_extract(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                       AS first_email,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
+                       AS BIGINT) AS n_url,
+                   regexp_extract(text, 'https?://[^\s]+') AS first_url
+            FROM documents
+        """,
+        "q61_mode_priority": """
+            SELECT o_orderstatus, o_orderpriority, n
+            FROM (
+                SELECT o_orderstatus, o_orderpriority,
+                       COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY COUNT(*) DESC, o_orderpriority ASC
+                       ) AS rn
+                FROM orders
+                GROUP BY o_orderstatus, o_orderpriority
+            )
+            WHERE rn = 1
+        """,
+        "q62_outlier_events": """
+            WITH vi_t AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 1000000) AS BIGINT) AS vi
+                FROM events
+            ), cuts AS (
+                SELECT event_type,
+                       -- exact integer cut: v > (2*sum) // n
+                       CAST(2 AS HUGEINT) * SUM(CAST(vi AS HUGEINT))
+                           // COUNT(*) AS q
+                FROM vi_t GROUP BY event_type
+            )
+            SELECT v.event_id, v.event_type, v.vi
+            FROM vi_t v JOIN cuts c USING (event_type)
+            WHERE CAST(v.vi AS HUGEINT) > c.q
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

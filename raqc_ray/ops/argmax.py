@@ -33,3 +33,35 @@ def grouped_arg_max(ds, key: str, order_by: str,
 
     partial = ds.map_batches(pick, batch_format="pandas")
     return partial.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def grouped_mode(ds, key: str, value_col: str):
+    """Per-key MODE: the most frequent ``value_col`` per key, smallest
+    value winning ties — SQL ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY COUNT(*) DESC, value ASC) = 1`` semantics.
+
+    Plan: per-block partial counts (vectorized pandas groupby) → one
+    hash ``groupby(key, value)`` Sum moving at most
+    distinct-pairs × blocks rows → the k=1 payload-carrying combiner
+    from :func:`grouped_arg_max`, specialized so ties break to the
+    SMALLEST value (sort (n asc, value desc), keep the last row per
+    key).  Output columns: ``key``, ``value_col``, ``n``.
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.groupby([key, value_col], sort=False)
+             .size().reset_index(name="n"))
+        return d
+
+    cnt = (ds.map_batches(counts, batch_format="pandas")
+           .groupby([key, value_col])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["n", value_col], ascending=[True, False],
+                           kind="mergesort")
+        return s.groupby(key, sort=False, as_index=False).tail(1)
+
+    partial = cnt.map_batches(pick, batch_format="pandas")
+    return partial.groupby(key).map_groups(pick, batch_format="pandas")

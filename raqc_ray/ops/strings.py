@@ -43,3 +43,43 @@ def string_features(ds, col: str, head_chars: int = 8,
         return b
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+#: PII-ish detection presets for training-data quality filtering.
+#: Both pyarrow.compute and DuckDB regex kernels are RE2, so the same
+#: pattern string runs identically on the engine and the SQL oracle.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def regex_features(ds, col: str, patterns: dict[str, str],
+                   id_cols: list[str]):
+    """Per-row regex feature extraction: for each named pattern,
+    appends ``n_<name>`` (int64 count of non-overlapping matches) and
+    ``first_<name>`` (first match, '' when none) — the PII / markup /
+    boilerplate detection stage of a training-data pipeline.
+
+    Fully vectorized over the Arrow UTF-8 buffer
+    (``pc.count_substring_regex`` / ``pc.extract_regex``, RE2); only
+    ``id_cols`` + the feature columns leave the stage, so the text
+    never reshuffles.  DuckDB equivalents: ``len(regexp_extract_all)``
+    / ``regexp_extract``.
+    """
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = b[col]
+        out = b.select(id_cols)
+        for name, pat in patterns.items():
+            out = out.append_column(
+                f"n_{name}",
+                pc.cast(pc.count_substring_regex(s, pattern=pat),
+                        pa.int64()))
+            ex = pc.extract_regex(s, pattern=f"(?P<m>{pat})")
+            out = out.append_column(
+                f"first_{name}",
+                pc.fill_null(pc.struct_field(ex, "m"), ""))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -187,3 +187,43 @@ def grouped_running(ds, key: str, order_by: str, value_col: str,
         return s[out_cols]
 
     return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)
+
+
+def grouped_rank(ds, key: str, order_by: str):
+    """Per-key RANK / DENSE_RANK / PERCENT_RANK over ``order_by``
+    ascending, with SQL tie semantics (tied rows share a rank; RANK
+    leaves gaps, DENSE_RANK does not; PERCENT_RANK = (rank-1)/(n-1),
+    0.0 for singleton keys).  Returns (res_dataset, boundary_df) —
+    caller unions, same contract as :func:`grouped_running`.
+
+    Determinism with ties: the three rank columns are functions of the
+    VALUE, not the row position, so tied rows get identical outputs and
+    no tiebreak column is needed for a hash-stable result.  The
+    PERCENT_RANK division is exact-int / exact-int → the same IEEE
+    double the SQL engine computes.
+
+    Same one-sort + sorted-group-scan plan as :func:`grouped_ntile`;
+    partitioning assumption: one key's rows fit a worker block (hot
+    keys fall back to the driver-side boundary regroup).
+    """
+    out_empty = arrow_schema(ds).empty_table().to_pandas()
+    out_empty["rank"] = pd.Series(dtype="int64")
+    out_empty["dense_rank"] = pd.Series(dtype="int64")
+    out_empty["pct_rank"] = pd.Series(dtype="float64")
+    out_cols = list(out_empty.columns)
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values(order_by, kind="mergesort")
+             .reset_index(drop=True))
+        v = s[order_by].to_numpy()
+        n = len(s)
+        # v is sorted: rank(i) = 1 + #values strictly below v[i]
+        rank = np.searchsorted(v, v, side="left") + 1
+        s["rank"] = rank.astype(np.int64)
+        new_val = np.concatenate([[True], v[1:] != v[:-1]])
+        s["dense_rank"] = np.cumsum(new_val).astype(np.int64)
+        s["pct_rank"] = ((rank - 1) / (n - 1) if n > 1
+                         else np.zeros(n, dtype=np.float64))
+        return s[out_cols]
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)

@@ -267,3 +267,80 @@ def test_broadcast_join_matches_merge(rd):
                          right_on="j", how="left").to_pandas())
     # 5 inner rows (two k=2 left rows × two matches) + k=3, k=4 nulls
     assert len(lf) == 7 and lf["name"].isna().sum() == 2
+
+
+def test_grouped_rank_tie_semantics(rd):
+    from raqc_ray.ops.window import grouped_rank
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 2, 3, 3],
+        "v": [10, 10, 20, 20, 30, 5, 7, 7],
+        "rid": range(8),
+    })
+    res, bdf = grouped_rank(rd.from_pandas(df), key="k", order_by="v")
+    out = (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+           .sort_values(["k", "v", "rid"]).reset_index(drop=True))
+    # key 1: ranks 1,1,3,3,5 (gaps), dense 1,1,2,2,3, pct (r-1)/4
+    assert out.loc[out.k == 1, "rank"].tolist() == [1, 1, 3, 3, 5]
+    assert out.loc[out.k == 1, "dense_rank"].tolist() == [1, 1, 2, 2, 3]
+    assert out.loc[out.k == 1, "pct_rank"].tolist() == [
+        0.0, 0.0, 0.5, 0.5, 1.0]
+    # singleton key: pct_rank defined as 0.0
+    assert out.loc[out.k == 2, "pct_rank"].tolist() == [0.0]
+    assert out.loc[out.k == 3, "rank"].tolist() == [1, 1]
+
+
+def test_regex_features_pii_planted(rd):
+    from raqc_ray.ops.strings import PII_PATTERNS, regex_features
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at a.b-c@test.org or x@y.io thanks",
+                 "see https://ex.com/p?q=1 and http://t.co",
+                 "no pii here"],
+    })
+    out = (regex_features(rd.from_pandas(df), "text", PII_PATTERNS,
+                          ["doc_id"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_email"].tolist() == [2, 0, 0]
+    assert out["first_email"].tolist() == ["a.b-c@test.org", "", ""]
+    assert out["n_url"].tolist() == [0, 2, 0]
+    assert out["first_url"].tolist() == ["", "https://ex.com/p?q=1", ""]
+
+
+def test_grouped_mode_tie_to_smallest(rd):
+    from raqc_ray.ops.argmax import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "v": ["y", "x", "x", "y", "z", "z", "w"],
+    })
+    out = (grouped_mode(rd.from_pandas(df), "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # key a: x and y tie at 2 → smallest value "x" wins
+    assert out.loc[0, ["k", "v", "n"]].tolist() == ["a", "x", 2]
+    assert out.loc[1, ["k", "v", "n"]].tolist() == ["b", "z", 2]
+
+
+def test_grouped_mean_outliers_exact_boundary(rd):
+    from raqc_ray.ops.outliers import grouped_mean_outliers
+
+    # group g: values 1,2,3 (mean 2, 2*mean 4) → only 5 and the exact
+    # boundary case: value 4 == 2*mean must NOT be flagged (strict >)
+    df = pd.DataFrame({
+        "rid": range(5),
+        "g": ["g"] * 5,
+        "val": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    # mean of 1..5 = 3 → cut 6 → only nothing? use num=1,den=1: v > mean=3
+    out = grouped_mean_outliers(rd.from_pandas(df), key="g",
+                                value_col="val", scale=1, num=1, den=1,
+                                keep_cols=["rid"]).to_pandas()
+    assert sorted(out["rid"].tolist()) == [3, 4]
+    # strict boundary: v == num/den * mean not flagged
+    df2 = pd.DataFrame({"rid": range(3), "g": ["g"] * 3,
+                        "val": [2.0, 2.0, 4.0]})  # mean 8/3, 1.5*mean = 4
+    out2 = grouped_mean_outliers(rd.from_pandas(df2), key="g",
+                                 value_col="val", scale=1, num=3, den=2,
+                                 keep_cols=["rid"]).to_pandas()
+    assert len(out2) == 0

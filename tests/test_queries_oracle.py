@@ -81,7 +81,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q51_ntile_events", "q52_broadcast_revenue_by_region",
             "q53_argmax_order_per_cust", "q54_string_features_documents",
             "q55_multijoin_revenue_priority", "q56_dateparts_orders",
-            "q57_profile_documents", "q58_leadlag_events"]
+            "q57_profile_documents", "q58_leadlag_events",
+            "q59_rank_events", "q60_regex_documents",
+            "q61_mode_priority", "q62_outlier_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
