@@ -1286,6 +1286,67 @@ def q62_outlier_events(sf_dir: str):
     return df[["event_id", "event_type", "vi"]]
 
 
+def q63_regslope_lineitem(sf_dir: str):
+    """Grouped least-squares line (ops/moments.grouped_linreg): slope/
+    intercept/r² of extendedprice on quantity per returnflag from one
+    raw-moment combiner pass — REGR_SLOPE/REGR_INTERCEPT/REGR_R2
+    oracle."""
+    from raqc_ray.ops.moments import grouped_linreg
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    df = grouped_linreg(li, "l_returnflag", "l_quantity",
+                        "l_extendedprice").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    for c in ("slope", "intercept", "r2"):
+        df[c] = df[c].astype("float64")
+    return df[["l_returnflag", "n", "slope", "intercept", "r2"]]
+
+
+def q64_centroid_embeddings(sf_dir: str):
+    """Per-label position-wise embedding centroid (ops/embstats.
+    grouped_centroid): quantized-exact int64 partial sums so the merged
+    centroid is bit-identical across block layouts — unnest +
+    generate_subscripts SQL oracle."""
+    from raqc_ray.ops.embstats import grouped_centroid
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    df = grouped_centroid(emb, "label", "embedding", dim=64).to_pandas()
+    for c in ("label", "pos", "n"):
+        df[c] = df[c].astype("int64")
+    df["centroid"] = df["centroid"].astype("float64")
+    return df[["label", "pos", "centroid", "n"]]
+
+
+def q65_dupclusters_documents(sf_dir: str):
+    """Duplicate-CLUSTER assignment: exact Hamming-≤2 pairs over the
+    q30-derived phash (ops/concomp.hamming_pairs, pigeonhole bands +
+    bucket groupby + popcount verify) fed into distributed connected
+    components (ops/concomp.connected_components, alternating
+    Large-Star/Small-Star groupby rounds, no joins) — WITH RECURSIVE
+    min-label-propagation SQL oracle."""
+    from raqc_ray.ops.concomp import connected_components, hamming_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def add_phash(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = d - d % 2
+        ph = (((base * 69069) % 4194301)
+              | (((base * 48271) % 2097143) << 22)
+              | (((base * 16807) % 524287) << 43))
+        ph = ph ^ np.where(d % 2 == 1, np.int64(1) << (d % 40), np.int64(0))
+        return pa.table({"doc_id": t["doc_id"],
+                         "phash": pa.array(ph, pa.int64())})
+
+    pairs = hamming_pairs(ds.map_batches(add_phash, batch_format="pyarrow"),
+                          "doc_id", "phash", max_hamming=2)
+    df = connected_components(pairs).to_pandas()
+    for c in ("node", "cluster_id"):
+        df[c] = df[c].astype("int64")
+    return df.rename(columns={"node": "doc_id"})[["doc_id", "cluster_id"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1376,6 +1437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q60_regex_documents": q60_regex_documents,
         "q61_mode_priority": q61_mode_priority,
         "q62_outlier_events": q62_outlier_events,
+        "q63_regslope_lineitem": q63_regslope_lineitem,
+        "q64_centroid_embeddings": q64_centroid_embeddings,
+        "q65_dupclusters_documents": q65_dupclusters_documents,
     }
 
 
@@ -1966,6 +2030,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.event_id, v.event_type, v.vi
             FROM vi_t v JOIN cuts c USING (event_type)
             WHERE CAST(v.vi AS HUGEINT) > c.q
+        """,
+        "q63_regslope_lineitem": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(regr_slope(l_extendedprice, l_quantity), 6)
+                       AS slope,
+                   ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept,
+                   ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q64_centroid_embeddings": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 10000000
+                       AS centroid,
+                   COUNT(*) AS n
+            FROM (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 10000000) AS BIGINT) AS qv
+                FROM embeddings
+            )
+            GROUP BY label, pos
+        """,
+        "q65_dupclusters_documents": """
+            WITH RECURSIVE phash_t AS (""" + _Q30_PHASH_SQL + """
+            ), pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM phash_t x JOIN phash_t y
+                  ON x.doc_id < y.doc_id
+                 AND bit_count(xor(x.phash, y.phash)) <= 2
+            ), edges AS (
+                SELECT a, b FROM pairs
+                UNION
+                SELECT b AS a, a AS b FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT a AS id FROM edges
+            ), reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, e.b
+                FROM reach JOIN edges e ON reach.r = e.a
+            )
+            SELECT id AS doc_id, MIN(r) AS cluster_id
+            FROM reach GROUP BY id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -1,0 +1,185 @@
+"""Distributed connected components over a pair (edge) dataset — the
+duplicate-CLUSTER step that follows any pairwise near-dup operator
+(minhash/simhash/phash/embedding pairs all emit edges; training-data
+dedup keeps one doc per component, not one per pair).
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+and Beyond", SoCC 2014 — public knowledge).  Each half-round is ONE
+hash ``groupby`` over the current edge set plus a vectorized per-group
+emit; no label table, no joins, edge volume stays O(E).  Converges to
+star graphs rooted at each component's minimum id in O(log² n) rounds
+(typically ≤ 5 on dup graphs); convergence is detected by two
+independent 64-bit edge-multiset checksums computed as streaming Sum
+aggregates (no driver-side edge collection).
+
+Also here: :func:`hamming_pairs`, a pairs-EMITTING variant of the
+near-dup machinery (checks/neardup.py emits violation rows) —
+pigeonhole banding (``max_hamming+1`` bands ⇒ every true pair collides
+in ≥ 1 intact band), bucket groupby, vectorized XOR-popcount verify,
+global pair distinct.  Partitioning assumption: collision buckets fit
+a worker block; for adversarial hot buckets use the salted production
+path in checks/neardup.py.
+
+RAQC analog: none (SURVEY §2 has no graph ops); part of the §2
+LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64)
+    return bits.sum(axis=1).astype(np.int64)
+
+
+def hamming_pairs(ds, id_col: str, hash_col: str, max_hamming: int):
+    """Dataset ``(a, b)`` (int64, a < b) of ALL id pairs whose 64-bit
+    ``hash_col`` values differ in ≤ ``max_hamming`` bits — exact by the
+    pigeonhole band guarantee."""
+    n_bands = max_hamming + 1
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+              for i in range(n_bands)]
+    shifts = np.cumsum([0] + widths[:-1]).tolist()
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hu = h.view(np.uint64)
+        frames = []
+        for bi, (sh, w) in enumerate(zip(shifts, widths)):
+            bk = ((hu >> np.uint64(sh))
+                  & np.uint64((1 << w) - 1)).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "band": np.full(len(ids), bi, dtype=np.int64),
+                "bkey": bk, "id": ids, "h": h}))
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].to_numpy()
+        h = g["h"].to_numpy().view(np.uint64)
+        i, j = np.triu_indices(len(ids), 1)
+        d = _popcount64(h[i] ^ h[j])
+        keep = d <= max_hamming
+        a = np.minimum(ids[i[keep]], ids[j[keep]])
+        b = np.maximum(ids[i[keep]], ids[j[keep]])
+        return pd.DataFrame({"a": a, "b": b})
+
+    from ray.data.aggregate import Count
+
+    cand = (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["band", "bkey"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    # a pair found in k intact bands appears k times → global distinct
+    return (cand.groupby(["a", "b"])
+            .aggregate(Count(alias_name="__k"))
+            .drop_columns(["__k"]))
+
+
+_C1 = np.int64(-7046029254386353131)   # 0x9E3779B97F4A7C15 as int64
+_C2 = np.int64(-4417276706812531889)   # 0xC2B2AE3D27D4EB4F as int64
+
+
+def _checksums(ed) -> tuple[int, int, int]:
+    """(count, sum1, sum2) edge-multiset fingerprints via Sum aggregates."""
+    from ray.data.aggregate import Count, Sum
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        v = df["v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "h1": u * _C1 + v * _C2,
+            "h2": (u ^ (v >> 1)) * _C2 + v,
+        })
+
+    agg = (ed.map_batches(hashed, batch_format="pandas")
+           .aggregate(Count(alias_name="n"),
+                      Sum("h1", alias_name="s1"),
+                      Sum("h2", alias_name="s2")))
+    return (agg["n"], agg.get("s1"), agg.get("s2"))
+
+
+def connected_components(pairs, a: str = "a", b: str = "b",
+                         max_rounds: int = 50):
+    """Dataset ``(node, cluster_id)`` for every node appearing in
+    ``pairs``; ``cluster_id`` is the component's minimum node id.
+    ``pairs`` columns ``a``/``b`` must be int64."""
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[a].to_numpy(dtype=np.int64)
+        v = df[b].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.maximum(u, v),
+                             "v": np.minimum(u, v)})
+
+    ed = pairs.map_batches(canon, batch_format="pandas")
+    ed = ed.filter(expr="u != v").materialize()
+    prev = None
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+            "v": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+        })
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        nb = g["v"].to_numpy(dtype=np.int64)
+        m = min(u, int(nb.min()))
+        out = np.unique(nb[nb > u])
+        return pd.DataFrame({"u": out,
+                             "v": np.full(len(out), m, dtype=np.int64)})
+
+    def direct(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(dtype=np.int64)
+        v = df["v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"u": np.maximum(u, v),
+                             "v": np.minimum(u, v)})
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        nb = g["v"].to_numpy(dtype=np.int64)
+        m = int(nb.min())
+        out = np.unique(np.append(nb, u))
+        res = pd.DataFrame({"u": out,
+                            "v": np.full(len(out), m, dtype=np.int64)})
+        return res[res["u"] != res["v"]]
+
+    for _ in range(max_rounds):
+        ed = (ed.map_batches(symmetrize, batch_format="pandas")
+              .groupby("u").map_groups(large_star, batch_format="pandas"))
+        ed = (ed.map_batches(direct, batch_format="pandas")
+              .groupby("u").map_groups(small_star, batch_format="pandas")
+              .materialize())
+        cur = _checksums(ed)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("connected_components: no convergence in "
+                           f"{max_rounds} rounds")
+
+    # converged: edges are (node, root); add root→root rows
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["u"].to_numpy(dtype=np.int64),
+                             "cluster_id": df["v"].to_numpy(dtype=np.int64)})
+
+    from ray.data.aggregate import Count
+
+    nodes = ed.map_batches(assign, batch_format="pandas")
+    roots = (ed.map_batches(
+        lambda df: pd.DataFrame({"node": df["v"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+        .groupby("node").aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+        .map_batches(lambda df: df.assign(
+            cluster_id=df["node"].to_numpy(dtype=np.int64)),
+            batch_format="pandas"))
+    return nodes.union(roots)

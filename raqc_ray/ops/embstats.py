@@ -1,0 +1,73 @@
+"""Grouped embedding statistics — per-key position-wise centroid of a
+``list<float>`` column, quantized-exact.
+
+Ray-Data-first plan: one ``map_batches`` combiner reduces each block to
+``keys × dim`` long-format partial rows ``(key, pos, s, cnt)`` — the
+embedding matrix is read zero-copy (:func:`raqc_ray.ops.dedup._emb_matrix`,
+one flatten of the Arrow child buffer) and the per-key sum is one
+``np.add.at`` scatter — then ONE hash ``groupby(key, pos)`` Sum moves
+partials (never vectors), and a tiny finish divides.
+
+Determinism contract (the reason this is *quantized*): float sums are
+order-dependent under Ray's nondeterministic block merge order, so the
+combiner sums ``floor(e * scale)`` int64 instead — integer addition is
+associative, the merged sums are bit-identical across block layouts,
+CPU counts and SQL engines, and the final division (int64 → float64,
+same operand order as the oracle's ``CAST(SUM .. AS DOUBLE)/COUNT/scale``)
+is one deterministic IEEE op.  FLOOR, not ROUND: numpy rounds
+half-to-even, ANSI SQL half-away-from-zero; floor agrees at every
+representable double.
+
+Scale: partial volume is ``keys × dim × blocks`` rows, independent of
+row count.  RAQC analog: none (SURVEY §2.5 is scalar stats); centroids
+are the §2 LLM-pipeline surface (class prototypes, IVF coarse
+quantizer seeds, per-source embedding drift).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_centroid(ds, key: str, emb_col: str, dim: int,
+                     scale: int = 10_000_000):
+    """Dataset ``(key, pos, centroid, n)`` — position-wise mean of the
+    quantized embeddings per key; ``pos`` is 1-based (SQL
+    ``generate_subscripts`` convention)."""
+    from .dedup import _emb_matrix
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        emb = _emb_matrix(b[emb_col], dim)
+        q = np.floor(emb * scale).astype(np.int64)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(uk), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pd.DataFrame({
+            key: np.repeat(uk, dim),
+            "pos": np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uk)),
+            "s": sums.ravel(),
+            "cnt": np.repeat(cnt, dim),
+        })
+
+    from ray.data.aggregate import Sum
+
+    summed = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby([key, "pos"])
+              .aggregate(Sum("s", alias_name="s"),
+                         Sum("cnt", alias_name="n")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(dtype=np.float64)
+        n = df["n"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            key: df[key],
+            "pos": df["pos"].astype("int64"),
+            "centroid": s / n / scale,
+            "n": df["n"].astype("int64"),
+        })
+
+    return summed.map_batches(finish, batch_format="pandas")

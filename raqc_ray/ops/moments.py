@@ -70,3 +70,54 @@ def grouped_moments(ds, key: str, x: str, y: str, round_to: int = 6):
         })
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def grouped_linreg(ds, key: str, x: str, y: str, round_to: int = 6):
+    """Grouped least-squares line — REGR_SLOPE / REGR_INTERCEPT /
+    REGR_R2 of ``y`` on ``x`` per ``key``, from the SAME six raw-moment
+    partials as :func:`grouped_moments` (one map_batches combiner + one
+    tiny hash groupby; adding outputs over the sums is free).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²), intercept = (Σy −
+    slope·Σx)/n, r² = corr².  Same numerical contract as
+    grouped_moments: raw float64 moments, outputs rounded to
+    ``round_to`` so the SQL oracle hashes identically."""
+    from ray.data.aggregate import Sum
+
+    def block_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            key: df[key],
+            "__n": np.ones(len(df), dtype=np.int64),
+            "__sx": df[x].to_numpy(dtype=np.float64),
+            "__sy": df[y].to_numpy(dtype=np.float64),
+        })
+        d["__sxx"] = d["__sx"] * d["__sx"]
+        d["__syy"] = d["__sy"] * d["__sy"]
+        d["__sxy"] = d["__sx"] * d["__sy"]
+        return d.groupby(key, sort=False, as_index=False).sum()
+
+    partial = ds.map_batches(block_partials, batch_format="pandas")
+    summed = partial.groupby(key).aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")]
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["__n"].to_numpy(dtype=np.float64)
+        sx, sy = df["__sx"].to_numpy(), df["__sy"].to_numpy()
+        sxx, syy, sxy = (df["__sxx"].to_numpy(), df["__syy"].to_numpy(),
+                         df["__sxy"].to_numpy())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            intercept = (sy - slope * sx) / n
+            r2 = ((n * sxy - sx * sy) ** 2
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        return pd.DataFrame({
+            key: df[key],
+            "n": df["__n"].astype("int64"),
+            "slope": np.round(slope, round_to),
+            "intercept": np.round(intercept, round_to),
+            "r2": np.round(r2, round_to),
+        })
+
+    return summed.map_batches(finish, batch_format="pandas")

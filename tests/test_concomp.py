@@ -1,0 +1,121 @@
+"""Connected components + hamming pairs: randomized equivalence vs an
+independent union-find reference, plus centroid/linreg determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _union_find_cc(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(0, 30, 25), (1, 60, 80),
+                                                  (2, 100, 40)])
+def test_connected_components_random(rd, seed, n_nodes, n_edges):
+    from raqc_ray.ops.concomp import connected_components
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    got = (connected_components(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": b})))
+        .to_pandas())
+    want = _union_find_cc(zip(a.tolist(), b.tolist()))
+    assert dict(zip(got["node"], got["cluster_id"])) == want
+
+
+def test_connected_components_chain(rd):
+    # a path graph needs multiple star rounds: 0-1-2-...-9
+    from raqc_ray.ops.concomp import connected_components
+
+    df = pd.DataFrame({"a": np.arange(9, dtype=np.int64),
+                       "b": np.arange(1, 10, dtype=np.int64)})
+    got = connected_components(rd.from_pandas(df)).to_pandas()
+    assert sorted(got["node"].tolist()) == list(range(10))
+    assert set(got["cluster_id"].tolist()) == {0}
+
+
+def test_hamming_pairs_exact(rd):
+    from raqc_ray.ops.concomp import hamming_pairs
+
+    rng = np.random.default_rng(7)
+    n = 120
+    h = rng.integers(0, 2**63 - 1, n).astype(np.int64)
+    # plant near-dups: ids 2k+1 copy 2k with ≤2 bits flipped
+    for k in range(0, n - 1, 2):
+        flips = rng.integers(1, 3)
+        v = h[k]
+        for _ in range(flips):
+            v ^= np.int64(1) << rng.integers(0, 64)
+        h[k + 1] = v
+    ids = np.arange(n, dtype=np.int64)
+    got = hamming_pairs(
+        rd.from_pandas(pd.DataFrame({"doc_id": ids, "phash": h})),
+        "doc_id", "phash", max_hamming=2).to_pandas()
+    got_set = set(zip(got["a"], got["b"]))
+    hu = h.view(np.uint64)
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin(int(hu[i] ^ hu[j])).count("1") <= 2:
+                want.add((i, j))
+    assert got_set == want
+
+
+def test_grouped_centroid_matches_numpy(rd):
+    from raqc_ray.ops.embstats import grouped_centroid
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n)
+    df = pd.DataFrame({"label": lab, "embedding": list(emb)})
+    out = (grouped_centroid(rd.from_pandas(df), "label", "embedding",
+                            dim=d, scale=10**7).to_pandas()
+           .sort_values(["label", "pos"]).reset_index(drop=True))
+    for k in range(4):
+        ref = np.floor(emb[lab == k].astype(np.float64) * 1e7).sum(0)
+        ref = ref / (lab == k).sum() / 1e7
+        got = out.loc[out.label == k, "centroid"].to_numpy()
+        np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_grouped_linreg_matches_numpy(rd):
+    from raqc_ray.ops.moments import grouped_linreg
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 400),
+        "x": rng.random(400) * 10,
+    })
+    df["y"] = 2.5 * df["x"] + 1.0 + rng.standard_normal(400)
+    out = (grouped_linreg(rd.from_pandas(df), "k", "x", "y")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        sl, ic = np.polyfit(g["x"], g["y"], 1)
+        assert out.loc[k, "slope"] == pytest.approx(sl, abs=1e-4)
+        assert out.loc[k, "intercept"] == pytest.approx(ic, abs=1e-4)
+        assert 0.8 < out.loc[k, "r2"] <= 1.0

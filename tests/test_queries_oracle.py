@@ -83,7 +83,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q55_multijoin_revenue_priority", "q56_dateparts_orders",
             "q57_profile_documents", "q58_leadlag_events",
             "q59_rank_events", "q60_regex_documents",
-            "q61_mode_priority", "q62_outlier_events"]
+            "q61_mode_priority", "q62_outlier_events",
+            "q63_regslope_lineitem", "q64_centroid_embeddings",
+            "q65_dupclusters_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
