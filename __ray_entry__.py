@@ -1347,6 +1347,41 @@ def q65_dupclusters_documents(sf_dir: str):
     return df.rename(columns={"node": "doc_id"})[["doc_id", "cluster_id"]]
 
 
+def q66_topterms_documents(sf_dir: str):
+    """Top-10 terms per source: per-key token frequencies
+    (ops/unnest.grouped_token_counts — per-block (source, token)
+    combiner, the token stream never shuffles) into the grouped top-k
+    combiner (ops/topk.grouped_topk, ties to the lexically smaller
+    token) — ROW_NUMBER-over-counts SQL oracle."""
+    from raqc_ray.ops.topk import grouped_topk
+    from raqc_ray.ops.unnest import grouped_token_counts
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    counts = grouped_token_counts(docs, "source", "text")
+    res, bdf = grouped_topk(counts, key="source", order_by="n", k=10,
+                            ascending=False, tiebreak="token")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("n", "rank"):
+        df[c] = df[c].astype("int64")
+    return df[["source", "token", "n", "rank"]]
+
+
+def q67_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE over (status, priority) (ops/rollup.cube_agg):
+    input aggregated once at the finest level, the other three grouping
+    sets derived from the combos-sized result — GROUP BY CUBE oracle
+    with COALESCE sentinels."""
+    from raqc_ray.ops.rollup import cube_agg
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    df = cube_agg(orders, ["o_orderstatus", "o_orderpriority"],
+                  "o_totalprice").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    df["sum_value"] = df["sum_value"].astype("float64")
+    return df[["o_orderstatus", "o_orderpriority", "n", "sum_value"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1440,6 +1475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_regslope_lineitem": q63_regslope_lineitem,
         "q64_centroid_embeddings": q64_centroid_embeddings,
         "q65_dupclusters_documents": q65_dupclusters_documents,
+        "q66_topterms_documents": q66_topterms_documents,
+        "q67_cube_revenue": q67_cube_revenue,
     }
 
 
@@ -2077,6 +2114,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(r) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "q66_topterms_documents": """
+            WITH counts AS (
+                SELECT source, token, COUNT(*) AS n
+                FROM (
+                    SELECT source,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                )
+                WHERE token <> ''
+                GROUP BY source, token
+            )
+            SELECT source, token, n, rank FROM (
+                SELECT source, token, n,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+                FROM counts
+            )
+            WHERE rank <= 10
+        """,
+        "q67_cube_revenue": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 4) AS sum_value
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

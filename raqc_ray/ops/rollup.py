@@ -88,3 +88,63 @@ def _ensure_cols(df: pd.DataFrame, keys: list[str],
         if k not in d.columns:
             d[k] = all_label
     return d[keys + ["n", "sum_value"]]
+
+
+def cube_agg(ds, keys: list[str], value_col: str,
+             all_label: str = "ALL", round_to: int = 4):
+    """GROUP BY CUBE: one row per group at EVERY key subset (2^m
+    grouping sets); rolled-up key columns hold ``all_label``.  Columns
+    ``(*keys, n, sum_value)``.
+
+    Same derive-from-the-finest-level plan as :func:`rollup_agg` —
+    the input stream is aggregated ONCE (per-block combiner + one hash
+    groupby); the other 2^m − 1 grouping sets are tiny groupbys over
+    the distinct-combos-sized finest table, so adding grouping sets
+    costs nothing at input scale."""
+    from ray.data.aggregate import Sum
+
+    def block_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({k: df[k].astype(str) for k in keys})
+        d["n"] = np.ones(len(df), dtype=np.int64)
+        d["sum_value"] = df[value_col].to_numpy(dtype=np.float64)
+        return d.groupby(keys, sort=False, as_index=False).sum()
+
+    finest = (ds.map_batches(block_partials, batch_format="pandas")
+              .groupby(keys)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_value", alias_name="sum_value")))
+
+    levels = []
+    for mask in range(1 << len(keys)):
+        kept = [k for i, k in enumerate(keys) if (mask >> i) & 1]
+        rolled = [k for k in keys if k not in kept]
+        if not rolled:
+            levels.append(finest)
+            continue
+
+        def relabel(df: pd.DataFrame, _r=tuple(rolled)) -> pd.DataFrame:
+            d = df.copy()
+            for k in _r:
+                d[k] = all_label
+            return d
+
+        lv = finest.map_batches(relabel, batch_format="pandas")
+        lv = (lv.groupby(kept if kept else [keys[0]])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_value", alias_name="sum_value")))
+        lv = lv.map_batches(
+            lambda df: _ensure_cols(df, keys, all_label),
+            batch_format="pandas")
+        levels.append(lv)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["n"] = d["n"].astype("int64")
+        d["sum_value"] = d["sum_value"].astype("float64").round(round_to)
+        return d[keys + ["n", "sum_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -76,3 +76,29 @@ def token_counts(ds, text_col: str, sep: str = " ",
     if min_count > 1:
         out = out.filter(expr=f"{count_col} >= {min_count}")
     return out.select_columns([token_col, count_col])
+
+
+def grouped_token_counts(ds, key: str, text_col: str, sep: str = " ",
+                         token_col: str = "token", count_col: str = "n"):
+    """Per-key token frequency table ``(key, token, n)`` — the
+    corpus-statistics pass behind per-source vocabularies and top-terms
+    reports.  Same never-materialize-the-explosion plan as
+    :func:`token_counts`: the per-block combiner counts (key, token)
+    pairs inside the block (Arrow flatten + parent-index gather, one
+    vectorized pandas groupby), so the hash groupby moves
+    per-block-vocabulary-sized partials, never the token stream."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(b: pa.Table):
+        toks = pc.split_pattern(b[text_col], sep)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({key: pc.take(b[key], parent), token_col: flat})
+        t = t.filter(pc.not_equal(t[token_col], ""))
+        return (t.to_pandas()
+                .groupby([key, token_col], sort=False)
+                .size().reset_index(name=count_col))
+
+    partial = ds.map_batches(block_counts, batch_format="pyarrow")
+    return (partial.groupby([key, token_col])
+            .aggregate(Sum(count_col, alias_name=count_col)))

@@ -344,3 +344,34 @@ def test_grouped_mean_outliers_exact_boundary(rd):
                                  value_col="val", scale=1, num=3, den=2,
                                  keep_cols=["rid"]).to_pandas()
     assert len(out2) == 0
+
+
+def test_cube_agg_all_grouping_sets(rd):
+    from raqc_ray.ops.rollup import cube_agg
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y"],
+        "b": ["p", "q", "p"],
+        "v": [1.0, 2.0, 4.0],
+    })
+    out = cube_agg(rd.from_pandas(df), ["a", "b"], "v").to_pandas()
+    got = {(r.a, r.b): (r.n, r.sum_value) for r in out.itertuples()}
+    assert got == {
+        ("x", "p"): (1, 1.0), ("x", "q"): (1, 2.0), ("y", "p"): (1, 4.0),
+        ("x", "ALL"): (2, 3.0), ("y", "ALL"): (1, 4.0),
+        ("ALL", "p"): (2, 5.0), ("ALL", "q"): (1, 2.0),
+        ("ALL", "ALL"): (3, 7.0),
+    }
+
+
+def test_grouped_token_counts(rd):
+    from raqc_ray.ops.unnest import grouped_token_counts
+
+    df = pd.DataFrame({
+        "src": ["s1", "s1", "s2"],
+        "text": ["a b a", "b  c", "a a"],  # double space → empty dropped
+    })
+    out = grouped_token_counts(rd.from_pandas(df), "src", "text").to_pandas()
+    got = {(r.src, r.token): r.n for r in out.itertuples()}
+    assert got == {("s1", "a"): 2, ("s1", "b"): 2, ("s1", "c"): 1,
+                   ("s2", "a"): 2}

@@ -85,7 +85,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q59_rank_events", "q60_regex_documents",
             "q61_mode_priority", "q62_outlier_events",
             "q63_regslope_lineitem", "q64_centroid_embeddings",
-            "q65_dupclusters_documents"]
+            "q65_dupclusters_documents", "q66_topterms_documents",
+            "q67_cube_revenue"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
