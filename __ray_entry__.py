@@ -1382,6 +1382,55 @@ def q67_cube_revenue(sf_dir: str):
     return df[["o_orderstatus", "o_orderpriority", "n", "sum_value"]]
 
 
+def q68_vq_assign_embeddings(sf_dir: str):
+    """Vector-quantization E-step (ops/embstats.vq_assign): per-label
+    quantized centroids (the q64 codebook, bit-identical to the SQL
+    side) broadcast into a one-matmul nearest-centroid assignment,
+    ties to the smallest label — per-dim join + ROW_NUMBER-over-
+    distances SQL oracle."""
+    from raqc_ray.ops.embstats import grouped_centroid, vq_assign
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    cent = grouped_centroid(emb, "label", "embedding", dim=64).to_pandas()
+    cent = cent.sort_values(["label", "pos"])
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    codebook = (cent["centroid"].to_numpy(dtype=np.float64)
+                .reshape(len(labels), 64))
+    df = vq_assign(emb, "vec_id", "embedding", 64, labels,
+                   codebook).to_pandas()
+    for c in ("vec_id", "vq_label"):
+        df[c] = df[c].astype("int64")
+    return df[["vec_id", "vq_label"]]
+
+
+def q69_event_types_by_user(sf_dir: str):
+    """Per-key sorted distinct-value concatenation (ops/distinct.
+    grouped_collect_set): each user's set of event types as one
+    deterministic CSV — string_agg(DISTINCT .. ORDER BY) oracle."""
+    from raqc_ray.ops.distinct import grouped_collect_set
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = grouped_collect_set(ev, "user_id", "event_type").to_pandas()
+    for c in ("user_id", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "vals", "n_distinct"]]
+
+
+def q70_median_mad_lineitem(sf_dir: str):
+    """Exact grouped median + MAD (ops/quantile_exact.
+    grouped_median_mad): one value-histogram pass, deviation histogram
+    derived per key without re-reading the input — two-level
+    quantile_cont SQL oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_median_mad
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    df = grouped_median_mad(li, "l_returnflag", "l_quantity").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    for c in ("median", "mad"):
+        df[c] = df[c].astype("float64")
+    return df[["l_returnflag", "n", "median", "mad"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1477,6 +1526,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_dupclusters_documents": q65_dupclusters_documents,
         "q66_topterms_documents": q66_topterms_documents,
         "q67_cube_revenue": q67_cube_revenue,
+        "q68_vq_assign_embeddings": q68_vq_assign_embeddings,
+        "q69_event_types_by_user": q69_event_types_by_user,
+        "q70_median_mad_lineitem": q70_median_mad_lineitem,
     }
 
 
@@ -2142,6 +2194,61 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 4) AS sum_value
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q68_vq_assign_embeddings": """
+            WITH cent AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(pos AS BIGINT) AS pos,
+                       CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 10000000
+                           AS centroid
+                FROM (
+                    SELECT label,
+                           generate_subscripts(embedding, 1) AS pos,
+                           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                      * 10000000) AS BIGINT) AS qv
+                    FROM embeddings
+                )
+                GROUP BY label, pos
+            ), e AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                           AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS ev
+                FROM embeddings
+            ), d AS (
+                SELECT e.vec_id, c.label,
+                       SUM((e.ev - c.centroid) * (e.ev - c.centroid)) AS d2
+                FROM e JOIN cent c USING (pos)
+                GROUP BY e.vec_id, c.label
+            )
+            SELECT vec_id, label AS vq_label FROM (
+                SELECT vec_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, label ASC) AS rn
+                FROM d
+            )
+            WHERE rn = 1
+        """,
+        "q69_event_types_by_user": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ','
+                              ORDER BY event_type) AS vals,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                       AS n_distinct
+            FROM events
+            GROUP BY user_id
+        """,
+        "q70_median_mad_lineitem": """
+            WITH med AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_quantity, 0.5) AS median
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag, COUNT(*) AS n,
+                   ANY_VALUE(m.median) AS median,
+                   quantile_cont(ABS(l.l_quantity - m.median), 0.5) AS mad
+            FROM lineitem l JOIN med m USING (l_returnflag)
+            GROUP BY l.l_returnflag
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

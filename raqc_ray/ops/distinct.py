@@ -20,6 +20,7 @@ of the §2 "large-scale training-data pipeline" surface.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -38,3 +39,32 @@ def grouped_count_distinct(ds, key: str, distinct_col: str,
     )
     out = uniq.groupby(key).aggregate(Count(alias_name=out_col))
     return out.select_columns([key, out_col])
+
+
+def grouped_collect_set(ds, key: str, val: str, sep: str = ",",
+                        out_col: str = "vals"):
+    """Per-key sorted distinct-value concatenation — SQL
+    ``string_agg(DISTINCT val, sep ORDER BY val)`` — plus
+    ``n_distinct``.  Plan: per-block drop_duplicates combiner (the
+    value stream shrinks to block-distinct pairs), ONE hash
+    ``groupby(key, val)`` for global distinct, then a per-key
+    map_groups join (groups are distinct-values-sized, never
+    row-sized).  Sorting before the join makes the string deterministic
+    across block layouts."""
+    from ray.data.aggregate import Count
+
+    def block_sets(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, val]].drop_duplicates()
+
+    dedup = (ds.map_batches(block_sets, batch_format="pandas")
+             .groupby([key, val])
+             .aggregate(Count(alias_name="__c"))
+             .drop_columns(["__c"]))
+
+    def join_fn(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(map(str, g[val].tolist()))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out_col: [sep.join(vals)],
+                             "n_distinct": [np.int64(len(vals))]})
+
+    return dedup.groupby(key).map_groups(join_fn, batch_format="pandas")

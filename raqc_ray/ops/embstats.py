@@ -71,3 +71,36 @@ def grouped_centroid(ds, key: str, emb_col: str, dim: int,
         })
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def vq_assign(ds, id_col: str, emb_col: str, dim: int,
+              labels: np.ndarray, codebook: np.ndarray,
+              out_col: str = "vq_label"):
+    """Nearest-centroid assignment (the vector-quantization / k-means
+    E-step): each embedding gets the label of its closest codebook row
+    by squared L2, ties to the smallest label.
+
+    ``codebook`` is a tiny (k, dim) float64 matrix broadcast into every
+    task via the map_batches closure (ray.put once under the hood —
+    never re-shipped per batch); per batch the distances are ONE
+    ``‖e‖² − 2·E@Cᵀ + ‖c‖²`` matmul over the zero-copy embedding
+    matrix.  ``labels`` must be sorted ascending so ``argmin``'s
+    first-hit rule implements the smallest-label tiebreak."""
+    from .dedup import _emb_matrix
+
+    order = np.argsort(labels, kind="stable")
+    labels = np.asarray(labels, dtype=np.int64)[order]
+    cb = np.ascontiguousarray(codebook, dtype=np.float64)[order]
+    c2 = (cb * cb).sum(axis=1)
+
+    def assign(b: pa.Table) -> pd.DataFrame:
+        emb = _emb_matrix(b[emb_col], dim)
+        d2 = ((emb * emb).sum(axis=1, keepdims=True)
+              - 2.0 * emb @ cb.T + c2)
+        idx = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(zero_copy_only=False),
+            out_col: labels[idx],
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -60,3 +60,51 @@ def grouped_quantile_disc(ds, key: str, value_col: str,
         return pd.DataFrame(row)
 
     return hist.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def grouped_median_mad(ds, key: str, value_col: str):
+    """Exact grouped MEDIAN (``quantile_cont(0.5)`` interpolation) and
+    MAD (median absolute deviation, same interpolation) — both derived
+    from ONE distributed value-histogram pass: the deviation histogram
+    is a per-key transform of the value histogram (|v − med| with the
+    same counts), so the input stream is read exactly once and no group
+    is ever collected.
+
+    Interpolation is ``lo + (hi − lo)·0.5`` (the SQL quantile_cont
+    formula); for integer-valued measures every intermediate is exactly
+    representable, making the result bit-identical to the SQL oracle.
+    Columns: ``(key, n, median, mad)``."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False, as_index=False).sum()
+
+    partial = ds.map_batches(block_counts, batch_format="pandas")
+    hist = partial.groupby([key, value_col]).aggregate(
+        Sum("__c", alias_name="__c"))
+
+    def _wmedian(v: np.ndarray, c: np.ndarray) -> float:
+        # v sorted ascending, c positive int64 counts
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo_rank = (n + 1) // 2          # 1-based lower middle
+        hi_rank = n // 2 + 1            # 1-based upper middle
+        lo = v[int(np.searchsorted(cum, lo_rank))]
+        hi = v[int(np.searchsorted(cum, hi_rank))]
+        return float(lo + (hi - lo) * 0.5)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy(dtype=np.float64)
+        c = s["__c"].to_numpy(dtype=np.int64)
+        med = _wmedian(v, c)
+        dv = np.abs(v - med)
+        order = np.argsort(dv, kind="mergesort")
+        mad = _wmedian(dv[order], c[order])
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n": [np.int64(c.sum())],
+                             "median": [med], "mad": [mad]})
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")

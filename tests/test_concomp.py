@@ -119,3 +119,46 @@ def test_grouped_linreg_matches_numpy(rd):
         assert out.loc[k, "slope"] == pytest.approx(sl, abs=1e-4)
         assert out.loc[k, "intercept"] == pytest.approx(ic, abs=1e-4)
         assert 0.8 < out.loc[k, "r2"] <= 1.0
+
+
+def test_vq_assign_tiebreak_and_nearest(rd):
+    from raqc_ray.ops.embstats import vq_assign
+
+    cb = np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 0.0]])
+    labels = np.array([7, 3, 5])  # unsorted on purpose
+    emb = np.array([[0.1, 0.0],    # → label 7 (closest to origin)
+                    [9.0, 0.0],    # → label 3
+                    [2.5, 0.0],    # tie between 0.0 and 5.0 → smaller label 5
+                    [5.1, 0.0]],   # → label 5
+                   dtype=np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64),
+                       "embedding": list(emb)})
+    out = (vq_assign(rd.from_pandas(df), "vec_id", "embedding", 2,
+                     labels, cb).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert out["vq_label"].tolist() == [7, 3, 5, 5]
+
+
+def test_grouped_collect_set_sorted(rd):
+    from raqc_ray.ops.distinct import grouped_collect_set
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2],
+                       "v": ["b", "a", "b", "z", "z"]})
+    out = (grouped_collect_set(rd.from_pandas(df), "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert out["vals"].tolist() == ["a,b", "z"]
+    assert out["n_distinct"].tolist() == [2, 1]
+
+
+def test_grouped_median_mad_exact(rd):
+    from raqc_ray.ops.quantile_exact import grouped_median_mad
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 5,
+                       "v": [1.0, 2.0, 4.0, 9.0, 3, 1, 7, 5, 9]})
+    out = (grouped_median_mad(rd.from_pandas(df), "k", "v").to_pandas()
+           .set_index("k"))
+    # a: median (2+4)/2 = 3; devs |1-3,2-3,4-3,9-3| = 2,1,1,6 → (1+2)/2=1.5
+    assert out.loc["a", "median"] == 3.0 and out.loc["a", "mad"] == 1.5
+    # b: sorted 1,3,5,7,9 → median 5; devs 4,2,0,2,4 → mad 2
+    assert out.loc["b", "median"] == 5.0 and out.loc["b", "mad"] == 2.0
+    assert out["n"].tolist() == [4, 5]
