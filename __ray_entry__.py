@@ -1431,6 +1431,51 @@ def q70_median_mad_lineitem(sf_dir: str):
     return df[["l_returnflag", "n", "median", "mad"]]
 
 
+def q71_entropy_events(sf_dir: str):
+    """Grouped Shannon entropy (ops/entropy.grouped_entropy): each
+    user's event-type distribution entropy from the distributed value
+    histogram — explicit −Σ(c/n)·ln(c/n) SQL oracle."""
+    from raqc_ray.ops.entropy import grouped_entropy
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = grouped_entropy(ev, "user_id", "event_type").to_pandas()
+    for c in ("user_id", "n", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    df["entropy"] = df["entropy"].astype("float64")
+    return df[["user_id", "n", "n_distinct", "entropy"]]
+
+
+def q72_skew_profile_orders(sf_dir: str):
+    """Key-skew profiler, composed from existing operators: per-key
+    group sizes (one hash groupby Count) → exact discrete quantiles of
+    the SIZES (ops/quantile_exact over the keys-sized count table) +
+    max — the pre-shuffle diagnosis a 100-TB pipeline runs before
+    picking salting/bucketing — plain two-level SQL oracle."""
+    from ray.data.aggregate import Max
+
+    from raqc_ray.ops.quantile_exact import grouped_quantile_disc
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = orders.groupby("o_custkey").count()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": np.zeros(len(df), dtype=np.int64),
+                             "n": df["count()"].astype("int64")})
+
+    sizes = counts.map_batches(tag, batch_format="pandas")
+    q = grouped_quantile_disc(sizes, "g", "n", qs=(0.5, 0.99)).to_pandas()
+    mx = sizes.aggregate(Max("n", alias_name="max_n"))
+    out = pd.DataFrame({
+        "n_keys": [int(q["n"].iloc[0])],
+        "max_n": [int(mx["max_n"])],
+        "p50": [int(q["q0_5"].iloc[0])],
+        "p99": [int(q["q0_99"].iloc[0])],
+    })
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1529,6 +1574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_vq_assign_embeddings": q68_vq_assign_embeddings,
         "q69_event_types_by_user": q69_event_types_by_user,
         "q70_median_mad_lineitem": q70_median_mad_lineitem,
+        "q71_entropy_events": q71_entropy_events,
+        "q72_skew_profile_orders": q72_skew_profile_orders,
     }
 
 
@@ -2249,6 +2296,31 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(ABS(l.l_quantity - m.median), 0.5) AS mad
             FROM lineitem l JOIN med m USING (l_returnflag)
             GROUP BY l.l_returnflag
+        """,
+        "q71_entropy_events": """
+            WITH h AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY user_id, event_type
+            ), t AS (
+                SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM h GROUP BY user_id
+            )
+            SELECT t.user_id, t.n, t.n_distinct,
+                   ROUND(-SUM((h.c / t.n) * LN(h.c / t.n)), 6) AS entropy
+            FROM h JOIN t USING (user_id)
+            GROUP BY t.user_id, t.n, t.n_distinct
+        """,
+        "q72_skew_profile_orders": """
+            WITH g AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   MAX(n) AS max_n,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+            FROM g
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -162,3 +162,15 @@ def test_grouped_median_mad_exact(rd):
     # b: sorted 1,3,5,7,9 → median 5; devs 4,2,0,2,4 → mad 2
     assert out.loc["b", "median"] == 5.0 and out.loc["b", "mad"] == 2.0
     assert out["n"].tolist() == [4, 5]
+
+
+def test_grouped_entropy_closed_form(rd):
+    from raqc_ray.ops.entropy import grouped_entropy
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 3,
+                       "v": ["x", "y", "x", "y", "z", "z", "z"]})
+    out = (grouped_entropy(rd.from_pandas(df), "k", "v").to_pandas()
+           .set_index("k"))
+    assert out.loc["a", "entropy"] == pytest.approx(np.log(2), abs=1e-6)
+    assert out.loc["b", "entropy"] == 0.0
+    assert out.loc["a", "n_distinct"] == 2 and out.loc["b", "n"] == 3

@@ -87,7 +87,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q63_regslope_lineitem", "q64_centroid_embeddings",
             "q65_dupclusters_documents", "q66_topterms_documents",
             "q67_cube_revenue", "q68_vq_assign_embeddings",
-            "q69_event_types_by_user", "q70_median_mad_lineitem"]
+            "q69_event_types_by_user", "q70_median_mad_lineitem",
+            "q71_entropy_events", "q72_skew_profile_orders"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
