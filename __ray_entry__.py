@@ -1476,6 +1476,23 @@ def q72_skew_profile_orders(sf_dir: str):
     return out
 
 
+def q73_dedup_corpus_documents(sf_dir: str):
+    """End-to-end near-dup corpus dedup (ops/dedup.dedup_corpus):
+    MinHash-LSH pairs → distributed connected components → one kept doc
+    per cluster.  LSH recall is probabilistic, so no SQL oracle
+    (rows-only driver check); planted-cluster exactness and
+    broadcast-vs-anti-join path equivalence are pytest-gated
+    (test_concomp)."""
+    from raqc_ray.ops.dedup import dedup_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, clusters = dedup_corpus(docs)
+    kept_ids = kept.select_columns(["doc_id"]).to_pandas()
+    kept_ids["doc_id"] = kept_ids["doc_id"].astype("int64")
+    kept_ids["kept"] = np.ones(len(kept_ids), dtype=np.int64)
+    return kept_ids.sort_values("doc_id").reset_index(drop=True)
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1576,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_median_mad_lineitem": q70_median_mad_lineitem,
         "q71_entropy_events": q71_entropy_events,
         "q72_skew_profile_orders": q72_skew_profile_orders,
+        "q73_dedup_corpus_documents": q73_dedup_corpus_documents,
     }
 
 

@@ -579,3 +579,50 @@ def exact_cosine_pairs(emb_ds, threshold: float, dim: int = 64):
         )
 
     return anchor.union(emb_ds.map_batches(scan, batch_format="pyarrow"))
+
+
+def dedup_corpus(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                 broadcast_limit: int = 2_000_000, **lsh_kwargs):
+    """End-to-end near-duplicate corpus dedup — the production flow a
+    training-data pipeline actually runs: MinHash-LSH pairs
+    (:func:`minhash_lsh_pairs`) → distributed connected components
+    (:func:`raqc_ray.ops.concomp.connected_components`,
+    Large-Star/Small-Star) → keep ONE doc per cluster (the minimum id).
+
+    Returns ``(kept_ds, clusters_df)``: ``kept_ds`` is the input with
+    non-representative duplicates removed; ``clusters_df`` is the
+    (duplicates-sized) pandas assignment ``(node, cluster_id)``.
+
+    Scale switch: the drop-set (non-representatives) is duplicate-sized
+    — broadcast as a set into a streaming filter below
+    ``broadcast_limit`` ids, else removed with the hash-shuffle
+    anti-join (:func:`raqc_ray.ops.join.anti_join`); both paths are
+    equivalence-tested."""
+    from .concomp import connected_components
+
+    pairs = minhash_lsh_pairs(docs_ds.select_columns([id_col, text_col]),
+                              **lsh_kwargs)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": df["doc_a"].astype("int64"),
+                             "b": df["doc_b"].astype("int64")})
+
+    cc = connected_components(
+        pairs.map_batches(rename, batch_format="pandas")).materialize()
+    drops = cc.filter(expr="node != cluster_id")
+    n_drop = drops.count()
+    if n_drop <= broadcast_limit:
+        drop_ids = set(drops.to_pandas()["node"].tolist())
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df[id_col].isin(drop_ids)]
+
+        kept = docs_ds.map_batches(keep, batch_format="pandas")
+    else:
+        from .join import anti_join
+
+        drop_keys = drops.map_batches(
+            lambda df: pd.DataFrame({id_col: df["node"].astype("int64")}),
+            batch_format="pandas")
+        kept = anti_join(docs_ds, drop_keys, on=id_col)
+    return kept, cc.to_pandas()

@@ -174,3 +174,54 @@ def test_grouped_entropy_closed_form(rd):
     assert out.loc["a", "entropy"] == pytest.approx(np.log(2), abs=1e-6)
     assert out.loc["b", "entropy"] == 0.0
     assert out.loc["a", "n_distinct"] == 2 and out.loc["b", "n"] == 3
+
+
+def test_dedup_corpus_planted_clusters(rd):
+    from raqc_ray.ops.dedup import dedup_corpus
+
+    bases = {
+        100: ("the quick brown fox jumps over the lazy dog again and "
+              "again while the band plays on through the night"),
+        200: ("pack my box with five dozen liquor jugs said the "
+              "wizard as the sphinx of black quartz judged his vow"),
+        300: ("colorless green ideas sleep furiously under a bright "
+              "crimson moon that rises slowly over the silent harbor"),
+    }
+    rows = []
+    # three planted near-dup clusters of sizes 3/2/2 + distinct docs
+    for cid, size in ((100, 3), (200, 2), (300, 2)):
+        for j in range(size):
+            rows.append((cid + j, bases[cid] + f" tail {'x' * j}"))
+    for i in range(20):
+        rows.append((i, f"completely unrelated document number {i} "
+                        f"with its own words like token{i} and item{i} "
+                        f"plus filler content {i * 17} {i * 31} {i * 53}"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    kept, clusters = dedup_corpus(rd.from_pandas(df), threshold=0.5)
+    kept_ids = set(kept.to_pandas()["doc_id"].tolist())
+    # representatives of the planted clusters survive, other members don't
+    for cid, size in ((100, 3), (200, 2), (300, 2)):
+        members = {cid + j for j in range(size)}
+        assert members & kept_ids == {cid}
+    # unrelated docs all survive
+    assert set(range(20)) <= kept_ids
+    # cluster assignment maps every planted member to its minimum
+    cmap = dict(zip(clusters["node"], clusters["cluster_id"]))
+    for cid, size in ((100, 3), (200, 2), (300, 2)):
+        for j in range(size):
+            assert cmap[cid + j] == cid
+
+
+def test_dedup_corpus_paths_equivalent(rd):
+    from raqc_ray.ops.dedup import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" v{i % 3}") for i in range(12)]
+    rows += [(100 + i, f"unique doc {i} with words w{i} q{i} r{i} s{i}")
+             for i in range(8)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    k1, _ = dedup_corpus(rd.from_pandas(df), broadcast_limit=10**6)
+    k2, _ = dedup_corpus(rd.from_pandas(df), broadcast_limit=0)
+    a = sorted(k1.to_pandas()["doc_id"].tolist())
+    b = sorted(k2.to_pandas()["doc_id"].tolist())
+    assert a == b and len(a) < len(df)
