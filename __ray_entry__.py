@@ -1493,6 +1493,33 @@ def q73_dedup_corpus_documents(sf_dir: str):
     return kept_ids.sort_values("doc_id").reset_index(drop=True)
 
 
+def q74_cooccurrence_events(sf_dir: str):
+    """Event-type co-occurrence matrix (ops/cooc.grouped_cooccurrence):
+    for each unordered pair of event types, the number of users who did
+    both — distinct-pair self-join SQL oracle."""
+    from raqc_ray.ops.cooc import grouped_cooccurrence
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = grouped_cooccurrence(ev, "user_id", "event_type").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["val_a", "val_b", "n"]]
+
+
+def q75_tfidf_documents(sf_dir: str):
+    """Per-source TF-IDF term table (ops/unnest.tfidf_terms): exact tf
+    (per-block combiner) ⋈ exact document frequency (block-dedup
+    COUNT DISTINCT) via a vocabulary-sized hash join — tf·ln(N/df) SQL
+    oracle, 6dp."""
+    from raqc_ray.ops.unnest import tfidf_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    df = tfidf_terms(docs, "source", "doc_id", "text").to_pandas()
+    for c in ("tf", "df"):
+        df[c] = df[c].astype("int64")
+    df["tfidf"] = df["tfidf"].astype("float64")
+    return df[["source", "token", "tf", "df", "tfidf"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1594,6 +1621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q71_entropy_events": q71_entropy_events,
         "q72_skew_profile_orders": q72_skew_profile_orders,
         "q73_dedup_corpus_documents": q73_dedup_corpus_documents,
+        "q74_cooccurrence_events": q74_cooccurrence_events,
+        "q75_tfidf_documents": q75_tfidf_documents,
     }
 
 
@@ -2339,6 +2368,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
             FROM g
+        """,
+        "q74_cooccurrence_events": """
+            WITH d AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            )
+            SELECT a.event_type AS val_a, b.event_type AS val_b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        """,
+        "q75_tfidf_documents": """
+            WITH toks AS (
+                SELECT source, doc_id,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE token <> '' GROUP BY source, token
+            ), dft AS (
+                SELECT token,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM toks WHERE token <> '' GROUP BY token
+            ), nd AS (
+                SELECT COUNT(*) AS n_docs FROM documents
+            )
+            SELECT tf.source, tf.token, tf.tf, dft.df,
+                   ROUND(tf.tf * LN(CAST(nd.n_docs AS DOUBLE) / dft.df), 6)
+                       AS tfidf
+            FROM tf JOIN dft USING (token), nd
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

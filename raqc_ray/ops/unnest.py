@@ -20,6 +20,8 @@ building, stopword audits, n-gram corpus stats).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -102,3 +104,43 @@ def grouped_token_counts(ds, key: str, text_col: str, sep: str = " ",
     partial = ds.map_batches(block_counts, batch_format="pyarrow")
     return (partial.groupby([key, token_col])
             .aggregate(Sum(count_col, alias_name=count_col)))
+
+
+def tfidf_terms(ds, key: str, id_col: str, text_col: str,
+                sep: str = " ", round_to: int = 6):
+    """Per-key TF-IDF term table ``(key, token, tf, df, tfidf)`` —
+    distinctive-term extraction over a sharded corpus.
+
+    Three exact distributed passes, none of which shuffles the token
+    stream: tf via :func:`grouped_token_counts` (per-block combiner),
+    df via the block-dedup exact COUNT(DISTINCT doc) plan
+    (:func:`raqc_ray.ops.distinct.grouped_count_distinct` over the
+    exploded (doc, token) pairs), and the corpus size is one Count.
+    tf ⋈ df is a vocabulary-sized hash join
+    (:func:`raqc_ray.ops.join.hash_join` — distributed, no broadcast
+    assumption on vocabulary size).  ``tfidf = tf · ln(n_docs/df)``
+    from exact int64 inputs, rounded to ``round_to`` to absorb libm
+    last-ulp differences vs the SQL oracle."""
+    from ..ops.distinct import grouped_count_distinct
+    from ..ops.join import hash_join
+
+    n_docs = ds.count()
+    tf = grouped_token_counts(ds, key, text_col, sep=sep,
+                              token_col="token", count_col="tf")
+    exploded = explode_tokens(ds, id_col, text_col, sep=sep,
+                              token_col="token").select_columns(
+                                  [id_col, "token"])
+    dft = grouped_count_distinct(exploded, "token", id_col, out_col="df")
+    joined = hash_join(tf, dft, on="token")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tfv = df["tf"].to_numpy(dtype=np.float64)
+        dfv = df["df"].to_numpy(dtype=np.float64)
+        out = df[[key, "token"]].copy()
+        out["tf"] = df["tf"].astype("int64")
+        out["df"] = df["df"].astype("int64")
+        out["tfidf"] = np.round(tfv * np.log(float(n_docs) / dfv),
+                                round_to)
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -225,3 +225,35 @@ def test_dedup_corpus_paths_equivalent(rd):
     a = sorted(k1.to_pandas()["doc_id"].tolist())
     b = sorted(k2.to_pandas()["doc_id"].tolist())
     assert a == b and len(a) < len(df)
+
+
+def test_grouped_cooccurrence_counts(rd):
+    from raqc_ray.ops.cooc import grouped_cooccurrence
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 3, 3, 3],
+        "v": ["a", "b", "a", "c", "a", "b", "b", "c", "b"],
+    })
+    out = grouped_cooccurrence(rd.from_pandas(df), "k", "v").to_pandas()
+    got = {(r.val_a, r.val_b): r.n for r in out.itertuples()}
+    # k1 has {a,b,c}, k2 {a,b}, k3 {b,c}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 2}
+
+
+def test_tfidf_terms_closed_form(rd):
+    from raqc_ray.ops.unnest import tfidf_terms
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "src": ["s1", "s1", "s2", "s2"],
+        "text": ["cat dog", "cat cat", "dog fish", "fish fish"],
+    })
+    out = tfidf_terms(rd.from_pandas(df), "src", "doc_id", "text").to_pandas()
+    got = {(r.src, r.token): (r.tf, r.df, r.tfidf) for r in out.itertuples()}
+    # cat: tf(s1)=3, df=2, idf=ln(4/2)
+    assert got[("s1", "cat")] == (3, 2, round(3 * np.log(2.0), 6))
+    # fish: tf(s2)=3, df=2
+    assert got[("s2", "fish")] == (3, 2, round(3 * np.log(2.0), 6))
+    # dog appears in docs 1 and 3 → df=2, tf 1 in each source
+    assert got[("s1", "dog")] == (1, 2, round(np.log(2.0), 6))
+    assert got[("s2", "dog")] == (1, 2, round(np.log(2.0), 6))

@@ -88,7 +88,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q65_dupclusters_documents", "q66_topterms_documents",
             "q67_cube_revenue", "q68_vq_assign_embeddings",
             "q69_event_types_by_user", "q70_median_mad_lineitem",
-            "q71_entropy_events", "q72_skew_profile_orders"]
+            "q71_entropy_events", "q72_skew_profile_orders",
+            "q74_cooccurrence_events", "q75_tfidf_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
