@@ -1520,6 +1520,89 @@ def q75_tfidf_documents(sf_dir: str):
     return df[["source", "token", "tf", "df", "tfidf"]]
 
 
+def q76_hist1d_events(sf_dir: str):
+    """Grouped equi-width histogram (ops/moments.grouped_hist1d):
+    per-event-type value distribution in width-50 buckets — FLOOR
+    division SQL oracle."""
+    from raqc_ray.ops.moments import grouped_hist1d
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    df = grouped_hist1d(ev, "event_type", "value", width=50.0).to_pandas()
+    for c in ("bucket", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "bucket", "n"]]
+
+
+def q77_outer_join_customer_revenue(sf_dir: str):
+    """LEFT OUTER distributed hash join (ops/join.hash_join,
+    how=left_outer): every customer with order count + integer-cents
+    revenue, zero-order customers kept with 0/0 — LEFT JOIN + COALESCE
+    SQL oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from raqc_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "cents": np.floor(
+                df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+                + 0.5).astype(np.int64),
+            "one": np.ones(len(df), dtype=np.int64),
+        })
+
+    per_cust = (orders.map_batches(cents, batch_format="pandas")
+                .groupby("o_custkey")
+                .aggregate(Sum("one", alias_name="n_orders"),
+                           Sum("cents", alias_name="revenue_cents")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(cust, per_cust, on="c_custkey",
+                       right_on="o_custkey", how="left_outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["c_custkey", "c_mktsegment"]].copy()
+        out["n_orders"] = (df["n_orders"].fillna(0).astype("int64")
+                           if "n_orders" in df else 0)
+        out["revenue_cents"] = (df["revenue_cents"].fillna(0)
+                                .astype("int64")
+                                if "revenue_cents" in df else 0)
+        return out
+
+    df = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    for c in ("c_custkey", "n_orders", "revenue_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["c_custkey", "c_mktsegment", "n_orders", "revenue_cents"]]
+
+
+def q78_share_lineitem(sf_dir: str):
+    """Per-row share of group total (ops/moments.grouped_share):
+    each line's integer-cents price as a fraction of its returnflag
+    group's exact total — keys-sized broadcast, no second shuffle —
+    SUM-OVER-window SQL oracle."""
+    from raqc_ray.ops.moments import grouped_share
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        out["cents"] = np.floor(
+            df["l_extendedprice"].to_numpy(dtype=np.float64) * 100.0
+            + 0.5).astype(np.int64)
+        return out
+
+    ds = li.map_batches(cents, batch_format="pandas")
+    df = grouped_share(ds, "l_returnflag", "cents").to_pandas()
+    for c in ("l_orderkey", "l_linenumber", "cents"):
+        df[c] = df[c].astype("int64")
+    df["share"] = df["share"].astype("float64")
+    return df[["l_orderkey", "l_linenumber", "l_returnflag", "cents",
+               "share"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1623,6 +1706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_dedup_corpus_documents": q73_dedup_corpus_documents,
         "q74_cooccurrence_events": q74_cooccurrence_events,
         "q75_tfidf_documents": q75_tfidf_documents,
+        "q76_hist1d_events": q76_hist1d_events,
+        "q77_outer_join_customer_revenue": q77_outer_join_customer_revenue,
+        "q78_share_lineitem": q78_share_lineitem,
     }
 
 
@@ -2398,6 +2484,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(tf.tf * LN(CAST(nd.n_docs AS DOUBLE) / dft.df), 6)
                        AS tfidf
             FROM tf JOIN dft USING (token), nd
+        """,
+        "q76_hist1d_events": """
+            SELECT event_type,
+                   CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type, CAST(FLOOR(value / 50.0) AS BIGINT)
+        """,
+        "q77_outer_join_customer_revenue": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COALESCE(p.n_orders, 0) AS n_orders,
+                   COALESCE(p.revenue_cents, 0) AS revenue_cents
+            FROM customer c
+            LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+        """,
+        "q78_share_lineitem": """
+            WITH c AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag,
+                       CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT) AS cents
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+                   ROUND(CAST(cents AS DOUBLE)
+                         / SUM(cents) OVER (PARTITION BY l_returnflag),
+                         9) AS share
+            FROM c
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -121,3 +121,53 @@ def grouped_linreg(ds, key: str, x: str, y: str, round_to: int = 6):
         })
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def grouped_hist1d(ds, key: str, value_col: str, width: float):
+    """Grouped equi-width 1-D histogram: ``(key, bucket, n)`` with
+    ``bucket = floor(value / width)`` (int64) — the marginal of the
+    engine's 2-D drift histogram (SURVEY §2.5 A1) as a standalone
+    exact operator.  Per-block combiner counts (key, bucket) pairs;
+    ONE hash groupby Sum moves buckets × blocks rows.  FLOOR of the
+    same IEEE division on both engine and oracle ⇒ bit-identical
+    bucket ids."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            key: df[key],
+            "bucket": np.floor(
+                df[value_col].to_numpy(dtype=np.float64) / width
+            ).astype(np.int64),
+        })
+        d["n"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, "bucket"], sort=False, as_index=False).sum()
+
+    return (ds.map_batches(block_counts, batch_format="pandas")
+            .groupby([key, "bucket"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def grouped_share(ds, key: str, int_value_col: str,
+                  out_col: str = "share", round_to: int = 9):
+    """Per-row share of the group total — ``v / SUM(v) OVER
+    (PARTITION BY key)`` — for an INTEGER value column, so the group
+    totals are exact (associative int64 sums) and every share is the
+    same IEEE division the SQL engine performs.  The totals table is
+    keys-sized: broadcast into a streaming map (no second shuffle of
+    the fact stream).  Appends ``out_col`` (float64, rounded)."""
+    from ray.data.aggregate import Sum
+
+    totals = (ds.groupby(key)
+              .aggregate(Sum(int_value_col, alias_name="__t"))
+              .to_pandas())
+    lut = dict(zip(totals[key], totals["__t"].astype("int64")))
+
+    def add_share(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[key].map(lut).to_numpy(dtype=np.float64)
+        v = df[int_value_col].to_numpy(dtype=np.float64)
+        out = df.copy()
+        out[out_col] = np.round(v / t, round_to)
+        return out
+
+    return ds.map_batches(add_share, batch_format="pandas")

@@ -89,7 +89,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q67_cube_revenue", "q68_vq_assign_embeddings",
             "q69_event_types_by_user", "q70_median_mad_lineitem",
             "q71_entropy_events", "q72_skew_profile_orders",
-            "q74_cooccurrence_events", "q75_tfidf_documents"]
+            "q74_cooccurrence_events", "q75_tfidf_documents",
+            "q76_hist1d_events", "q77_outer_join_customer_revenue",
+            "q78_share_lineitem"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
