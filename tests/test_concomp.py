@@ -257,3 +257,56 @@ def test_tfidf_terms_closed_form(rd):
     # dog appears in docs 1 and 3 → df=2, tf 1 in each source
     assert got[("s1", "dog")] == (1, 2, round(np.log(2.0), 6))
     assert got[("s2", "dog")] == (1, 2, round(np.log(2.0), 6))
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_new_ops_layout_invariance(rd, nblocks):
+    """Block layout must not change any output bit: quantized centroid,
+    rank windows, share-of-total and hist1d re-run over a repartitioned
+    input and compare exactly against the 3-block baseline."""
+    from raqc_ray.ops.embstats import grouped_centroid
+    from raqc_ray.ops.moments import grouped_hist1d, grouped_share
+    from raqc_ray.ops.window import grouped_rank
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 6
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 7, n).astype(np.int64),
+        "v": np.floor(rng.random(n) * 40).astype(np.int64),
+        "embedding": list(emb),
+    })
+
+    def mk(nb):
+        return rd.from_pandas(df).repartition(nb)
+
+    base, alt = mk(3), mk(nblocks)
+
+    c1 = (grouped_centroid(base, "k", "embedding", dim=d).to_pandas()
+          .sort_values(["k", "pos"]).reset_index(drop=True))
+    c2 = (grouped_centroid(alt, "k", "embedding", dim=d).to_pandas()
+          .sort_values(["k", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(c1, c2)
+
+    def rank_df(ds):
+        res, bdf = grouped_rank(
+            ds.select_columns(["id", "k", "v"]), key="k", order_by="v")
+        return (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+                .sort_values("id").reset_index(drop=True)
+                [["id", "k", "v", "rank", "dense_rank", "pct_rank"]])
+
+    pd.testing.assert_frame_equal(rank_df(base), rank_df(alt),
+                                  check_dtype=False)
+
+    s1 = (grouped_share(base.select_columns(["id", "k", "v"]), "k", "v")
+          .to_pandas().sort_values("id").reset_index(drop=True))
+    s2 = (grouped_share(alt.select_columns(["id", "k", "v"]), "k", "v")
+          .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(s1, s2, check_dtype=False)
+
+    h1 = (grouped_hist1d(base.select_columns(["k", "v"]), "k", "v", 8.0)
+          .to_pandas().sort_values(["k", "bucket"]).reset_index(drop=True))
+    h2 = (grouped_hist1d(alt.select_columns(["k", "v"]), "k", "v", 8.0)
+          .to_pandas().sort_values(["k", "bucket"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(h1, h2, check_dtype=False)
