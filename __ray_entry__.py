@@ -1603,6 +1603,19 @@ def q78_share_lineitem(sf_dir: str):
                "share"]]
 
 
+def q79_bpe_tokens_documents(sf_dir: str):
+    """BPE-ish regex token count (ops/text.bpe_token_count): GPT-2
+    pre-tokenizer pattern counted in one RE2 kernel per block —
+    regexp_extract_all-length SQL oracle (same RE2 pattern)."""
+    from raqc_ray.ops.text import bpe_token_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = bpe_token_count(docs, "doc_id", "text").to_pandas()
+    for c in ("doc_id", "n_bpe_tokens"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_bpe_tokens"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1709,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_hist1d_events": q76_hist1d_events,
         "q77_outer_join_customer_revenue": q77_outer_join_customer_revenue,
         "q78_share_lineitem": q78_share_lineitem,
+        "q79_bpe_tokens_documents": q79_bpe_tokens_documents,
     }
 
 
@@ -2519,6 +2533,13 @@ def oracle_sql() -> dict[str, str]:
                          / SUM(cents) OVER (PARTITION BY l_returnflag),
                          9) AS share
             FROM c
+        """,
+        "q79_bpe_tokens_documents": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       $$'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$$
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
