@@ -1616,6 +1616,24 @@ def q79_bpe_tokens_documents(sf_dir: str):
     return df[["doc_id", "n_bpe_tokens"]]
 
 
+def q80_heavy_hitters_documents(sf_dir: str):
+    """Approximate frequent tokens (ops/heavyhitters.
+    approx_heavy_hitters): mergeable Misra-Gries block summaries —
+    nothing vocabulary-sized moves.  Bounds are layout-dependent
+    (sketch), so no SQL oracle (rows-only); the containment/bracketing
+    guarantees are property-gated in test_concomp."""
+    from raqc_ray.ops.heavyhitters import approx_heavy_hitters
+    from raqc_ray.ops.unnest import explode_tokens
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = explode_tokens(docs, "doc_id", "text").select_columns(["token"])
+    df = approx_heavy_hitters(toks, "token", m=64,
+                              min_count=1).to_pandas()
+    for c in ("count_lo", "count_hi"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("value").reset_index(drop=True)
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1723,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q77_outer_join_customer_revenue": q77_outer_join_customer_revenue,
         "q78_share_lineitem": q78_share_lineitem,
         "q79_bpe_tokens_documents": q79_bpe_tokens_documents,
+        "q80_heavy_hitters_documents": q80_heavy_hitters_documents,
     }
 
 

@@ -310,3 +310,27 @@ def test_new_ops_layout_invariance(rd, nblocks):
     h2 = (grouped_hist1d(alt.select_columns(["k", "v"]), "k", "v", 8.0)
           .to_pandas().sort_values(["k", "bucket"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(h1, h2, check_dtype=False)
+
+
+@pytest.mark.parametrize("nblocks", [2, 9])
+def test_heavy_hitters_guarantees(rd, nblocks):
+    """Misra-Gries guarantees on zipf-ish data: every true heavy hitter
+    (count > total error) is reported, and every reported [lo, hi]
+    brackets the true count."""
+    from raqc_ray.ops.heavyhitters import approx_heavy_hitters
+
+    rng = np.random.default_rng(13)
+    vals = [f"tok{z}" for z in rng.zipf(1.4, 8000) if z < 5000]
+    df = pd.DataFrame({"v": vals})
+    truth = df["v"].value_counts().to_dict()
+    out = approx_heavy_hitters(rd.from_pandas(df).repartition(nblocks),
+                               "v", m=32).to_pandas()
+    got = {r.value: (r.count_lo, r.count_hi) for r in out.itertuples()}
+    total_err = (next(iter(got.values()))[1]
+                 - next(iter(got.values()))[0]) if got else 0
+    for v, n in truth.items():
+        if n > total_err:
+            assert v in got, (v, n, total_err)
+        if v in got:
+            lo, hi = got[v]
+            assert lo <= n <= hi, (v, n, lo, hi)
