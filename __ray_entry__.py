@@ -1634,6 +1634,23 @@ def q80_heavy_hitters_documents(sf_dir: str):
     return df.sort_values("value").reset_index(drop=True)
 
 
+def q81_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (ops/embstats.kmeans_fit): quantized-
+    exact M-step + matmul E-step, convergence by exact centroid
+    equality, layout/CPU-count reproducible.  Iterative — no SQL
+    oracle (rows-only); blob-recovery + layout-invariance are
+    pytest-gated in test_concomp."""
+    from raqc_ray.ops.embstats import kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign, _, _ = kmeans_fit(emb, "vec_id", "embedding", dim=64, k=8,
+                              n_iter=10)
+    df = assign.to_pandas()
+    for c in ("vec_id", "vq_label"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1742,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_share_lineitem": q78_share_lineitem,
         "q79_bpe_tokens_documents": q79_bpe_tokens_documents,
         "q80_heavy_hitters_documents": q80_heavy_hitters_documents,
+        "q81_kmeans_embeddings": q81_kmeans_embeddings,
     }
 
 

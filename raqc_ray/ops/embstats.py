@@ -104,3 +104,60 @@ def vq_assign(ds, id_col: str, emb_col: str, dim: int,
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_fit(ds, id_col: str, emb_col: str, dim: int, k: int,
+               n_iter: int = 20, scale: int = 10_000_000):
+    """Distributed Lloyd k-means over an embedding column — the full
+    iterative loop built from this module's two primitives: E-step =
+    :func:`vq_assign` (broadcast codebook, one matmul per batch),
+    M-step = :func:`grouped_centroid` (quantized-exact int64 sums).
+
+    Because the M-step centroids are QUANTIZED-exact (bit-identical
+    across block layouts) and the E-step argmin is a deterministic
+    function of them, the whole fit is reproducible across layouts and
+    CPU counts — convergence is detected by exact centroid equality,
+    not a float tolerance.  Initialization: the k rows with the
+    smallest ``id_col`` values (deterministic; pass a pre-shuffled id
+    if the head of the table is degenerate).
+
+    Each iteration is two streaming passes over the (materialized)
+    input; empty clusters keep their previous centroid.  Returns
+    ``(assign_ds, labels, codebook)`` — the final per-row cluster
+    Dataset ``(id_col, vq_label)`` plus the fitted codebook."""
+    from .dedup import _emb_matrix
+
+    ds = ds.materialize()
+    head = (ds.sort(id_col).limit(k)
+            .select_columns([id_col, emb_col]).to_pandas())
+    import pyarrow as _pa
+
+    init = _emb_matrix(_pa.table(head)[emb_col], dim)
+    labels = np.arange(k, dtype=np.int64)
+    codebook = np.ascontiguousarray(init, dtype=np.float64)
+
+    for _ in range(n_iter):
+        # E+M fused per block: assign inside one map_batches carrying
+        # the embedding alongside the label (no join back)
+        def tag(b, _cb=codebook, _lb=labels):
+            emb = _emb_matrix(b[emb_col], dim)
+            d2 = ((emb * emb).sum(axis=1, keepdims=True)
+                  - 2.0 * emb @ _cb.T + (_cb * _cb).sum(axis=1))
+            idx = np.argmin(d2, axis=1)
+            return pd.DataFrame({"vq_label": _lb[idx],
+                                 emb_col: list(np.asarray(
+                                     emb, dtype=np.float32))})
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow")
+        cent = grouped_centroid(tagged, "vq_label", emb_col, dim,
+                                scale=scale).to_pandas()
+        new_cb = codebook.copy()
+        for lab, g in cent.groupby("vq_label"):
+            g = g.sort_values("pos")
+            new_cb[int(lab)] = g["centroid"].to_numpy(dtype=np.float64)
+        if np.array_equal(new_cb, codebook):
+            break
+        codebook = np.ascontiguousarray(new_cb)
+
+    assign = vq_assign(ds, id_col, emb_col, dim, labels, codebook)
+    return assign, labels, codebook

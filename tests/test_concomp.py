@@ -334,3 +334,54 @@ def test_heavy_hitters_guarantees(rd, nblocks):
         if v in got:
             lo, hi = got[v]
             assert lo <= n <= hi, (v, n, lo, hi)
+
+
+@pytest.mark.parametrize("nblocks", [2, 6])
+def test_kmeans_recovers_blobs(rd, nblocks):
+    from raqc_ray.ops.embstats import kmeans_fit
+
+    rng = np.random.default_rng(21)
+    d, per = 8, 60
+    centers = np.array([[10.0] * d, [-10.0] * d,
+                        [10.0] * 4 + [-10.0] * 4])
+    emb, truth = [], []
+    for ci, c in enumerate(centers):
+        emb.append(c + 0.5 * rng.standard_normal((per, d)))
+        truth += [ci] * per
+    emb = np.vstack(emb).astype(np.float32)
+    order = rng.permutation(len(emb))
+    df = pd.DataFrame({"id": np.arange(len(emb), dtype=np.int64),
+                       "embedding": list(emb[order])})
+    truth = np.array(truth)[order]
+    assign, labels, cb = kmeans_fit(
+        rd.from_pandas(df).repartition(nblocks), "id", "embedding",
+        dim=d, k=3)
+    out = assign.to_pandas().sort_values("id").reset_index(drop=True)
+    got = out["vq_label"].to_numpy()
+    # same-blob rows share a cluster; different blobs don't
+    for ci in range(3):
+        blob = got[truth == ci]
+        assert (blob == blob[0]).all()
+    assert len({got[truth == 0][0], got[truth == 1][0],
+                got[truth == 2][0]}) == 3
+
+
+def test_kmeans_layout_invariant(rd):
+    from raqc_ray.ops.embstats import kmeans_fit
+
+    rng = np.random.default_rng(22)
+    emb = rng.standard_normal((150, 5)).astype(np.float32)
+    df = pd.DataFrame({"id": np.arange(150, dtype=np.int64),
+                       "embedding": list(emb)})
+
+    def run(nb):
+        assign, _, cb = kmeans_fit(rd.from_pandas(df).repartition(nb),
+                                   "id", "embedding", dim=5, k=4,
+                                   n_iter=8)
+        return (assign.to_pandas().sort_values("id")
+                .reset_index(drop=True), cb)
+
+    a1, cb1 = run(2)
+    a2, cb2 = run(7)
+    pd.testing.assert_frame_equal(a1, a2)
+    np.testing.assert_array_equal(cb1, cb2)
