@@ -1651,6 +1651,31 @@ def q81_kmeans_embeddings(sf_dir: str):
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+def q82_rolling_events(sf_dir: str):
+    """Trailing window-frame aggregate (ops/window.grouped_rolling):
+    4-row rolling sum/avg of each user's integer-floored values in
+    (ts, event_id) order — ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    SQL oracle."""
+    from raqc_ray.ops.window import grouped_rolling
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def coarsen(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts", "user_id"]].copy()
+        out["vi"] = np.floor(df["value"].to_numpy()).astype(np.int64)
+        return out
+
+    res, bdf = grouped_rolling(
+        ev.map_batches(coarsen, batch_format="pandas"), key="user_id",
+        order_by="ts", value_col="vi", frame_rows=4, tiebreak="event_id")
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("event_id", "user_id", "vi", "roll_sum"):
+        df[c] = df[c].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["roll_avg"] = df["roll_avg"].astype("float64")
+    return df[["event_id", "ts", "user_id", "vi", "roll_sum", "roll_avg"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1760,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q79_bpe_tokens_documents": q79_bpe_tokens_documents,
         "q80_heavy_hitters_documents": q80_heavy_hitters_documents,
         "q81_kmeans_embeddings": q81_kmeans_embeddings,
+        "q82_rolling_events": q82_rolling_events,
     }
 
 
@@ -2577,6 +2603,17 @@ def oracle_sql() -> dict[str, str]:
                        $$'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$$
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "q82_rolling_events": """
+            SELECT event_id, ts, user_id,
+                   CAST(FLOOR(value) AS BIGINT) AS vi,
+                   SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS roll_sum,
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w
+                        AS DOUBLE)
+                       / COUNT(*) OVER w AS roll_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

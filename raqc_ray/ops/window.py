@@ -227,3 +227,37 @@ def grouped_rank(ds, key: str, order_by: str):
         return s[out_cols]
 
     return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)
+
+
+def grouped_rolling(ds, key: str, order_by: str, value_col: str,
+                    frame_rows: int, tiebreak: str | None = None,
+                    sum_col: str = "roll_sum", avg_col: str = "roll_avg"):
+    """Per-key trailing window-frame aggregate — SQL ``SUM/AVG(v) OVER
+    (PARTITION BY key ORDER BY order_by ROWS BETWEEN frame_rows-1
+    PRECEDING AND CURRENT ROW)``.  ``value_col`` must be int64 so the
+    frame sums are exact and the average is the same single IEEE
+    division the SQL engine performs (frame count is exact by
+    construction).  Same one-sort + sorted-group-scan plan as
+    :func:`grouped_running`; the per-group frame sum is one cumsum and
+    one shifted subtraction.  Returns (res_dataset, boundary_df)."""
+    out_empty = arrow_schema(ds).empty_table().to_pandas()
+    out_empty[sum_col] = pd.Series(dtype="int64")
+    out_empty[avg_col] = pd.Series(dtype="float64")
+    out_cols = list(out_empty.columns)
+    sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values(sort_cols, kind="mergesort")
+             .reset_index(drop=True))
+        v = s[value_col].to_numpy(dtype=np.int64)
+        n = len(s)
+        cum = np.cumsum(v)
+        roll = cum.copy()
+        if n > frame_rows:
+            roll[frame_rows:] = cum[frame_rows:] - cum[:-frame_rows]
+        cnt = np.minimum(np.arange(1, n + 1, dtype=np.int64), frame_rows)
+        s[sum_col] = roll
+        s[avg_col] = roll / cnt
+        return s[out_cols]
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)

@@ -375,3 +375,17 @@ def test_grouped_token_counts(rd):
     got = {(r.src, r.token): r.n for r in out.itertuples()}
     assert got == {("s1", "a"): 2, ("s1", "b"): 2, ("s1", "c"): 1,
                    ("s2", "a"): 2}
+
+
+def test_grouped_rolling_frame(rd):
+    from raqc_ray.ops.window import grouped_rolling
+
+    df = pd.DataFrame({"k": [1] * 6, "t": range(6), "rid": range(6),
+                       "v": [1, 2, 3, 4, 5, 6]})
+    res, bdf = grouped_rolling(rd.from_pandas(df), key="k", order_by="t",
+                               value_col="v", frame_rows=3,
+                               tiebreak="rid")
+    out = (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+           .sort_values("t").reset_index(drop=True))
+    assert out["roll_sum"].tolist() == [1, 3, 6, 9, 12, 15]
+    assert out["roll_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
