@@ -1676,6 +1676,29 @@ def q82_rolling_events(sf_dir: str):
     return df[["event_id", "ts", "user_id", "vi", "roll_sum", "roll_avg"]]
 
 
+def q83_minmax_norm_events(sf_dir: str):
+    """Per-group min-max feature scaling (ops/moments.
+    grouped_minmax_norm): each event's scaled value normalized into
+    [0, 1] within its event_type — MIN/MAX OVER window SQL oracle."""
+    from raqc_ray.ops.moments import grouped_minmax_norm
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def scaled(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "event_type"]].copy()
+        out["vi"] = np.floor(
+            df["value"].to_numpy(dtype=np.float64) * 1_000_000
+        ).astype(np.int64)
+        return out
+
+    ds = ev.map_batches(scaled, batch_format="pandas")
+    df = grouped_minmax_norm(ds, "event_type", "vi").to_pandas()
+    for c in ("event_id", "vi"):
+        df[c] = df[c].astype("int64")
+    df["norm"] = df["norm"].astype("float64")
+    return df[["event_id", "event_type", "vi", "norm"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1786,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q80_heavy_hitters_documents": q80_heavy_hitters_documents,
         "q81_kmeans_embeddings": q81_kmeans_embeddings,
         "q82_rolling_events": q82_rolling_events,
+        "q83_minmax_norm_events": q83_minmax_norm_events,
     }
 
 
@@ -2614,6 +2638,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "q83_minmax_norm_events": """
+            WITH s AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 1000000) AS BIGINT) AS vi
+                FROM events
+            )
+            SELECT event_id, event_type, vi,
+                   ROUND(CASE WHEN MAX(vi) OVER w > MIN(vi) OVER w
+                              THEN CAST(vi - MIN(vi) OVER w AS DOUBLE)
+                                   / (MAX(vi) OVER w - MIN(vi) OVER w)
+                              ELSE 0.0 END, 9) AS norm
+            FROM s
+            WINDOW w AS (PARTITION BY event_type)
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

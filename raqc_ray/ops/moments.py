@@ -171,3 +171,35 @@ def grouped_share(ds, key: str, int_value_col: str,
         return out
 
     return ds.map_batches(add_share, batch_format="pandas")
+
+
+def grouped_minmax_norm(ds, key: str, int_value_col: str,
+                        out_col: str = "norm", round_to: int = 9):
+    """Per-row min-max normalization within the row's group —
+    ``(v − MIN(v) OVER key) / (MAX(v) − MIN(v) OVER key)`` — for an
+    INTEGER value column (exact group extrema, one deterministic IEEE
+    division; degenerate groups where max == min emit 0.0).  The
+    feature-scaling stage of an ML data pipeline: one tiny Min/Max
+    aggregate broadcast into a streaming map, no second shuffle.
+    Appends ``out_col`` (float64, rounded)."""
+    from ray.data.aggregate import Max, Min
+
+    ext = (ds.groupby(key)
+           .aggregate(Min(int_value_col, alias_name="__lo"),
+                      Max(int_value_col, alias_name="__hi"))
+           .to_pandas())
+    lo = dict(zip(ext[key], ext["__lo"].astype("int64")))
+    hi = dict(zip(ext[key], ext["__hi"].astype("int64")))
+
+    def add_norm(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[key].map(lo).to_numpy(dtype=np.float64)
+        h = df[key].map(hi).to_numpy(dtype=np.float64)
+        v = df[int_value_col].to_numpy(dtype=np.float64)
+        span = h - l
+        out = df.copy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            n = np.where(span > 0, (v - l) / span, 0.0)
+        out[out_col] = np.round(n, round_to)
+        return out
+
+    return ds.map_batches(add_norm, batch_format="pandas")
