@@ -1699,6 +1699,22 @@ def q83_minmax_norm_events(sf_dir: str):
     return df[["event_id", "event_type", "vi", "norm"]]
 
 
+def q84_stratified_sample_documents(sf_dir: str):
+    """Deterministic stratified sample (ops/sample.stratified_sample):
+    exactly 5 docs per source, the smallest Lehmer-hashed doc_ids —
+    reproducible across layouts AND SQL-expressible: ROW_NUMBER-over-
+    hash oracle."""
+    from raqc_ray.ops.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    res, bdf = stratified_sample(docs, "source", "doc_id",
+                                 n_per_group=5, salt=7)
+    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    for c in ("doc_id", "h", "rank"):
+        df[c] = df[c].astype("int64")
+    return df[["source", "doc_id", "h", "rank"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1810,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_kmeans_embeddings": q81_kmeans_embeddings,
         "q82_rolling_events": q82_rolling_events,
         "q83_minmax_norm_events": q83_minmax_norm_events,
+        "q84_stratified_sample_documents": q84_stratified_sample_documents,
     }
 
 
@@ -2652,6 +2669,21 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 9) AS norm
             FROM s
             WINDOW w AS (PARTITION BY event_type)
+        """,
+        "q84_stratified_sample_documents": """
+            SELECT source, doc_id, h, rank FROM (
+                SELECT source, doc_id, h,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY h, doc_id
+                       ) AS BIGINT) AS rank
+                FROM (
+                    SELECT source, doc_id,
+                           (((doc_id + 7) * 48271) % 2147483647)
+                               * 48271 % 2147483647 AS h
+                    FROM documents
+                )
+            )
+            WHERE rank <= 5
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

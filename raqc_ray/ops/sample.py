@@ -83,3 +83,30 @@ def hash_split(ds, key_col: str, splits: dict[str, float], salt: int = 0,
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, key_col: str, n_per_group: int,
+                      salt: int = 0, hash_col: str = "h",
+                      rank_col: str = "rank"):
+    """Exactly ``n_per_group`` rows per group (fewer if the group is
+    smaller), chosen as the n smallest Lehmer-hashed keys — the
+    deterministic stratified sample a training-data pipeline uses for
+    per-source eval sets: reproducible across runs, cluster sizes and
+    block layouts, and expressible verbatim in SQL (full oracle).
+
+    Plan: one ``map_batches`` appends the hash, then the grouped top-k
+    combiner (:func:`raqc_ray.ops.topk.grouped_topk`, ascending) prunes
+    each block to ≤ n rows per group before the single sort — the
+    selection never shuffles more than n × groups × blocks rows.
+    Returns (res_dataset, boundary_df) — caller unions."""
+    from .topk import grouped_topk
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(hash_col,
+                               pa.array(_lehmer(keys, salt), pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return grouped_topk(hashed, key=group_col, order_by=hash_col,
+                        k=n_per_group, ascending=True, tiebreak=key_col,
+                        rank_col=rank_col)
