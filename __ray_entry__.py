@@ -682,9 +682,9 @@ def q32_sessions_events(sf_dir: str):
     from raqc_ray.ops.sessions import sessionize
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    res, bdf = sessionize(ev, "user_id", "ts", "6h", value_col="value",
-                          tiebreak="event_id")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = sessionize(ev, "user_id", "ts", "6h", value_col="value",
+                     tiebreak="event_id")
+    df = res.to_pandas()
     for c in ("user_id", "session_id", "n_events"):
         df[c] = df[c].astype("int64")
     for c in ("session_start", "session_end"):
@@ -703,10 +703,10 @@ def q33_topk_orders_per_cust(sf_dir: str):
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    res, bdf = grouped_topk(orders, key="o_custkey",
-                            order_by="o_totalprice", k=3,
-                            ascending=False, tiebreak="o_orderkey")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = grouped_topk(orders, key="o_custkey",
+                       order_by="o_totalprice", k=3,
+                       ascending=False, tiebreak="o_orderkey")
+    df = res.to_pandas()
     for c in ("o_orderkey", "o_custkey", "rank"):
         df[c] = df[c].astype("int64")
     df["o_totalprice"] = df["o_totalprice"].astype("float64")
@@ -763,9 +763,9 @@ def q37_running_events(sf_dir: str):
     from raqc_ray.ops.window import grouped_running
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    res, bdf = grouped_running(ev, key="user_id", order_by="ts",
-                               value_col="value", tiebreak="event_id")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = grouped_running(ev, key="user_id", order_by="ts",
+                          value_col="value", tiebreak="event_id")
+    df = res.to_pandas()
     for c in ("event_id", "user_id", "row_number"):
         df[c] = df[c].astype("int64")
     df["ts"] = pd.to_datetime(df["ts"])
@@ -1019,9 +1019,9 @@ def q51_ntile_events(sf_dir: str):
     from raqc_ray.ops.window import grouped_ntile
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
-    res, bdf = grouped_ntile(ev, key="user_id", order_by="value",
-                             n_tiles=4, tiebreak="event_id")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = grouped_ntile(ev, key="user_id", order_by="value",
+                        n_tiles=4, tiebreak="event_id")
+    df = res.to_pandas()
     for c in ("event_id", "user_id", "tile"):
         df[c] = df[c].astype("int64")
     df["value"] = df["value"].astype("float64")
@@ -1202,9 +1202,9 @@ def q58_leadlag_events(sf_dir: str):
     from raqc_ray.ops.window import grouped_lead_lag
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    res, bdf = grouped_lead_lag(ev, key="user_id", order_by="ts",
-                                value_col="value", tiebreak="event_id")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = grouped_lead_lag(ev, key="user_id", order_by="ts",
+                           value_col="value", tiebreak="event_id")
+    df = res.to_pandas()
     for c in ("event_id", "user_id"):
         df[c] = df[c].astype("int64")
     df["ts"] = pd.to_datetime(df["ts"])
@@ -1228,9 +1228,9 @@ def q59_rank_events(sf_dir: str):
             val_i=np.floor(df["value"].to_numpy()).astype(np.int64))
         return df
 
-    res, bdf = grouped_rank(ev.map_batches(coarsen, batch_format="pandas"),
-                            key="user_id", order_by="val_i")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = grouped_rank(ev.map_batches(coarsen, batch_format="pandas"),
+                       key="user_id", order_by="val_i")
+    df = res.to_pandas()
     for c in ("event_id", "user_id", "val_i", "rank", "dense_rank"):
         df[c] = df[c].astype("int64")
     df["pct_rank"] = df["pct_rank"].astype("float64")
@@ -1358,9 +1358,9 @@ def q66_topterms_documents(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["source", "text"])
     counts = grouped_token_counts(docs, "source", "text")
-    res, bdf = grouped_topk(counts, key="source", order_by="n", k=10,
-                            ascending=False, tiebreak="token")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = grouped_topk(counts, key="source", order_by="n", k=10,
+                       ascending=False, tiebreak="token")
+    df = res.to_pandas()
     for c in ("n", "rank"):
         df[c] = df[c].astype("int64")
     return df[["source", "token", "n", "rank"]]
@@ -1665,10 +1665,10 @@ def q82_rolling_events(sf_dir: str):
         out["vi"] = np.floor(df["value"].to_numpy()).astype(np.int64)
         return out
 
-    res, bdf = grouped_rolling(
+    res = grouped_rolling(
         ev.map_batches(coarsen, batch_format="pandas"), key="user_id",
         order_by="ts", value_col="vi", frame_rows=4, tiebreak="event_id")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    df = res.to_pandas()
     for c in ("event_id", "user_id", "vi", "roll_sum"):
         df[c] = df[c].astype("int64")
     df["ts"] = pd.to_datetime(df["ts"])
@@ -1707,9 +1707,9 @@ def q84_stratified_sample_documents(sf_dir: str):
     from raqc_ray.ops.sample import stratified_sample
 
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
-    res, bdf = stratified_sample(docs, "source", "doc_id",
-                                 n_per_group=5, salt=7)
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = stratified_sample(docs, "source", "doc_id",
+                            n_per_group=5, salt=7)
+    df = res.to_pandas()
     for c in ("doc_id", "h", "rank"):
         df[c] = df[c].astype("int64")
     return df[["source", "doc_id", "h", "rank"]]

@@ -322,13 +322,10 @@ def neardup_violations(ds, spec: NearDupCheck, epoch: str, pid_fn,
     else:
         from ..ops.groupscan import scan_sorted_groups
 
-        pairs_ds, boundary_pairs = scan_sorted_groups(
+        pairs_ds = scan_sorted_groups(
             keyed, "key", lambda g: _scan_group(g, spec.max_hamming), empty_pairs
         )
-        pdf = pairs_ds.to_pandas()
-        if len(pdf) == 0 or "pair_key" not in pdf.columns:
-            pdf = empty_pairs.copy()
-        all_pairs = pd.concat([pdf, boundary_pairs], ignore_index=True)
+        all_pairs = pairs_ds.to_pandas()
     # dedup pairs found in multiple bands (canonical pair key); pairs are
     # violation-sized, so the violations table is built eagerly — the
     # caller gets a Dataset plus the stashed frame (no extra execution)

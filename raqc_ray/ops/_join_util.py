@@ -74,21 +74,3 @@ def tagged_union(left_ds, right_ds, on: str, right_on: str):
     return union, out_schema, list(out_schema.names), left_cols, right_payload
 
 
-def restore_schema(res_ds, bdf: pd.DataFrame, out_schema: pa.Schema):
-    """Cast scan output back to the declared join schema (the boundary
-    pass's pandas concat promotes int columns to float/object) and
-    union the boundary rows in."""
-    import ray.data as rd
-
-    out_cols = list(out_schema.names)
-
-    def cast(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(df[out_cols], schema=out_schema,
-                                    preserve_index=False)
-
-    out = res_ds.map_batches(cast, batch_format="pandas")
-    # always union one zero-row block of the declared schema: a join that
-    # matches nothing must still report its output schema downstream
-    # (an all-filtered Dataset otherwise yields a column-less to_pandas)
-    anchor = bdf if len(bdf) else out_schema.empty_table().to_pandas()
-    return out.union(rd.from_arrow(cast(anchor)))

@@ -39,7 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ._join_util import restore_schema, tagged_union
+from ._join_util import tagged_union
 from .groupscan import scan_sorted_groups
 
 # re-exported for ops that need a pyarrow view of any Dataset's schema
@@ -85,5 +85,5 @@ def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
             out[c] = rm[c]
         return pd.DataFrame(out)
 
-    res_ds, bdf = scan_sorted_groups(union, on, group_fn, out_empty)
-    return restore_schema(res_ds, bdf, out_schema)
+    return scan_sorted_groups(union, on, group_fn, out_empty,
+                              out_schema=out_schema)

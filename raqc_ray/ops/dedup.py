@@ -222,14 +222,11 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     empty_pairs = _scan_band_group(
         pd.DataFrame({"band_key": [], "doc_id": [], "sig": []}), num_perm, threshold
     )
-    pairs_ds, boundary = scan_sorted_groups(
+    pairs_ds = scan_sorted_groups(
         kept, "band_key",
         lambda g: _scan_band_group(g, num_perm, threshold), empty_pairs,
     )
-    pdf = pairs_ds.to_pandas()
-    if "pair_key" not in pdf.columns:
-        pdf = empty_pairs.copy()
-    uniq = pd.concat([pdf, boundary], ignore_index=True).drop_duplicates("pair_key")
+    uniq = pairs_ds.to_pandas().drop_duplicates("pair_key")
     import ray.data as rd
 
     return rd.from_pandas(

@@ -98,7 +98,7 @@ def stratified_sample(ds, group_col: str, key_col: str, n_per_group: int,
     combiner (:func:`raqc_ray.ops.topk.grouped_topk`, ascending) prunes
     each block to ≤ n rows per group before the single sort — the
     selection never shuffles more than n × groups × blocks rows.
-    Returns (res_dataset, boundary_df) — caller unions."""
+    Returns one Dataset."""
     from .topk import grouped_topk
 
     def add_hash(b: pa.Table) -> pa.Table:

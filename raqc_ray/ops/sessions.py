@@ -35,7 +35,7 @@ from .groupscan import scan_sorted_groups
 
 def sessionize(ds, key: str, ts: str, gap, value_col: str | None = None,
                tiebreak: str | None = None):
-    """Returns (sessions_dataset, boundary_sessions_df) — caller unions.
+    """Returns one sessions Dataset.
 
     ``gap``: ``pd.Timedelta`` / ``np.timedelta64``. Output columns:
     key, session_id (1-based per key in time order), session_start,

@@ -37,8 +37,8 @@ from .groupscan import scan_sorted_groups
 def grouped_topk(ds, key: str, order_by: str, k: int,
                  ascending: bool = False, tiebreak: str | None = None,
                  rank_col: str = "rank"):
-    """Returns (topk_dataset, boundary_df) — caller unions; every input
-    column is preserved and ``rank_col`` (int64, 1-based) is appended."""
+    """Returns one top-k Dataset; every input column is preserved and
+    ``rank_col`` (int64, 1-based) is appended."""
     from .asof import _arrow_schema
 
     sort_cols = [order_by] + ([tiebreak] if tiebreak else [])

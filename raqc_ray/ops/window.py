@@ -152,9 +152,7 @@ def hopping_window(ds, ts_col: str, value_col: str, window: str, hop: str,
 
 def grouped_running(ds, key: str, order_by: str, value_col: str,
                     tiebreak: str | None = None, round_to: int = 4):
-    """Returns (res_dataset, boundary_df) — caller unions.
-
-    Every input column is preserved; appends ``row_number`` (int64,
+    """Returns one Dataset. Every input column is preserved; appends ``row_number`` (int64,
     1-based per key in ``(order_by, tiebreak)`` order), ``running_sum``
     (float64 cumulative sum of ``value_col``, rounded to ``round_to``)
     and ``gap_ms`` (float64 milliseconds since the key's previous row,
@@ -193,8 +191,8 @@ def grouped_rank(ds, key: str, order_by: str):
     """Per-key RANK / DENSE_RANK / PERCENT_RANK over ``order_by``
     ascending, with SQL tie semantics (tied rows share a rank; RANK
     leaves gaps, DENSE_RANK does not; PERCENT_RANK = (rank-1)/(n-1),
-    0.0 for singleton keys).  Returns (res_dataset, boundary_df) —
-    caller unions, same contract as :func:`grouped_running`.
+    0.0 for singleton keys).  Returns one Dataset, same contract as
+    :func:`grouped_running`.
 
     Determinism with ties: the three rank columns are functions of the
     VALUE, not the row position, so tied rows get identical outputs and
@@ -203,8 +201,9 @@ def grouped_rank(ds, key: str, order_by: str):
     double the SQL engine computes.
 
     Same one-sort + sorted-group-scan plan as :func:`grouped_ntile`;
-    partitioning assumption: one key's rows fit a worker block (hot
-    keys fall back to the driver-side boundary regroup).
+    partitioning assumption: one key's rows fit a worker block (a hot
+    key spanning blocks is re-dispatched as a distributed boundary
+    group, never materialized on the driver).
     """
     out_empty = arrow_schema(ds).empty_table().to_pandas()
     out_empty["rank"] = pd.Series(dtype="int64")
@@ -239,7 +238,7 @@ def grouped_rolling(ds, key: str, order_by: str, value_col: str,
     division the SQL engine performs (frame count is exact by
     construction).  Same one-sort + sorted-group-scan plan as
     :func:`grouped_running`; the per-group frame sum is one cumsum and
-    one shifted subtraction.  Returns (res_dataset, boundary_df)."""
+    one shifted subtraction.  Returns one Dataset."""
     out_empty = arrow_schema(ds).empty_table().to_pandas()
     out_empty[sum_col] = pd.Series(dtype="int64")
     out_empty[avg_col] = pd.Series(dtype="float64")

@@ -90,11 +90,11 @@ def test_sessionize_planted(rd):
             "eid": [1, 2, 3, 4, 5, 6],
         }
     )
-    res, bdf = sessionize(
+    res = sessionize(
         rd.from_pandas(ev).repartition(3), "u", "t", "6h",
         value_col="v", tiebreak="eid",
     )
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    df = res.to_pandas()
     df = df.sort_values(["u", "session_id"]).reset_index(drop=True)
     got = df[["u", "session_id", "n_events", "sum_value"]].astype(
         {"u": "int64", "session_id": "int64", "n_events": "int64"}
@@ -116,9 +116,9 @@ def test_sessionize_gap_edge_inclusive(rd):
     ev = pd.DataFrame(
         {"u": [7, 7], "t": _ts(0, 6), "v": [1.0, 1.0], "eid": [1, 2]}
     )
-    res, bdf = sessionize(rd.from_pandas(ev), "u", "t", "6h",
+    res = sessionize(rd.from_pandas(ev), "u", "t", "6h",
                           value_col="v", tiebreak="eid")
-    df = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    df = res.to_pandas()
     assert len(df) == 1 and int(df["n_events"].iloc[0]) == 2
 
 
@@ -132,12 +132,12 @@ def test_grouped_topk_planted(rd):
             "id": [10, 11, 12, 13, 20, 30, 31],
         }
     )
-    res, bdf = grouped_topk(
+    res = grouped_topk(
         rd.from_pandas(df).repartition(4), key="k", order_by="v", k=2,
         ascending=False, tiebreak="id",
     )
     out = (
-        pd.concat([res.to_pandas(), bdf], ignore_index=True)
+        res.to_pandas()
         .astype({"k": "int64", "id": "int64", "rank": "int64"})
         .sort_values(["k", "rank"])
         .reset_index(drop=True)
@@ -163,12 +163,12 @@ def test_grouped_topk_partition_invariant(rd):
     )
     outs = []
     for nparts in (1, 7):
-        res, bdf = grouped_topk(
+        res = grouped_topk(
             rd.from_pandas(df).repartition(nparts), key="k",
             order_by="v", k=4, ascending=False, tiebreak="id",
         )
         o = (
-            pd.concat([res.to_pandas(), bdf], ignore_index=True)
+            res.to_pandas()
             .astype({"k": "int64", "v": "float64", "id": "int64",
                      "rank": "int64"})
             .sort_values(["k", "rank"])
@@ -218,12 +218,12 @@ def test_grouped_running_planted(rd):
             "eid": [2, 1, 3, 4],  # ties at 00:00 break by eid: 1 then 2
         }
     )
-    res, bdf = grouped_running(
+    res = grouped_running(
         rd.from_pandas(ev).repartition(3), key="u", order_by="t",
         value_col="v", tiebreak="eid",
     )
     out = (
-        pd.concat([res.to_pandas(), bdf], ignore_index=True)
+        res.to_pandas()
         .astype({"u": "int64", "eid": "int64", "row_number": "int64"})
         .sort_values(["u", "row_number"])
         .reset_index(drop=True)
@@ -251,12 +251,12 @@ def test_grouped_running_partition_invariant(rd):
     )
     outs = []
     for nparts in (1, 6):
-        res, bdf = grouped_running(
+        res = grouped_running(
             rd.from_pandas(df).repartition(nparts), key="u", order_by="t",
             value_col="v", tiebreak="eid",
         )
         o = (
-            pd.concat([res.to_pandas(), bdf], ignore_index=True)
+            res.to_pandas()
             .astype({"u": "int64", "eid": "int64", "row_number": "int64"})
             .sort_values(["u", "row_number"])
             .reset_index(drop=True)[

@@ -290,9 +290,9 @@ def test_new_ops_layout_invariance(rd, nblocks):
     pd.testing.assert_frame_equal(c1, c2)
 
     def rank_df(ds):
-        res, bdf = grouped_rank(
+        res = grouped_rank(
             ds.select_columns(["id", "k", "v"]), key="k", order_by="v")
-        return (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+        return (res.to_pandas()
                 .sort_values("id").reset_index(drop=True)
                 [["id", "k", "v", "rank", "dense_rank", "pct_rank"]])
 

@@ -187,15 +187,85 @@ def test_groupscan_matches_per_group(ray_session):
     empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
                           "total": pd.Series(dtype="int64"),
                           "n": pd.Series(dtype="int64")})
-    res_ds, boundary = scan_sorted_groups(rd.from_pandas(df).repartition(8),
-                                          "k", group_fn, empty)
-    res = pd.concat([res_ds.to_pandas(), boundary], ignore_index=True)
+    res_ds = scan_sorted_groups(rd.from_pandas(df).repartition(8),
+                                "k", group_fn, empty)
+    res = res_ds.to_pandas()
     # oracle: plain pandas groupby (groups of size 1 excluded by contract)
     exp = df.groupby("k").agg(total=("v", "sum"), n=("v", "size")).reset_index()
     exp = exp[exp["n"] >= 2]
     res = res.sort_values("k").reset_index(drop=True)[["k", "total", "n"]]
     exp = exp.sort_values("k").reset_index(drop=True).astype("int64")
     pd.testing.assert_frame_equal(res.astype("int64"), exp)
+
+
+def test_groupscan_skewed_hot_key_distributed_boundary(ray_session):
+    """Adversarial skew: one key owns 20% of rows and spans many blocks.
+    With driver_boundary_limit=0 the boundary re-scan MUST run
+    distributed (groupby.map_groups over boundary rows only) and still
+    match the plain-pandas oracle — no driver-side group
+    materialization."""
+    import pandas as pd
+    import ray.data as rd
+    from raqc_ray.ops.groupscan import scan_sorted_groups
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    k = rng.integers(0, 500, n)
+    k[: n // 5] = 42  # hot key = 20% of all rows
+    df = pd.DataFrame({"k": k, "v": rng.integers(0, 100, n)})
+
+    def group_fn(g):
+        return pd.DataFrame({"k": [int(g["k"].iloc[0])],
+                             "total": [int(g["v"].sum())],
+                             "n": [len(g)]})
+
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "total": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64")})
+    res = scan_sorted_groups(
+        rd.from_pandas(df).repartition(16), "k", group_fn, empty,
+        driver_boundary_limit=0,
+    ).to_pandas()
+    exp = df.groupby("k").agg(total=("v", "sum"), n=("v", "size")).reset_index()
+    exp = exp[exp["n"] >= 2]
+    res = res.sort_values("k").reset_index(drop=True)[["k", "total", "n"]]
+    exp = exp.sort_values("k").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(res.astype("int64"), exp)
+
+
+def test_groupscan_block_fn_equivalence(ray_session):
+    """block_fn vectorized path must be emission-equivalent to looping
+    group_fn over the segments."""
+    import pandas as pd
+    import ray.data as rd
+    from raqc_ray.ops.groupscan import scan_sorted_groups
+
+    rng = np.random.default_rng(5)
+    n = 8000
+    df = pd.DataFrame({"k": rng.integers(0, 600, n), "v": rng.integers(0, 50, n)})
+
+    def group_fn(g):
+        return pd.DataFrame({"k": [int(g["k"].iloc[0])],
+                             "mx": [int(g["v"].max())]})
+
+    def block_fn(interior, starts, ends):
+        v = interior["v"].to_numpy()
+        kk = interior["k"].to_numpy()
+        return pd.DataFrame({"k": kk[starts].astype("int64"),
+                             "mx": np.maximum.reduceat(v, starts).astype("int64")})
+
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "mx": pd.Series(dtype="int64")})
+    # min_group=1 so the qualifying segments are contiguous (reduceat's
+    # [starts[i], starts[i+1]) contract holds exactly)
+    src = rd.from_pandas(df).repartition(8)
+    a = scan_sorted_groups(src, "k", group_fn, empty,
+                           min_group=1).to_pandas()
+    b = scan_sorted_groups(src, "k", group_fn, empty, min_group=1,
+                           block_fn=block_fn).to_pandas()
+    a = a.sort_values(["k"]).reset_index(drop=True)
+    b = b.sort_values(["k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_image_features_jpeg_payload():

@@ -109,13 +109,17 @@ def test_sessionize_matches_groupby_apply(rd, seed):
 
     ev = _rand_events(seed, n=350, keys=10)
     gap = pd.Timedelta("3h")
-    res, bdf = sessionize(
+    res = sessionize(
         rd.from_pandas(ev).repartition(5), "k", "t", gap,
         value_col="v", tiebreak="id",
     )
     got = (
-        pd.concat([res.to_pandas(), bdf], ignore_index=True)
-        .astype({"k": "int64", "session_id": "int64", "n_events": "int64"})
+        res.to_pandas()
+        .astype({"k": "int64", "session_id": "int64", "n_events": "int64",
+                 # the op's arrow schema is timestamp[us]; the pandas
+                 # oracle below stays in ns — compare in ns
+                 "session_start": "datetime64[ns]",
+                 "session_end": "datetime64[ns]"})
         .sort_values(["k", "session_id"])
         .reset_index(drop=True)
     )
@@ -144,12 +148,12 @@ def test_grouped_running_matches_pandas_window(rd, seed):
     from raqc_ray.ops.window import grouped_running
 
     ev = _rand_events(seed, n=300, keys=9)
-    res, bdf = grouped_running(
+    res = grouped_running(
         rd.from_pandas(ev).repartition(4), key="k", order_by="t",
         value_col="v", tiebreak="id",
     )
     got = (
-        pd.concat([res.to_pandas(), bdf], ignore_index=True)
+        res.to_pandas()
         .astype({"k": "int64", "id": "int64", "row_number": "int64"})
         .sort_values("id")
         .reset_index(drop=True)

@@ -129,9 +129,9 @@ def test_grouped_ntile_matches_reference(rd, seed):
         # coarse grid → ties in the order column
         "v": rng.integers(0, 10, n).astype(float),
     })
-    res, bdf = grouped_ntile(rd.from_pandas(df), key="k", order_by="v",
+    res = grouped_ntile(rd.from_pandas(df), key="k", order_by="v",
                              n_tiles=4, tiebreak="id")
-    out = pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    out = res.to_pandas()
 
     def ref_ntile(g):
         s = g.sort_values(["v", "id"]).reset_index(drop=True)
@@ -238,9 +238,9 @@ def test_grouped_lead_lag_matches_reference(rd, seed):
         "t": rng.integers(0, 40, n),  # duplicate order values
         "v": np.round(rng.random(n) * 10, 3),
     })
-    res, bdf = grouped_lead_lag(rd.from_pandas(df), key="k", order_by="t",
+    res = grouped_lead_lag(rd.from_pandas(df), key="k", order_by="t",
                                 value_col="v", tiebreak="id")
-    out = (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    out = (res.to_pandas()
            .sort_values("id").reset_index(drop=True))
     exp = df.sort_values(["k", "t", "id"]).copy()
     exp["lag_value"] = exp.groupby("k")["v"].shift(1)
@@ -277,8 +277,8 @@ def test_grouped_rank_tie_semantics(rd):
         "v": [10, 10, 20, 20, 30, 5, 7, 7],
         "rid": range(8),
     })
-    res, bdf = grouped_rank(rd.from_pandas(df), key="k", order_by="v")
-    out = (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    res = grouped_rank(rd.from_pandas(df), key="k", order_by="v")
+    out = (res.to_pandas()
            .sort_values(["k", "v", "rid"]).reset_index(drop=True))
     # key 1: ranks 1,1,3,3,5 (gaps), dense 1,1,2,2,3, pct (r-1)/4
     assert out.loc[out.k == 1, "rank"].tolist() == [1, 1, 3, 3, 5]
@@ -382,10 +382,10 @@ def test_grouped_rolling_frame(rd):
 
     df = pd.DataFrame({"k": [1] * 6, "t": range(6), "rid": range(6),
                        "v": [1, 2, 3, 4, 5, 6]})
-    res, bdf = grouped_rolling(rd.from_pandas(df), key="k", order_by="t",
+    res = grouped_rolling(rd.from_pandas(df), key="k", order_by="t",
                                value_col="v", frame_rows=3,
                                tiebreak="rid")
-    out = (pd.concat([res.to_pandas(), bdf], ignore_index=True)
+    out = (res.to_pandas()
            .sort_values("t").reset_index(drop=True))
     assert out["roll_sum"].tolist() == [1, 3, 6, 9, 12, 15]
     assert out["roll_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
