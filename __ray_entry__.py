@@ -2235,7 +2235,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(n_name, 'ALL') AS n_name,
                    COALESCE(yr, 'ALL') AS yr,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   ROUND(SUM(o_totalprice), 4) AS sum_value
+                   ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_value
             FROM base GROUP BY ROLLUP(n_name, yr)
         """,
         "q49_json_props_events": """
@@ -2407,16 +2407,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, event_type,
                        CAST(FLOOR(value * 1000000) AS BIGINT) AS vi
                 FROM events
-            ), cuts AS (
+            ), sums AS (
                 SELECT event_type,
-                       -- exact integer cut: v > (2*sum) // n
-                       CAST(2 AS HUGEINT) * SUM(CAST(vi AS HUGEINT))
-                           // COUNT(*) AS q
+                       SUM(CAST(vi AS HUGEINT)) AS sv,
+                       COUNT(*) AS n
                 FROM vi_t GROUP BY event_type
             )
+            -- multiplication form of the exact cut: v > (2*sv) / n
+            -- ⟺ v*n > 2*sv; avoids SQL // (truncates toward zero)
+            -- disagreeing with the engine's FLOOR cut on negative sums
             SELECT v.event_id, v.event_type, v.vi
-            FROM vi_t v JOIN cuts c USING (event_type)
-            WHERE CAST(v.vi AS HUGEINT) > c.q
+            FROM vi_t v JOIN sums s USING (event_type)
+            WHERE CAST(v.vi AS HUGEINT) * s.n > CAST(2 AS HUGEINT) * s.sv
         """,
         "q63_regslope_lineitem": """
             SELECT l_returnflag, COUNT(*) AS n,
@@ -2489,7 +2491,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
                    COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   ROUND(SUM(o_totalprice), 4) AS sum_value
+                   ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_value
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,

@@ -14,6 +14,33 @@ import pandas as pd
 import pyarrow as pa
 
 
+def drop_empty_blocks(ds):
+    """Rebuild ``ds`` without EMPTY blocks, reusing the existing block
+    refs zero-copy.
+
+    Ray Data's sort emits schema-less empty blocks for empty key
+    ranges, and map_batches passes empty blocks through WITHOUT
+    invoking the UDF (so they also never pick up downstream renames) —
+    the native hash-shuffle ``Dataset.join`` then fails with "No match
+    ... for key field" on them.  This helper materializes (a no-op cost
+    for join inputs, which the hash shuffle consumes fully anyway),
+    normalizes non-empty blocks to Arrow with one zero-copy identity
+    map, and reconstructs from the surviving refs.  If every block is
+    empty the dataset is returned as-is (nothing useful to join)."""
+    import ray.data as rd
+
+    mat = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    keep, total = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            total += 1
+            if meta.num_rows:
+                keep.append(ref)
+    if not keep or len(keep) == total:
+        return mat
+    return rd.from_arrow_refs(keep)
+
+
 def arrow_schema(ds) -> pa.Schema:
     """Dataset schema as pyarrow — pandas-backed datasets report a
     PandasBlockSchema (names + numpy dtypes); map it over (object

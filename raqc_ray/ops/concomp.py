@@ -6,20 +6,31 @@ dedup keeps one doc per component, not one per pair).
 Algorithm: alternating Large-Star / Small-Star (Kiveris, Lattanzi,
 Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
 and Beyond", SoCC 2014 — public knowledge).  Each half-round is ONE
-hash ``groupby`` over the current edge set plus a vectorized per-group
-emit; no label table, no joins, edge volume stays O(E).  Converges to
-star graphs rooted at each component's minimum id in O(log² n) rounds
-(typically ≤ 5 on dup graphs); convergence is detected by two
-independent 64-bit edge-multiset checksums computed as streaming Sum
-aggregates (no driver-side edge collection).
+``sort`` by the center node plus a fully VECTORIZED multi-segment numpy
+emit inside one ``map_batches`` call per block
+(:func:`raqc_ray.ops.groupscan.scan_sorted_groups` with ``block_fn``)
+— no per-node Python task, no label table, no joins; edge volume stays
+O(E).  A hot center (a converging component's root sees every member
+as a neighbor) spans blocks and is handled by the scan's distributed
+boundary re-dispatch, never the driver.  Converges to star graphs
+rooted at each component's minimum id in O(log² n) rounds (typically
+≤ 5 on dup graphs); convergence is detected by two independent 64-bit
+edge-multiset checksums computed as streaming Sum aggregates (no
+driver-side edge collection).
 
 Also here: :func:`hamming_pairs`, a pairs-EMITTING variant of the
 near-dup machinery (checks/neardup.py emits violation rows) —
 pigeonhole banding (``max_hamming+1`` bands ⇒ every true pair collides
-in ≥ 1 intact band), bucket groupby, vectorized XOR-popcount verify,
-global pair distinct.  Partitioning assumption: collision buckets fit
-a worker block; for adversarial hot buckets use the salted production
-path in checks/neardup.py.
+in ≥ 1 intact band), one composite-key sorted-block scan over the
+collision buckets (vectorized XOR-popcount verify per bucket, no task
+per bucket), global pair distinct.  Partitioning assumption: collision
+buckets fit a worker block; for adversarial hot buckets use the salted
+production path in checks/neardup.py.
+
+Coverage note: nodes whose only edges are self-loops (``a == b``) are
+dropped by the ``u != v`` filter and get NO output row — callers
+needing full node coverage should union singleton rows for them (the
+near-dup emitters here never produce self-loops).
 
 RAQC analog: none (SURVEY §2 has no graph ops); part of the §2
 LLM-pipeline surface.
@@ -30,6 +41,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .groupscan import scan_sorted_groups
+
+_EMPTY_UV = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64")})
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -75,9 +91,12 @@ def hamming_pairs(ds, id_col: str, hash_col: str, max_hamming: int):
 
     from ray.data.aggregate import Count
 
-    cand = (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby(["band", "bkey"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+    cand = scan_sorted_groups(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band", "bkey"], bucket_pairs, empty, min_group=2,
+    )
     # a pair found in k intact bands appears k times → global distinct
     return (cand.groupby(["a", "b"])
             .aggregate(Count(alias_name="__k"))
@@ -107,11 +126,84 @@ def _checksums(ed) -> tuple[int, int, int]:
     return (agg["n"], agg.get("s1"), agg.get("s2"))
 
 
+def _seg_ids(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Row → segment index for CONTIGUOUS segments (min_group=1)."""
+    return np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+
+
+def _dedupe_in_segment(v: np.ndarray, seg: np.ndarray):
+    """(order, first_mask): within-segment sort of ``v`` plus the mask
+    selecting each (segment, value)'s first occurrence — the vectorized
+    equivalent of per-group ``np.unique``."""
+    order = np.lexsort((v, seg))
+    vs, ss = v[order], seg[order]
+    first = np.ones(len(vs), dtype=bool)
+    if len(vs) > 1:
+        first[1:] = (ss[1:] != ss[:-1]) | (vs[1:] != vs[:-1])
+    return order, first
+
+
+# per-group reference emitters (boundary groups + equivalence tests)
+
+def _large_star_group(g: pd.DataFrame) -> pd.DataFrame:
+    u = int(g["u"].iloc[0])
+    nb = g["v"].to_numpy(dtype=np.int64)
+    m = min(u, int(nb.min()))
+    out = np.unique(nb[nb > u])
+    return pd.DataFrame({"u": out,
+                         "v": np.full(len(out), m, dtype=np.int64)})
+
+
+def _small_star_group(g: pd.DataFrame) -> pd.DataFrame:
+    u = int(g["u"].iloc[0])
+    nb = g["v"].to_numpy(dtype=np.int64)
+    m = int(nb.min())
+    out = np.unique(np.append(nb, u))
+    res = pd.DataFrame({"u": out,
+                        "v": np.full(len(out), m, dtype=np.int64)})
+    return res[res["u"] != res["v"]]
+
+
+# vectorized block emitters — one numpy pass over ALL of a block's
+# segments; emission-equivalent to looping the per-group versions
+
+def _large_star_block(interior: pd.DataFrame, starts: np.ndarray,
+                      ends: np.ndarray) -> pd.DataFrame:
+    u = interior["u"].to_numpy(dtype=np.int64)
+    v = interior["v"].to_numpy(dtype=np.int64)
+    seg = _seg_ids(starts, ends)
+    u_seg = u[starts]
+    m = np.minimum(u_seg, np.minimum.reduceat(v, starts))
+    order, first = _dedupe_in_segment(v, seg)
+    vs, ss = v[order], seg[order]
+    keep = first & (vs > u_seg[ss])
+    return pd.DataFrame({"u": vs[keep], "v": m[ss[keep]]})
+
+
+def _small_star_block(interior: pd.DataFrame, starts: np.ndarray,
+                      ends: np.ndarray) -> pd.DataFrame:
+    # input is directed u > v (strict), so u is never in the neighbor
+    # set and never equals m = min(neighbors)
+    u = interior["u"].to_numpy(dtype=np.int64)
+    v = interior["v"].to_numpy(dtype=np.int64)
+    seg = _seg_ids(starts, ends)
+    u_seg = u[starts]
+    m = np.minimum.reduceat(v, starts)
+    order, first = _dedupe_in_segment(v, seg)
+    vs, ss = v[order], seg[order]
+    keep = first & (vs != m[ss])
+    return pd.DataFrame({
+        "u": np.concatenate([vs[keep], u_seg]),
+        "v": np.concatenate([m[ss[keep]], m]),
+    })
+
+
 def connected_components(pairs, a: str = "a", b: str = "b",
                          max_rounds: int = 50):
-    """Dataset ``(node, cluster_id)`` for every node appearing in
-    ``pairs``; ``cluster_id`` is the component's minimum node id.
-    ``pairs`` columns ``a``/``b`` must be int64."""
+    """Dataset ``(node, cluster_id)`` for every node appearing in a
+    non-self-loop edge of ``pairs``; ``cluster_id`` is the component's
+    minimum node id.  ``pairs`` columns ``a``/``b`` must be int64.
+    Self-loop-only nodes are excluded (see module docstring)."""
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         u = df[a].to_numpy(dtype=np.int64)
@@ -129,35 +221,23 @@ def connected_components(pairs, a: str = "a", b: str = "b",
             "v": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
         })
 
-    def large_star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nb = g["v"].to_numpy(dtype=np.int64)
-        m = min(u, int(nb.min()))
-        out = np.unique(nb[nb > u])
-        return pd.DataFrame({"u": out,
-                             "v": np.full(len(out), m, dtype=np.int64)})
-
     def direct(df: pd.DataFrame) -> pd.DataFrame:
         u = df["u"].to_numpy(dtype=np.int64)
         v = df["v"].to_numpy(dtype=np.int64)
         return pd.DataFrame({"u": np.maximum(u, v),
                              "v": np.minimum(u, v)})
 
-    def small_star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nb = g["v"].to_numpy(dtype=np.int64)
-        m = int(nb.min())
-        out = np.unique(np.append(nb, u))
-        res = pd.DataFrame({"u": out,
-                            "v": np.full(len(out), m, dtype=np.int64)})
-        return res[res["u"] != res["v"]]
-
     for _ in range(max_rounds):
-        ed = (ed.map_batches(symmetrize, batch_format="pandas")
-              .groupby("u").map_groups(large_star, batch_format="pandas"))
-        ed = (ed.map_batches(direct, batch_format="pandas")
-              .groupby("u").map_groups(small_star, batch_format="pandas")
-              .materialize())
+        ed = scan_sorted_groups(
+            ed.map_batches(symmetrize, batch_format="pandas"), "u",
+            _large_star_group, _EMPTY_UV, min_group=1,
+            block_fn=_large_star_block,
+        )
+        ed = scan_sorted_groups(
+            ed.map_batches(direct, batch_format="pandas"), "u",
+            _small_star_group, _EMPTY_UV, min_group=1,
+            block_fn=_small_star_block,
+        ).materialize()
         cur = _checksums(ed)
         if cur == prev:
             break

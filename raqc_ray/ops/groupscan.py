@@ -138,6 +138,21 @@ def scan_sorted_groups(ds, key, group_fn, out_empty: pd.DataFrame,
     scanned = ds.sort(keys).map_batches(
         scan_block, batch_format="pandas", batch_size=None
     ).materialize()
+    # Ray's sort emits schema-less EMPTY blocks for empty key ranges and
+    # map_batches passes them through without invoking the UDF; they
+    # poison any downstream Dataset.join ("no match for key field").
+    # Rebuild zero-copy from the surviving block refs (all pandas — the
+    # scan_block output) dropping the degenerates.
+    keep_refs, total = [], 0
+    for bundle in scanned.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            total += 1
+            if meta.num_rows:
+                keep_refs.append(ref)
+    if not keep_refs:
+        return rd.from_arrow(schema.empty_table())
+    if len(keep_refs) < total:
+        scanned = rd.from_pandas_refs(keep_refs)
 
     def cast(df: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(df[out_cols], schema=schema,

@@ -80,3 +80,62 @@ def approx_heavy_hitters(ds, col: str, m: int = 64,
     if min_count is not None:
         out = out.filter(expr=f"count_lo >= {min_count}")
     return out
+
+
+def exact_heavy_hitters(ds, col: str, min_count: int, m: int = 256):
+    """EXACT ``(value, n)`` for every value of ``col`` with true count
+    ≥ ``min_count`` — without ever shuffling the vocabulary.
+
+    Two passes (the "candidates are violation-sized" trick the
+    referential check uses): (1) a Misra-Gries sweep produces the
+    candidate set — guaranteed to contain every item with true count
+    > Σ block truncation errors; (2) the few candidates are broadcast
+    (``ray.put`` once) and ONE ``map_batches`` pass emits per-block
+    exact partial counts for candidate values only (vectorized
+    ``searchsorted`` membership), summed by a candidate-sized groupby.
+    Output is exact and SQL-oracle-able (``GROUP BY col HAVING
+    COUNT(*) >= min_count``).
+
+    Raises if the MG error mass reaches ``min_count`` (the candidate
+    set could then miss a true heavy hitter): retry with a larger
+    ``m`` — error mass shrinks as 1/m.
+    """
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    ds = ds.materialize()  # two passes over the same input
+    cand_ds = approx_heavy_hitters(ds, col, m=m)
+    cand = cand_ds.to_pandas()
+    empty = pd.DataFrame({"value": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64")})
+    if not len(cand):
+        return rd.from_pandas(empty)
+    total_err = int((cand["count_hi"] - cand["count_lo"]).iloc[0])
+    if total_err >= min_count:
+        raise ValueError(
+            f"exact_heavy_hitters: MG error mass {total_err} ≥ "
+            f"min_count {min_count}; candidates may be incomplete — "
+            f"increase m (got m={m})")
+    # keep only candidates that could possibly reach min_count
+    cand = cand[cand["count_hi"] >= min_count]
+    if not len(cand):
+        return rd.from_pandas(empty)
+    cvals = np.sort(cand["value"].to_numpy().astype(str))
+    ref = ray.put(cvals)
+
+    def recount(b: pa.Table) -> pd.DataFrame:
+        c = ray.get(ref)
+        vc = pc.value_counts(b[col])
+        vals = vc.field("values").to_pandas().astype(str).to_numpy()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        idx = np.clip(np.searchsorted(c, vals), 0, len(c) - 1)
+        keep = c[idx] == vals
+        return pd.DataFrame({"value": vals[keep], "n": cnts[keep]})
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("value").aggregate(Sum("n", alias_name="n"))
+             .filter(expr=f"n >= {min_count}"))
+    return exact

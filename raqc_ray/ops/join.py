@@ -23,6 +23,8 @@ def hash_join(left_ds, right_ds, on, right_on=None, how: str = "inner",
     ``on`` may be a string or tuple of key columns.  ``how`` is one of
     inner / left_outer / right_outer / full_outer.
     """
+    from ._join_util import drop_empty_blocks
+
     if num_partitions is None:
         from raqc_ray.pipelines.validate import shuffle_width
 
@@ -31,6 +33,10 @@ def hash_join(left_ds, right_ds, on, right_on=None, how: str = "inner",
         on = (on,)
     if isinstance(right_on, str):
         right_on = (right_on,)
+    # empty blocks (sort ranges / all-filtered maps) lack the key field
+    # and crash the native hash join — strip them zero-copy first
+    left_ds = drop_empty_blocks(left_ds)
+    right_ds = drop_empty_blocks(right_ds)
     return left_ds.join(
         right_ds,
         join_type=how,

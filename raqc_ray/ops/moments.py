@@ -155,9 +155,15 @@ def grouped_share(ds, key: str, int_value_col: str,
     totals are exact (associative int64 sums) and every share is the
     same IEEE division the SQL engine performs.  The totals table is
     keys-sized: broadcast into a streaming map (no second shuffle of
-    the fact stream).  Appends ``out_col`` (float64, rounded)."""
+    the fact stream).  Appends ``out_col`` (float64, rounded).
+
+    The input is materialized first: the aggregate and the map are two
+    executions of the same lineage — without pinning, an expensive or
+    non-reproducible upstream would run twice and could yield totals
+    inconsistent with the rows being mapped."""
     from ray.data.aggregate import Sum
 
+    ds = ds.materialize()
     totals = (ds.groupby(key)
               .aggregate(Sum(int_value_col, alias_name="__t"))
               .to_pandas())
@@ -181,9 +187,11 @@ def grouped_minmax_norm(ds, key: str, int_value_col: str,
     division; degenerate groups where max == min emit 0.0).  The
     feature-scaling stage of an ML data pipeline: one tiny Min/Max
     aggregate broadcast into a streaming map, no second shuffle.
-    Appends ``out_col`` (float64, rounded)."""
+    Appends ``out_col`` (float64, rounded).  Input materialized for the
+    same two-execution consistency reason as :func:`grouped_share`."""
     from ray.data.aggregate import Max, Min
 
+    ds = ds.materialize()
     ext = (ds.groupby(key)
            .aggregate(Min(int_value_col, alias_name="__lo"),
                       Max(int_value_col, alias_name="__hi"))

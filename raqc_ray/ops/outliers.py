@@ -9,7 +9,12 @@ arbitrary-precision Python ints (no overflow at any scale: the
 group count never rides inside a fixed-width multiply), and the flag
 is the exact integer comparison ``v > q`` — bit-reproducible across
 block layouts, CPU counts and SQL engines, because for integers
-``v * den * n > num * sum  ⟺  v > (num * sum) // (den * n)``.
+``v * den * n > num * sum  ⟺  v > (num * sum) // (den * n)``
+(``//`` = Python FLOOR division; the equivalence holds for any sign of
+``sum`` as long as ``den * n > 0``).  SQL oracles must therefore
+compare with the multiplication form ``v * den * n > num * sum``
+directly — SQL ``//`` truncates toward zero and disagrees with the
+floor cut when the group sum is negative.
 
 The value stream is scaled ``floor(value * scale)`` — FLOOR (not
 ROUND) so numpy and ANSI SQL agree at every representable double.
@@ -48,7 +53,10 @@ def grouped_mean_outliers(ds, key: str, value_col: str,
         ).astype(np.int64)
         return out
 
-    vi_ds = ds.map_batches(scaled, batch_format="pandas")
+    # materialize: the aggregate and the flag pass are two executions
+    # of the same lineage — pin it so an expensive/non-reproducible
+    # upstream runs once and both passes see identical rows
+    vi_ds = ds.map_batches(scaled, batch_format="pandas").materialize()
     agg = (vi_ds.groupby(key)
            .aggregate(Sum("vi", alias_name="sv"),
                       Count(alias_name="n"))

@@ -11,6 +11,13 @@ levels cost (distinct finest keys) each.  Subtotal rows carry the
 mirrors with ``COALESCE``), keeping the output schema
 sentinel-uniform instead of null-polymorphic.
 
+Determinism: every stage sums int64 row values ``floor(v*scale + 0.5)``
+(exact, order-independent); the single float division happens in the
+finish step, so output is bit-identical across block layouts and CPU
+counts and matches a ``SUM(FLOOR(v*scale + 0.5))/scale`` SQL oracle.
+(Caveat shared with the other cents-discipline ops: the scaled sum must
+fit int64 — at ~10^18 cents pick a smaller ``scale``.)
+
 RAQC analog: none (SURVEY §2.6 covers flat groupbys only); part of the
 §2 training-data-pipeline surface (per-source / per-source-and-shard
 corpus accounting in one pass).
@@ -23,7 +30,8 @@ import pandas as pd
 
 
 def rollup_agg(ds, keys: list[str], value_col: str,
-               all_label: str = "ALL", round_to: int = 4):
+               all_label: str = "ALL", round_to: int = 4,
+               scale: int = 100):
     """Dataset with columns ``(*keys, n, sum_value)`` — one row per
     group at every rollup level ``(k1..km), (k1..km-1), ..., ()``;
     rolled-up key columns hold ``all_label`` (keys are cast to string
@@ -33,7 +41,12 @@ def rollup_agg(ds, keys: list[str], value_col: str,
     def block_partials(df: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame({k: df[k].astype(str) for k in keys})
         d["n"] = np.ones(len(df), dtype=np.int64)
-        d["sum_value"] = df[value_col].to_numpy(dtype=np.float64)
+        # integer-cents discipline: float sums depend on reduction order
+        # (block layout) — scale each row to int64 once, sum exactly,
+        # divide only in finish (same recipe as q77/q78)
+        d["sum_value"] = np.floor(
+            df[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+        ).astype(np.int64)
         return d.groupby(keys, sort=False, as_index=False).sum()
 
     finest = (ds.map_batches(block_partials, batch_format="pandas")
@@ -75,7 +88,8 @@ def rollup_agg(ds, keys: list[str], value_col: str,
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         d = df.copy()
         d["n"] = d["n"].astype("int64")
-        d["sum_value"] = d["sum_value"].astype("float64").round(round_to)
+        d["sum_value"] = (d["sum_value"].astype("float64")
+                          / scale).round(round_to)
         return d[keys + ["n", "sum_value"]]
 
     return out.map_batches(finish, batch_format="pandas")
@@ -91,7 +105,8 @@ def _ensure_cols(df: pd.DataFrame, keys: list[str],
 
 
 def cube_agg(ds, keys: list[str], value_col: str,
-             all_label: str = "ALL", round_to: int = 4):
+             all_label: str = "ALL", round_to: int = 4,
+             scale: int = 100):
     """GROUP BY CUBE: one row per group at EVERY key subset (2^m
     grouping sets); rolled-up key columns hold ``all_label``.  Columns
     ``(*keys, n, sum_value)``.
@@ -106,7 +121,12 @@ def cube_agg(ds, keys: list[str], value_col: str,
     def block_partials(df: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame({k: df[k].astype(str) for k in keys})
         d["n"] = np.ones(len(df), dtype=np.int64)
-        d["sum_value"] = df[value_col].to_numpy(dtype=np.float64)
+        # integer-cents discipline: float sums depend on reduction order
+        # (block layout) — scale each row to int64 once, sum exactly,
+        # divide only in finish (same recipe as q77/q78)
+        d["sum_value"] = np.floor(
+            df[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+        ).astype(np.int64)
         return d.groupby(keys, sort=False, as_index=False).sum()
 
     finest = (ds.map_batches(block_partials, batch_format="pandas")
@@ -144,7 +164,8 @@ def cube_agg(ds, keys: list[str], value_col: str,
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         d = df.copy()
         d["n"] = d["n"].astype("int64")
-        d["sum_value"] = d["sum_value"].astype("float64").round(round_to)
+        d["sum_value"] = (d["sum_value"].astype("float64")
+                          / scale).round(round_to)
         return d[keys + ["n", "sum_value"]]
 
     return out.map_batches(finish, batch_format="pandas")
