@@ -237,14 +237,19 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
 def ngram_jaccard_pairs(docs_ds, k_shingle: int = 3, threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 16):
     """Exact n-gram Jaccard near-dup pairs: MinHash-LSH generates the
-    candidate set (collision-sized), then the candidates' shingle sets are
-    recomputed from their texts — broadcast as a candidate-only dict, never
-    a text shuffle — and EXACT Jaccard is verified.
+    candidate set (collision-sized), then EXACT Jaccard is verified
+    DISTRIBUTED — a broadcast doc→pair membership map fans each candidate
+    doc's shingle set out to its pairs, and the sorted-group scan computes
+    one intersection per pair on workers.  No text or shingle set ever
+    lands on the driver; driver state is only the (doc_a, doc_b) pair
+    list, which is collision-sized by construction.
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     import ray
     import ray.data as rd
+
+    from raqc_ray.ops.groupscan import scan_sorted_groups
 
     cand = minhash_lsh_pairs(
         docs_ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
@@ -255,36 +260,63 @@ def ngram_jaccard_pairs(docs_ds, k_shingle: int = 3, threshold: float = 0.5,
                           "jaccard": pd.Series(dtype="float64")})
     if len(cand) == 0 or "doc_a" not in cand.columns:
         return rd.from_pandas(empty)
-    cand_ids = set(cand["doc_a"]) | set(cand["doc_b"])
-    ref = ray.put(cand_ids)
+    # doc_id -> [(pair_id, side)] membership, broadcast once (candidate-
+    # sized: two entries per LSH collision pair)
+    membership: dict[int, list[tuple[int, int]]] = {}
+    for pid, (a, b) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
+        membership.setdefault(int(a), []).append((pid, 0))
+        membership.setdefault(int(b), []).append((pid, 1))
+    ref = ray.put(membership)
 
-    def collect_shingles(df: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(ref)
-        sel = df[df["doc_id"].isin(ids)]
-        out_id, out_sh = [], []
-        for doc_id, text in zip(sel["doc_id"], sel["text"].fillna("")):
+    def emit_memberships(df: pd.DataFrame) -> pd.DataFrame:
+        mem = ray.get(ref)
+        pids: list[int] = []
+        sides: list[int] = []
+        dids: list[int] = []
+        shs: list[bytes] = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            lst = mem.get(int(doc_id))
+            if not lst:
+                continue
             toks = text.split()
             th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
                              count=len(toks))
-            out_id.append(int(doc_id))
-            out_sh.append(_shingle_hashes(th, k_shingle).tobytes())
-        return pd.DataFrame({"doc_id": out_id, "shingles": out_sh})
+            shb = _shingle_hashes(th, k_shingle).tobytes()
+            for pid, side in lst:
+                pids.append(pid)
+                sides.append(side)
+                dids.append(int(doc_id))
+                shs.append(shb)
+        return pd.DataFrame({
+            "pair_id": pd.Series(pids, dtype="int64"),
+            "side": pd.Series(sides, dtype="int64"),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "shingles": pd.Series(shs, dtype="object"),
+        })
 
-    sh_df = docs_ds.map_batches(collect_shingles, batch_format="pandas").to_pandas()
-    lut = {int(i): np.frombuffer(s, dtype=np.uint64)
-           for i, s in zip(sh_df["doc_id"], sh_df["shingles"])}
-    rows = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = lut.get(int(a)), lut.get(int(b))
-        if sa is None or sb is None:
-            continue
+    memb = docs_ds.map_batches(emit_memberships, batch_format="pandas")
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        # exactly one row per side unless a doc was missing (pair dropped
+        # by min_group=2) — order by side so (doc_a, doc_b) is stable
+        g = g.sort_values("side")
+        if g["side"].iloc[0] == g["side"].iloc[-1]:
+            return empty
+        sa = np.frombuffer(g["shingles"].iloc[0], dtype=np.uint64)
+        sb = np.frombuffer(g["shingles"].iloc[-1], dtype=np.uint64)
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         union = sa.size + sb.size - inter
         j = inter / union if union else 0.0
-        if j >= threshold:
-            rows.append({"doc_a": int(a), "doc_b": int(b),
-                         "jaccard": round(float(j), 6)})
-    return rd.from_pandas(pd.DataFrame(rows) if rows else empty)
+        if j < threshold:
+            return empty
+        return pd.DataFrame({
+            "doc_a": pd.Series([int(g["doc_id"].iloc[0])], dtype="int64"),
+            "doc_b": pd.Series([int(g["doc_id"].iloc[-1])], dtype="int64"),
+            "jaccard": pd.Series([round(float(j), 6)], dtype="float64"),
+        })
+
+    return scan_sorted_groups(memb, "pair_id", verify_pair, empty,
+                              min_group=2)
 
 
 # ------------------------------------------------------------------ simhash

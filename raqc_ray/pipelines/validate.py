@@ -412,6 +412,14 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
 
         import os as _os
 
+        # passa_exec is where the wall actually goes (the decode actor
+        # pool executing the Pass-A lineage); merge_partials is ONLY the
+        # partial-stream reduce.  Keeping them as separate ledger keys
+        # stops the merge from absorbing the decode time in BENCH stages.
+        with clock.stage("passa_exec"):
+            if hasattr(passa, "result"):  # fused-pair lazy handle
+                passa = passa.result()
+            passa = passa.materialize()
         with clock.stage("merge_partials"):
             # Decide the merge path by SIZE (materialized partial-stream
             # rows), like every other check's decide_path: the sliced
@@ -419,9 +427,6 @@ def validate_epoch(paths, cfg: RunConfig, passa=None) -> EpochResult:
             # concatenates an input-proportional stream at 10^12-row
             # scale.  RAQC_WIDE_PARTIALS stays as an explicit override
             # (1 forces wide, 0 forces sliced).
-            if hasattr(passa, "result"):  # fused-pair lazy handle
-                passa = passa.result()
-            passa = passa.materialize()
             env = _os.environ.get("RAQC_WIDE_PARTIALS")
             if env is not None and env != "":
                 wide = env.lower() not in ("0", "false")

@@ -93,7 +93,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q76_hist1d_events", "q77_outer_join_customer_revenue",
             "q78_share_lineitem", "q79_bpe_tokens_documents",
             "q82_rolling_events", "q83_minmax_norm_events",
-            "q84_stratified_sample_documents"]
+            "q84_stratified_sample_documents",
+            "q85_exact_heavy_hitters_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
