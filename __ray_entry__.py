@@ -1733,6 +1733,53 @@ def q85_exact_heavy_hitters_documents(sf_dir: str):
     return df[["value", "n"]]
 
 
+def q86_bloom_semijoin_customers(sf_dir: str):
+    """Bloom-prefiltered semi join (ops/bloomjoin.bloom_semi_join):
+    customers with >= 1 purchase event — the Bloom pass prunes the left
+    side BEFORE the exact hash semi-join shuffle, so the all-to-all
+    moves only (matches + false positives).  Result exact — EXISTS SQL
+    oracle."""
+    from raqc_ray.ops.bloomjoin import bloom_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    ev = (_read(sf_dir, "events", ["user_id", "event_type"])
+          .filter(expr="event_type == 'purchase'"))
+    df = bloom_semi_join(cust, ev, on="c_custkey",
+                         right_on="user_id").to_pandas()
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    df["c_acctbal"] = df["c_acctbal"].astype("float64")
+    return df[["c_custkey", "c_acctbal"]]
+
+
+def q87_checksum_events(sf_dir: str):
+    """Order-invariant grouped content checksum (ops/profile.
+    grouped_checksum): per-event-type md5-sum over (event_id, user_id,
+    event_type) — layout/cluster-invariant table-equality primitive,
+    exact SQL oracle via CAST('0x' || substr(md5, 1, 10) AS BIGINT)."""
+    from raqc_ray.ops.profile import grouped_checksum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    df = grouped_checksum(ev, "event_type",
+                          ["event_id", "user_id", "event_type"]).to_pandas()
+    for c in ("checksum", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "checksum", "n"]]
+
+
+def q88_normalize_documents(sf_dir: str):
+    """Canonical text normalization (ops/strings.normalize_text):
+    lower → non-alnum runs to one space → trim, plus normalized token
+    count — all RE2 Arrow kernels, matched exactly by the DuckDB
+    regexp_replace oracle."""
+    from raqc_ray.ops.strings import normalize_text
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = normalize_text(docs, "text", ["doc_id"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_norm_tokens"] = df["n_norm_tokens"].astype("int64")
+    return df[["doc_id", "norm", "n_norm_tokens"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1853,6 +1900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q82_rolling_events": q82_rolling_events,
         "q83_minmax_norm_events": q83_minmax_norm_events,
         "q84_stratified_sample_documents": q84_stratified_sample_documents,
+        "q86_bloom_semijoin_customers": q86_bloom_semijoin_customers,
+        "q87_checksum_events": q87_checksum_events,
+        "q88_normalize_documents": q88_normalize_documents,
     }
 
 
@@ -2719,6 +2769,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE token <> ''
             GROUP BY token HAVING COUNT(*) >= 100
+        """,
+        "q86_bloom_semijoin_customers": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey
+                            AND e.event_type = 'purchase')
+        """,
+        "q87_checksum_events": """
+            SELECT event_type,
+                   CAST(SUM(CAST(('0x' || substr(md5(
+                       CAST(event_id AS VARCHAR) || '|' ||
+                       CAST(user_id AS VARCHAR) || '|' || event_type
+                   ), 1, 10)) AS BIGINT)) AS BIGINT) AS checksum,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q88_normalize_documents": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                       'g')) AS norm,
+                   CAST(len(regexp_extract_all(
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                           ' ', 'g')),
+                       '[a-z0-9]+')) AS BIGINT) AS n_norm_tokens
+            FROM documents
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -81,3 +81,46 @@ def profile_table(ds, columns: list[str], round_to: int = 4):
         })
     return (pd.DataFrame(out_rows).sort_values("col")
             .reset_index(drop=True))
+
+
+def grouped_checksum(ds, key: str, cols: list[str], hex_chars: int = 10):
+    """Order-invariant per-group content checksum — the cross-epoch /
+    cross-engine table-equality primitive of a validation engine: two
+    runs (or two replicas) of the same logical table produce identical
+    ``(key, checksum, n)`` rows regardless of row order, block layout
+    or cluster size, because the per-row hash values are summed.
+
+    Per row: ``int(md5(col1 || '|' || col2 ...)[: hex_chars hex], 16)``
+    (exactly DuckDB's ``CAST('0x' || substr(md5(...), 1, hex_chars) AS
+    BIGINT)``, so the op is fully SQL-oracled).  ``cols`` must be
+    int64 or string columns (nulls hash as '').
+
+    Plan: per-block combiner sums each key's row hashes locally, then
+    one keys-sized groupby Sum — the row stream never reshuffles.
+    Overflow budget: hex_chars=10 → 40-bit row values; an int64 sum is
+    exact to ~2^23 rows per (key, block) and ~2^23 blocks; for
+    10^12-row tables either keep hex_chars ≤ 8 or switch the finish to
+    a mod-(2^61-1) Python-int merge (the partial layout is unchanged).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        s = None
+        for c in cols:
+            col = df[c]
+            part = (col.fillna("").astype(str) if col.dtype == object
+                    else col.astype("int64").astype(str))
+            s = part if s is None else s + "|" + part
+        v = s.map(lambda x: int(
+            hashlib.md5(x.encode("utf-8")).hexdigest()[:hex_chars], 16)
+        ).astype("int64")
+        out = pd.DataFrame({key: df[key], "checksum": v,
+                            "n": np.ones(len(df), dtype=np.int64)})
+        return out.groupby(key, sort=False, as_index=False).sum()
+
+    return (ds.map_batches(block, batch_format="pandas")
+            .groupby(key)
+            .aggregate(Sum("checksum", alias_name="checksum"),
+                       Sum("n", alias_name="n")))

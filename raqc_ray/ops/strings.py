@@ -54,6 +54,30 @@ PII_PATTERNS = {
 }
 
 
+def normalize_text(ds, col: str, id_cols: list[str]):
+    """Canonical text normalization — the dedup/quality pre-pass of a
+    training-data pipeline: lowercase → non-alphanumeric runs to one
+    space → trim.  Appends ``norm`` and ``n_norm_tokens`` (token count
+    of the normalized form).
+
+    All ``pyarrow.compute`` kernels over the block's UTF-8 buffer (no
+    Python per row); both pyarrow and DuckDB regex-replace are RE2, so
+    the DuckDB oracle ``trim(regexp_replace(lower(s), '[^a-z0-9]+',
+    ' ', 'g'))`` is exact."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(b[col])
+        s = pc.replace_substring_regex(s, r"[^a-z0-9]+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        out = b.select(id_cols)
+        out = out.append_column("norm", s)
+        n = pc.count_substring_regex(s, pattern=r"[a-z0-9]+")
+        out = out.append_column("n_norm_tokens", pc.cast(n, pa.int64()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def regex_features(ds, col: str, patterns: dict[str, str],
                    id_cols: list[str]):
     """Per-row regex feature extraction: for each named pattern,

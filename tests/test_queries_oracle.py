@@ -94,7 +94,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q78_share_lineitem", "q79_bpe_tokens_documents",
             "q82_rolling_events", "q83_minmax_norm_events",
             "q84_stratified_sample_documents",
-            "q85_exact_heavy_hitters_documents"]
+            "q85_exact_heavy_hitters_documents",
+            "q86_bloom_semijoin_customers", "q87_checksum_events",
+            "q88_normalize_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
