@@ -1780,6 +1780,158 @@ def q88_normalize_documents(sf_dir: str):
     return df[["doc_id", "norm", "n_norm_tokens"]]
 
 
+def q89_funnel_events(sf_dir: str):
+    """Funnel conversion (ops/funnel.funnel_conversions): users with a
+    'purchase' within 1 hour at-or-after a 'view' — one key sort +
+    vectorized grouped forward-fill scan; correlated-EXISTS SQL oracle."""
+    from raqc_ray.ops.funnel import funnel_conversions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    df = funnel_conversions(ev, "user_id", "ts", "event_type",
+                            "view", "purchase", "1h").to_pandas()
+    df["user_id"] = df["user_id"].astype("int64")
+    df["n_conversions"] = df["n_conversions"].astype("int64")
+    return df[["user_id", "conv_ts", "n_conversions"]]
+
+
+def q90_editdist_pairs_documents(sf_dir: str):
+    """Blocked edit-distance similarity join (ops/editdist.
+    blocked_editdist_pairs): doc pairs sharing a source whose
+    24-char text prefixes are within Levenshtein 12 — batched numpy DP
+    over per-block candidate pairs; DuckDB levenshtein(substr) oracle."""
+    from raqc_ray.ops.editdist import blocked_editdist_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    df = blocked_editdist_pairs(docs, "doc_id", "text", "source",
+                                max_dist=12, prefix_len=24).to_pandas()
+    for c in ("a", "b", "dist"):
+        df[c] = df[c].astype("int64")
+    return df[["a", "b", "dist"]]
+
+
+def q91_unpivot_lineitem(sf_dir: str):
+    """Wide-to-long reshape (ops/pivot.unpivot): four lineitem measures
+    melted to (key, measure, value) rows — per-block fan-out, zero
+    shuffle; UNION ALL oracle."""
+    from raqc_ray.ops.pivot import unpivot
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    df = unpivot(li, ["l_orderkey", "l_linenumber"],
+                 ["l_quantity", "l_extendedprice", "l_discount",
+                  "l_tax"]).to_pandas()
+    for c in ("l_orderkey", "l_linenumber"):
+        df[c] = df[c].astype("int64")
+    df["measure"] = df["measure"].astype(str)
+    df["value"] = df["value"].astype("float64")
+    return df[["l_orderkey", "l_linenumber", "measure", "value"]]
+
+
+def q92_weighted_avg_lineitem(sf_dir: str):
+    """Exact grouped weighted average (ops/moments.grouped_weighted_avg):
+    quantity-weighted mean price in integer cents — associative int64
+    sums, one IEEE division; SUM/SUM SQL oracle."""
+    from raqc_ray.ops.moments import grouped_weighted_avg
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def ints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "cents": np.floor(
+                df["l_extendedprice"].to_numpy(dtype=np.float64) * 100.0
+                + 0.5).astype(np.int64),
+            "qty": df["l_quantity"].to_numpy(dtype=np.float64)
+            .astype(np.int64),
+        })
+
+    ds = li.map_batches(ints, batch_format="pandas")
+    df = grouped_weighted_avg(ds, "l_returnflag", "cents", "qty",
+                              out_col="wavg_cents").to_pandas()
+    for c in ("n", "sum_w"):
+        df[c] = df[c].astype("int64")
+    return df[["l_returnflag", "n", "sum_w", "wavg_cents"]]
+
+
+def q93_quantile_cont_lineitem(sf_dir: str):
+    """Exact grouped CONTINUOUS quantiles (ops/quantile_exact.
+    grouped_quantile_cont): interpolated q25/q50/q75 of quantity per
+    returnflag from ONE distributed value histogram — dyadic quantiles
+    over integer values are exactly representable, so the
+    quantile_cont SQL oracle matches bit-for-bit."""
+    from raqc_ray.ops.quantile_exact import grouped_quantile_cont
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    df = grouped_quantile_cont(li, "l_returnflag", "l_quantity",
+                               qs=(0.25, 0.5, 0.75)).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    for c in ("q0_25", "q0_5", "q0_75"):
+        df[c] = df[c].astype("float64")
+    return df[["l_returnflag", "n", "q0_25", "q0_5", "q0_75"]]
+
+
+def q94_order_consistency(sf_dir: str):
+    """Cross-table reconciliation (ops/consistency.reconciliation_topn):
+    top-20 orders by deviation between the declared o_totalprice and
+    the lineitem-computed total, in exact integer units (cents × basis-
+    point discount/tax factors) — combiner partial sums, keys-sized
+    left-outer hash join, relative-tolerance flag (>5%), grouped top-k
+    prune; LEFT JOIN + ORDER BY SQL oracle."""
+    from raqc_ray.ops.consistency import reconciliation_topn
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def parent_units(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+            "total_cents": np.floor(
+                df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+                + 0.5).astype(np.int64),
+        })
+
+    def child_units(df: pd.DataFrame) -> pd.DataFrame:
+        ep = np.floor(df["l_extendedprice"].to_numpy(dtype=np.float64)
+                      * 100.0 + 0.5).astype(np.int64)
+        d_bp = np.floor(df["l_discount"].to_numpy(dtype=np.float64)
+                        * 10000.0 + 0.5).astype(np.int64)
+        t_bp = np.floor(df["l_tax"].to_numpy(dtype=np.float64)
+                        * 10000.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64),
+            "units": ep * (10000 - d_bp) * (10000 + t_bp),
+        })
+
+    parent = orders.map_batches(parent_units, batch_format="pandas")
+    child = li.map_batches(child_units, batch_format="pandas")
+    df = reconciliation_topn(parent, "o_orderkey", "total_cents",
+                             child, "l_orderkey", "units",
+                             scale=100_000_000, tol_num=1, tol_den=20,
+                             n_top=20)
+    for c in ("o_orderkey", "declared_units", "child_units", "dev"):
+        df[c] = df[c].astype("int64")
+    return df[["o_orderkey", "declared_units", "child_units", "dev"]]
+
+
+def q95_embnorm_stats(sf_dir: str):
+    """Per-label embedding L2-norm stats (ops/embstats.
+    grouped_norm_stats): FLOOR-quantized micro-unit norm sums —
+    associative int64, bit-identical to the list_transform/list_sum
+    SQL oracle (sequential position sum both sides)."""
+    from raqc_ray.ops.embstats import grouped_norm_stats
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    df = grouped_norm_stats(emb, "label", "embedding",
+                            dim=64).to_pandas()
+    for c in ("label", "n", "sum_norm_q"):
+        df[c] = df[c].astype("int64")
+    df["avg_norm"] = df["avg_norm"].astype("float64")
+    return df[["label", "n", "sum_norm_q", "avg_norm"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -1903,6 +2055,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q86_bloom_semijoin_customers": q86_bloom_semijoin_customers,
         "q87_checksum_events": q87_checksum_events,
         "q88_normalize_documents": q88_normalize_documents,
+        "q89_funnel_events": q89_funnel_events,
+        "q90_editdist_pairs_documents": q90_editdist_pairs_documents,
+        "q91_unpivot_lineitem": q91_unpivot_lineitem,
+        "q92_weighted_avg_lineitem": q92_weighted_avg_lineitem,
+        "q93_quantile_cont_lineitem": q93_quantile_cont_lineitem,
+        "q94_order_consistency": q94_order_consistency,
+        "q95_embnorm_stats": q95_embnorm_stats,
     }
 
 
@@ -2794,6 +2953,111 @@ def oracle_sql() -> dict[str, str]:
                                            ' ', 'g')),
                        '[a-z0-9]+')) AS BIGINT) AS n_norm_tokens
             FROM documents
+        """,
+        "q89_funnel_events": """
+            SELECT p.user_id,
+                   MIN(p.ts) AS conv_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions
+            FROM events p
+            WHERE p.event_type = 'purchase'
+              AND EXISTS (SELECT 1 FROM events v
+                          WHERE v.event_type = 'view'
+                            AND v.user_id = p.user_id
+                            AND v.ts <= p.ts
+                            AND p.ts - v.ts <= INTERVAL 1 HOUR)
+            GROUP BY p.user_id
+        """,
+        "q90_editdist_pairs_documents": """
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(substr(a.text, 1, 24),
+                                    substr(b.text, 1, 24)) AS BIGINT)
+                       AS dist
+            FROM documents a
+            JOIN documents b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE levenshtein(substr(a.text, 1, 24),
+                              substr(b.text, 1, 24)) <= 12
+        """,
+        "q91_unpivot_lineitem": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'l_quantity' AS measure,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem
+        """,
+        "q92_weighted_avg_lineitem": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT) AS cents,
+                       CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qty) AS BIGINT) AS sum_w,
+                   ROUND(CAST(SUM(cents * qty) AS DOUBLE) / SUM(qty), 6)
+                       AS wavg_cents
+            FROM c GROUP BY l_returnflag
+        """,
+        "q93_quantile_cont_lineitem": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_cont(l_quantity, 0.25) AS q0_25,
+                   quantile_cont(l_quantity, 0.5) AS q0_5,
+                   quantile_cont(l_quantity, 0.75) AS q0_75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q94_order_consistency": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                AS BIGINT)
+                           * (10000 - CAST(FLOOR(l_discount * 10000.0
+                                                 + 0.5) AS BIGINT))
+                           * (10000 + CAST(FLOOR(l_tax * 10000.0 + 0.5)
+                                           AS BIGINT))) AS BIGINT)
+                           AS child_units
+                FROM lineitem GROUP BY l_orderkey
+            ), j AS (
+                SELECT o.o_orderkey,
+                       CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                            AS BIGINT) * 100000000 AS declared_units,
+                       COALESCE(li.child_units, 0) AS child_units
+                FROM orders o
+                LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+            )
+            SELECT o_orderkey, declared_units, child_units,
+                   CAST(abs(declared_units - child_units) AS BIGINT) AS dev
+            FROM j
+            WHERE abs(declared_units - child_units) * 20
+                  > abs(declared_units)
+            ORDER BY dev DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q95_embnorm_stats": """
+            WITH q AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(FLOOR(sqrt(list_sum(list_transform(
+                                embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                            ))) * 1000000) AS BIGINT) AS nq
+                FROM embeddings
+            )
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(nq) AS BIGINT) AS sum_norm_q,
+                   ROUND(CAST(SUM(nq) AS DOUBLE) / COUNT(*) / 1000000, 6)
+                       AS avg_norm
+            FROM q GROUP BY label
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

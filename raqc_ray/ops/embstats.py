@@ -161,3 +161,55 @@ def kmeans_fit(ds, id_col: str, emb_col: str, dim: int, k: int,
 
     assign = vq_assign(ds, id_col, emb_col, dim, labels, codebook)
     return assign, labels, codebook
+
+
+def grouped_norm_stats(ds, key: str, emb_col: str, dim: int,
+                       scale: int = 1_000_000):
+    """Per-key L2-norm statistics of an embedding column, quantized-
+    exact (same FLOOR-quantization discipline as
+    :func:`grouped_centroid`): each row contributes
+    ``floor(||e||₂ · scale)`` int64, so the per-key sums are
+    associative, layout-invariant and bit-identical to a SQL
+    ``SUM(CAST(FLOOR(sqrt(list_sum(list_transform(e, x → x²)))·scale)
+    AS BIGINT))`` oracle; the mean is one IEEE division at the end.
+
+    One block combiner (zero-copy Arrow flatten → vectorized-across-rows
+    but SEQUENTIAL-across-positions sum of squares, matching the SQL
+    ``list_sum`` left-to-right evaluation order exactly — numpy's
+    pairwise ``sum(axis=1)`` would differ in the last ulp and flip a
+    FLOOR at quantization boundaries) + ONE keys-sized hash
+    aggregation.  Columns: ``(key, n, sum_norm_q, avg_norm)``."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _emb_matrix
+
+    def block_partials(batch: pa.Table) -> pd.DataFrame:
+        emb = _emb_matrix(batch[emb_col], dim)
+        ss = np.zeros(len(emb), dtype=np.float64)
+        for j in range(emb.shape[1]):  # sequential like SQL list_sum
+            ss += emb[:, j] * emb[:, j]
+        norms = np.sqrt(ss)
+        q = np.floor(norms * scale).astype(np.int64)
+        d = pd.DataFrame({
+            key: batch[key].to_numpy(zero_copy_only=False),
+            "__q": q,
+            "__n": np.ones(len(q), dtype=np.int64),
+        })
+        return d.groupby(key, sort=False, as_index=False).sum()
+
+    agg = (ds.map_batches(block_partials, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(Sum("__q", alias_name="sum_norm_q"),
+                      Sum("__n", alias_name="n")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["sum_norm_q"].to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            key: df[key],
+            "n": n,
+            "sum_norm_q": s,
+            "avg_norm": np.round(s.astype(np.float64) / n / scale, 6),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

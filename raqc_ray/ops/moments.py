@@ -211,3 +211,46 @@ def grouped_minmax_norm(ds, key: str, int_value_col: str,
         return out
 
     return ds.map_batches(add_norm, batch_format="pandas")
+
+
+def grouped_weighted_avg(ds, key: str, int_value_col: str,
+                         int_weight_col: str, out_col: str = "wavg",
+                         round_to: int = 6):
+    """Exact grouped weighted average ``SUM(w·v)/SUM(w)`` over INTEGER
+    value/weight columns (integer-cents discipline: both sums are
+    associative int64, so the result is layout-invariant and the final
+    division is the same single IEEE op the SQL engine performs).
+
+    One block-combiner pass (per-block int64 sums) + ONE keys-sized
+    hash aggregation; nothing row-sized shuffles.  Columns:
+    ``(key, n, sum_w, {out_col})``.  Caveat shared with the other
+    cents-discipline ops: ``Σ w·v`` must fit int64."""
+    from ray.data.aggregate import Sum
+
+    def block_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            key: df[key],
+            "__wv": df[int_value_col].to_numpy(dtype=np.int64)
+            * df[int_weight_col].to_numpy(dtype=np.int64),
+            "__w": df[int_weight_col].to_numpy(dtype=np.int64),
+            "__n": np.ones(len(df), dtype=np.int64),
+        })
+        return d.groupby(key, sort=False, as_index=False).sum()
+
+    agg = (ds.map_batches(block_partials, batch_format="pandas")
+           .groupby(key)
+           .aggregate(Sum("__wv", alias_name="__wv"),
+                      Sum("__w", alias_name="__w"),
+                      Sum("__n", alias_name="n")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        wv = df["__wv"].to_numpy(dtype=np.int64)
+        w = df["__w"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            key: df[key],
+            "n": df["n"].to_numpy(dtype=np.int64),
+            "sum_w": w,
+            out_col: np.round(wv.astype(np.float64) / w, round_to),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

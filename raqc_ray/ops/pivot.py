@@ -62,3 +62,26 @@ def pivot_agg(ds, key: str, label_col: str, labels: list[str],
     return partials.groupby(key).aggregate(
         *[Sum(c, alias_name=c) for c in out_cols]
     )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "value"):
+    """Wide-to-long reshape (SQL ``UNPIVOT`` / pandas ``melt``): one
+    output row per input row per entry of ``value_cols``, tagged with
+    the source column name.  Pure per-block ``map_batches`` — k× row
+    fan-out with NO shuffle, streaming-safe at any scale (each output
+    block is built from one input block; Ray's block sizing splits
+    oversize outputs downstream)."""
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        frames = []
+        for c in value_cols:
+            part = df[id_cols].copy()
+            part[var_name] = np.full(n, c, dtype=object)
+            part[value_name] = df[c].to_numpy(dtype=np.float64)
+            frames.append(part)
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        melt, batch_format="pandas")

@@ -108,3 +108,49 @@ def grouped_median_mad(ds, key: str, value_col: str):
                              "median": [med], "mad": [mad]})
 
     return hist.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def grouped_quantile_cont(ds, key: str, value_col: str,
+                          qs: tuple[float, ...] = (0.5,),
+                          prefix: str = "q"):
+    """Exact grouped CONTINUOUS quantiles (SQL ``quantile_cont``
+    interpolation: position ``(n−1)·q`` over the sorted values,
+    ``lo + (hi − lo)·frac``) — same distributed value-histogram plan as
+    :func:`grouped_quantile_disc`: block-level (key, value) counts, ONE
+    hash aggregation, then per-key interpolation over the histogram
+    rows (distinct values per key, never input rows).  For
+    integer-valued measures and dyadic ``q`` every intermediate is
+    exactly representable, matching the SQL oracle bit-for-bit.
+
+    Columns: ``(key, n, {prefix}{q}...)``."""
+    from ray.data.aggregate import Sum
+
+    qcols = [f"{prefix}{str(q).replace('.', '_')}" for q in qs]
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False, as_index=False).sum()
+
+    partial = ds.map_batches(block_counts, batch_format="pandas")
+    hist = partial.groupby([key, value_col]).aggregate(
+        Sum("__c", alias_name="__c"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy(dtype=np.float64)
+        cum = np.cumsum(s["__c"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        row = {key: [g[key].iloc[0]], "n": [np.int64(n)]}
+        for q, col in zip(qs, qcols):
+            pos = (n - 1) * q
+            lo_i = int(math.floor(pos))
+            hi_i = int(math.ceil(pos))
+            # rank r (0-based) lives at the first distinct value whose
+            # cumulative count exceeds r
+            lo = v[int(np.searchsorted(cum, lo_i + 1))]
+            hi = v[int(np.searchsorted(cum, hi_i + 1))]
+            row[col] = [lo + (hi - lo) * (pos - lo_i)]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")

@@ -96,7 +96,10 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q84_stratified_sample_documents",
             "q85_exact_heavy_hitters_documents",
             "q86_bloom_semijoin_customers", "q87_checksum_events",
-            "q88_normalize_documents"]
+            "q88_normalize_documents", "q89_funnel_events",
+            "q90_editdist_pairs_documents", "q91_unpivot_lineitem",
+            "q92_weighted_avg_lineitem", "q93_quantile_cont_lineitem",
+            "q94_order_consistency", "q95_embnorm_stats"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
