@@ -107,8 +107,20 @@ _C1 = np.int64(-7046029254386353131)   # 0x9E3779B97F4A7C15 as int64
 _C2 = np.int64(-4417276706812531889)   # 0xC2B2AE3D27D4EB4F as int64
 
 
+_U64 = (1 << 64) - 1
+
+
 def _checksums(ed) -> tuple[int, int, int]:
-    """(count, sum1, sum2) edge-multiset fingerprints via Sum aggregates."""
+    """(count, sum1, sum2) edge-multiset fingerprints via Sum aggregates.
+
+    The per-block partials wrap at int64 (numpy) while Ray's Sum merges
+    them in arbitrary-precision Python ints, so the RAW total depends on
+    the block layout (how many wraps each block absorbed) — two
+    identical multisets under different layouts summed differently,
+    which broke convergence detection at ≥10⁷ edges (the star rounds
+    re-block every round).  Reducing the final sums mod 2⁶⁴ restores
+    layout invariance: each wrapped partial is congruent to its true
+    partial, and congruence is preserved by the unwrapped merge."""
     from ray.data.aggregate import Count, Sum
 
     def hashed(df: pd.DataFrame) -> pd.DataFrame:
@@ -123,7 +135,10 @@ def _checksums(ed) -> tuple[int, int, int]:
            .aggregate(Count(alias_name="n"),
                       Sum("h1", alias_name="s1"),
                       Sum("h2", alias_name="s2")))
-    return (agg["n"], agg.get("s1"), agg.get("s2"))
+    s1, s2 = agg.get("s1"), agg.get("s2")
+    return (agg["n"],
+            int(s1) & _U64 if s1 is not None else None,
+            int(s2) & _U64 if s2 is not None else None)
 
 
 def _seg_ids(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:

@@ -385,3 +385,24 @@ def test_kmeans_layout_invariant(rd):
     a2, cb2 = run(7)
     pd.testing.assert_frame_equal(a1, a2)
     np.testing.assert_array_equal(cb1, cb2)
+
+
+def test_checksums_layout_invariant(ray_session):
+    """Convergence detection must not depend on block layout: per-block
+    int64 partials wrap while Ray's Sum merges in Python ints, so the
+    raw totals differ across layouts — the mod-2^64 reduction restores
+    invariance (this broke convergence at >=1e7 edges)."""
+    import ray.data as rd
+
+    from raqc_ray.ops.concomp import _checksums
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "u": rng.integers(1, 1 << 62, 50_000).astype(np.int64),
+        "v": rng.integers(1, 1 << 62, 50_000).astype(np.int64),
+    })
+    one = _checksums(rd.from_pandas(df))
+    many = _checksums(rd.from_pandas(
+        [df.iloc[i::13] for i in range(13)]))
+    assert one == many
+    assert 0 <= one[1] <= (1 << 64) - 1
