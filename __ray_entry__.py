@@ -1932,6 +1932,62 @@ def q95_embnorm_stats(sf_dir: str):
     return df[["label", "n", "sum_norm_q", "avg_norm"]]
 
 
+def q96_rolling_time_events(sf_dir: str):
+    """Trailing 1-hour time-RANGE frame sum per user (ops/window.
+    grouped_rolling_time): equal-ts rows are frame peers sharing one
+    identical [ts-1h, ts] interval, so no tiebreak is needed and the
+    result is intra-group order-insensitive; integer-cents frame sums
+    are exact int64, bit-identical to the RANGE window SQL oracle."""
+    from raqc_ray.ops.window import grouped_rolling_time
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "ts": df["ts"],
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    ds = ev.map_batches(cents, batch_format="pandas")
+    out = grouped_rolling_time(ds, "user_id", "ts", "cents", "1h",
+                               sum_col="roll_cents")
+    df = _typed_pandas(out.select_columns(["event_id", "roll_cents"]))
+    for c in ("event_id", "roll_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "roll_cents"]]
+
+
+def q97_winsorized_mean_lineitem(sf_dir: str):
+    """Per-returnflag winsorized mean quantity (ops/winsorize.
+    winsorized_mean): clip at the group's interpolated [p25, p75] from
+    ONE distributed value histogram, then exact quarters-scaled int64
+    sums — quantities are integer-valued and the dyadic quantile
+    fractions make the bounds exact multiples of 1/4, so the clipped
+    mean matches the quantile_cont + LEAST/GREATEST SQL oracle
+    bit-for-bit regardless of block layout."""
+    from raqc_ray.ops.winsorize import winsorized_mean
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    df = winsorized_mean(li, "l_returnflag", "l_quantity",
+                         q_lo=0.25, q_hi=0.75, scale=4)
+    return df[["l_returnflag", "n", "sum_scaled", "wmean"]]
+
+
+def q98_crossjoin_nation_region(sf_dir: str):
+    """CROSS JOIN with a broadcast small side (ops/join.cross_join):
+    the left stream maps block-by-block against the object-store-shared
+    5-row region frame — no shuffle of either side."""
+    from raqc_ray.ops.join import cross_join
+
+    nation = _read(sf_dir, "nation", ["n_name"])
+    region = _read(sf_dir, "region", ["r_name"]).to_pandas()
+    df = _typed_pandas(cross_join(nation, region))
+    return df[["n_name", "r_name"]]
+
+
 def _typed_pandas(ds) -> pd.DataFrame:
     """Dataset → pandas, preserving the declared schema when the
     result has zero rows (Ray's to_pandas returns a column-less frame
@@ -2062,6 +2118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q93_quantile_cont_lineitem": q93_quantile_cont_lineitem,
         "q94_order_consistency": q94_order_consistency,
         "q95_embnorm_stats": q95_embnorm_stats,
+        "q96_rolling_time_events": q96_rolling_time_events,
+        "q97_winsorized_mean_lineitem": q97_winsorized_mean_lineitem,
+        "q98_crossjoin_nation_region": q98_crossjoin_nation_region,
     }
 
 
@@ -3058,6 +3117,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(nq) AS DOUBLE) / COUNT(*) / 1000000, 6)
                        AS avg_norm
             FROM q GROUP BY label
+        """,
+        "q96_rolling_time_events": """
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(SUM(cents) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS roll_cents
+            FROM c
+        """,
+        "q97_winsorized_mean_lineitem": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_quantity, 0.25) AS lo,
+                       quantile_cont(l_quantity, 0.75) AS hi
+                FROM lineitem GROUP BY l_returnflag
+            ), c AS (
+                SELECT l.l_returnflag,
+                       CAST(LEAST(GREATEST(l.l_quantity, q.lo), q.hi) * 4
+                            AS BIGINT) AS v4
+                FROM lineitem l JOIN q USING (l_returnflag)
+            )
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v4) AS BIGINT) AS sum_scaled,
+                   ROUND(CAST(SUM(v4) AS DOUBLE) / (4 * COUNT(*)), 6)
+                       AS wmean
+            FROM c GROUP BY l_returnflag
+        """,
+        "q98_crossjoin_nation_region": """
+            SELECT n_name, r_name FROM nation CROSS JOIN region
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

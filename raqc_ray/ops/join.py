@@ -90,3 +90,25 @@ def anti_join(left_ds, right_ds, on, right_on=None,
     (``NOT EXISTS`` semantics). See :func:`semi_join`."""
     return hash_join(left_ds, right_ds, on, right_on, how="left_anti",
                      num_partitions=num_partitions)
+
+
+def cross_join(left_ds, small_df):
+    """Cartesian product against a SMALL side — SQL ``CROSS JOIN``.
+
+    Same broadcast discipline as :func:`broadcast_join`: the pandas
+    frame ``small_df`` is put in the object store ONCE and every map
+    task takes the cartesian product of its block with the shared
+    zero-copy reference — the big side streams through with no shuffle.
+    Output size is |left| × |small|, so the small side must be
+    dim-sized (the caller's contract; a fact×fact cartesian is a design
+    error at any scale, not an operator gap).
+    """
+    import pandas as pd
+    import ray
+
+    ref = ray.put(small_df)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), how="cross")
+
+    return left_ds.map_batches(merge, batch_format="pandas")

@@ -260,3 +260,43 @@ def grouped_rolling(ds, key: str, order_by: str, value_col: str,
         return s[out_cols]
 
     return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)
+
+
+def grouped_rolling_time(ds, key: str, ts_col: str, value_col: str,
+                         window: str, sum_col: str = "roll_sum"):
+    """Per-key time-RANGE trailing frame sum — SQL ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)``.
+
+    ``value_col`` must be int64 (cents discipline — exact associative
+    frame sums).  Unlike the ROWS frame (:func:`grouped_rolling`) no
+    tiebreak is needed: equal-``ts`` rows are frame PEERS — every peer's
+    frame is the identical interval ``[ts - window, ts]`` (computed by
+    two ``searchsorted`` passes against the group's sorted timestamp
+    array, not by row position), so the result is intra-group
+    order-insensitive by construction.  ``window`` is a pandas offset
+    string ("1h") or ``pd.Timedelta``.  Same one-sort +
+    sorted-group-scan plan as :func:`grouped_rolling`; per group the
+    frame sum is one prefix sum and two binary-search vectors.
+
+    RAQC analog: none (SURVEY §2.6); the trailing-time-window feature
+    op of the training-data surface (per-user activity in the last
+    hour/day attached to every event).
+    """
+    win_us = int(pd.Timedelta(window).value // 1000)  # ns → µs
+    out_empty = arrow_schema(ds).empty_table().to_pandas()
+    out_empty[sum_col] = pd.Series(dtype="int64")
+    out_cols = list(out_empty.columns)
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values(ts_col, kind="mergesort")
+             .reset_index(drop=True))
+        ts = s[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = s[value_col].to_numpy(dtype=np.int64)
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v)])
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - win_us, side="left")
+        s[sum_col] = cum[hi] - cum[lo]
+        return s[out_cols]
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)

@@ -1,0 +1,111 @@
+"""Unit gates for the round-4c operators: time-RANGE rolling frame,
+winsorized mean, broadcast cross join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df, blocks=3):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_rolling_time_known_answer(ray_session):
+    from raqc_ray.ops.window import grouped_rolling_time
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:30:00",
+         "2024-01-01 01:15:00", "2024-01-01 03:00:00"])
+    df = pd.DataFrame({"k": [1, 1, 1, 1], "ts": ts,
+                       "v": np.array([10, 20, 40, 80], dtype=np.int64)})
+    out = (grouped_rolling_time(_ds(df), "k", "ts", "v", "1h",
+                                sum_col="roll")
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    # frames: [t0], [t0,t1], [t1,t2] (t0 is 75min before t2), [t3]
+    assert out["roll"].tolist() == [10, 30, 60, 80]
+
+
+def test_rolling_time_peers_share_frame(ray_session):
+    """Equal-ts rows are RANGE peers: each sees the full peer sum, and
+    the result is identical whatever intra-tie order the sort picked."""
+    from raqc_ray.ops.window import grouped_rolling_time
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00"] * 3
+                        + ["2024-01-01 00:20:00"])
+    df = pd.DataFrame({"k": [7] * 4, "ts": ts,
+                       "v": np.array([1, 2, 4, 8], dtype=np.int64)})
+    out = grouped_rolling_time(_ds(df, 2), "k", "ts", "v", "1h",
+                               sum_col="roll").to_pandas()
+    peers = out[out["ts"] == ts[0]]["roll"].tolist()
+    assert peers == [7, 7, 7]
+    assert out[out["ts"] == ts[3]]["roll"].tolist() == [15]
+
+
+def test_rolling_time_multi_key_layout_invariant(ray_session):
+    from raqc_ray.ops.window import grouped_rolling_time
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 7200, n), unit="s"),
+        "v": rng.integers(-50, 100, n).astype(np.int64),
+    })
+    outs = []
+    for blocks in (1, 7):
+        o = (grouped_rolling_time(_ds(df, blocks), "k", "ts", "v", "30min",
+                                  sum_col="roll")
+             .to_pandas().sort_values(["k", "ts", "v"])
+             .reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # brute-force check one group
+    g = df[df["k"] == 2]
+    o = outs[0][outs[0]["k"] == 2]
+    for _, row in o.iterrows():
+        lo = row["ts"] - pd.Timedelta("30min")
+        exp = g[(g["ts"] >= lo) & (g["ts"] <= row["ts"])]["v"].sum()
+        # peers share frames, so every row with this ts has the peer sum
+        assert row["roll"] == exp
+
+
+def test_winsorized_mean_closed_form(ray_session):
+    from raqc_ray.ops.winsorize import winsorized_mean
+
+    # group A: values 0..8 → p25=2, p75=6; clipped sum = 2*3+3+4+5+6*3
+    df = pd.DataFrame({"g": ["A"] * 9,
+                       "v": np.arange(9, dtype=np.float64)})
+    out = winsorized_mean(_ds(df), "g", "v", q_lo=0.25, q_hi=0.75,
+                          scale=4)
+    assert out["n"].tolist() == [9]
+    clipped = np.clip(np.arange(9), 2, 6)
+    assert out["sum_scaled"].tolist() == [int(clipped.sum() * 4)]
+    assert out["wmean"].tolist() == [round(clipped.mean(), 6)]
+
+
+def test_winsorized_mean_interpolated_bounds(ray_session):
+    """Even group size → dyadic interpolation: p25 of [1,2,3,4] is
+    1.75, p75 is 3.25 — exact multiples of 1/4, clipped sums exact."""
+    from raqc_ray.ops.winsorize import winsorized_mean
+
+    df = pd.DataFrame({"g": ["B"] * 4,
+                       "v": np.array([1, 2, 3, 4], dtype=np.float64)})
+    out = winsorized_mean(_ds(df, 2), "g", "v")
+    clipped = np.clip([1.0, 2.0, 3.0, 4.0], 1.75, 3.25)
+    assert out["sum_scaled"].tolist() == [int(sum(clipped) * 4)]
+    assert out["wmean"].tolist() == [round(np.mean(clipped), 6)]
+
+
+def test_cross_join(ray_session):
+    from raqc_ray.ops.join import cross_join
+
+    left = pd.DataFrame({"a": [1, 2, 3]})
+    small = pd.DataFrame({"b": ["x", "y"]})
+    out = (cross_join(_ds(left, 2), small).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(out) == 6
+    assert out["a"].tolist() == [1, 1, 2, 2, 3, 3]
+    assert out["b"].tolist() == ["x", "y"] * 3
