@@ -1329,19 +1329,9 @@ def q65_dupclusters_documents(sf_dir: str):
     from raqc_ray.ops.concomp import connected_components, hamming_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id"])
-
-    def add_phash(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        base = d - d % 2
-        ph = (((base * 69069) % 4194301)
-              | (((base * 48271) % 2097143) << 22)
-              | (((base * 16807) % 524287) << 43))
-        ph = ph ^ np.where(d % 2 == 1, np.int64(1) << (d % 40), np.int64(0))
-        return pa.table({"doc_id": t["doc_id"],
-                         "phash": pa.array(ph, pa.int64())})
-
-    pairs = hamming_pairs(ds.map_batches(add_phash, batch_format="pyarrow"),
-                          "doc_id", "phash", max_hamming=2)
+    pairs = hamming_pairs(
+        ds.map_batches(_q30_phash_batch, batch_format="pyarrow"),
+        "doc_id", "phash", max_hamming=2)
     df = connected_components(pairs).to_pandas()
     for c in ("node", "cluster_id"):
         df[c] = df[c].astype("int64")
@@ -2000,6 +1990,85 @@ def _typed_pandas(ds) -> pd.DataFrame:
     return df
 
 
+def _q30_phash_batch(t: pa.Table) -> pa.Table:
+    """The q30-derived synthetic phash (same congruential bit-mix as
+    `_Q30_PHASH_SQL`, engine side): even/odd doc pairs share a base
+    hash, odd ids flip one bit — planting Hamming-≤2 duplicates."""
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = d - d % 2
+    ph = (((base * 69069) % 4194301)
+          | (((base * 48271) % 2097143) << 22)
+          | (((base * 16807) % 524287) << 43))
+    ph = ph ^ np.where(d % 2 == 1, np.int64(1) << (d % 40), np.int64(0))
+    return pa.table({"doc_id": t["doc_id"],
+                     "phash": pa.array(ph, pa.int64())})
+
+
+def q99_redact_documents(sf_dir: str):
+    """PII redaction (ops/strings.redact): every email/URL match
+    replaced by its placeholder, total replacement count per doc —
+    RE2 kernels over the Arrow UTF-8 buffer on the engine side and a
+    nested regexp_replace(..., 'g') DuckDB oracle (both RE2, exact).
+    Planted-fixture unit gate covers the corpus-zero PII case."""
+    from raqc_ray.ops.strings import redact
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = redact(docs, "text", ["doc_id"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["red_text"] = df["red_text"].astype(str)
+    df["n_redacted"] = df["n_redacted"].astype("int64")
+    return df[["doc_id", "red_text", "n_redacted"]]
+
+
+def q100_dedup_survivorship_documents(sf_dir: str):
+    """Duplicate-cluster survivorship — the keep-one selection stage of
+    a corpus dedup pipeline: q65's Hamming clusters
+    (ops/concomp.hamming_pairs → connected_components) hash-joined back
+    to per-doc text lengths, ONE representative per cluster (longest
+    text, ties to the smallest doc_id) via the payload-carrying
+    combiner (ops/argmax.grouped_arg_max) plus the member count —
+    recursive-CTE + ROW_NUMBER SQL oracle."""
+    from raqc_ray.ops.argmax import grouped_arg_max
+    from raqc_ray.ops.concomp import connected_components, hamming_pairs
+    from raqc_ray.ops.join import hash_join
+
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    pairs = hamming_pairs(
+        ids.map_batches(_q30_phash_batch, batch_format="pyarrow"),
+        "doc_id", "phash", max_hamming=2)
+    clus = connected_components(pairs).map_batches(
+        lambda df: df.rename(columns={"node": "doc_id"}),
+        batch_format="pandas")
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    j = hash_join(clus, docs.map_batches(lens, batch_format="pyarrow"),
+                  on="doc_id")
+
+    def negid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["neg_id"] = -df["doc_id"].to_numpy(dtype=np.int64)
+        return df
+
+    reps = grouped_arg_max(j.map_batches(negid, batch_format="pandas"),
+                           "cluster_id", "len", tiebreak="neg_id")
+    counts = j.groupby("cluster_id").count()
+    out = hash_join(reps, counts, on="cluster_id").to_pandas()
+    out = out.rename(columns={"doc_id": "rep_doc_id", "len": "rep_len",
+                              "count()": "n_members"})
+    for c in ("cluster_id", "n_members", "rep_doc_id", "rep_len"):
+        out[c] = out[c].astype("int64")
+    return out[["cluster_id", "n_members", "rep_doc_id", "rep_len"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2121,6 +2190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q96_rolling_time_events": q96_rolling_time_events,
         "q97_winsorized_mean_lineitem": q97_winsorized_mean_lineitem,
         "q98_crossjoin_nation_region": q98_crossjoin_nation_region,
+        "q99_redact_documents": q99_redact_documents,
+        "q100_dedup_survivorship_documents":
+            q100_dedup_survivorship_documents,
     }
 
 
@@ -3152,6 +3224,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q98_crossjoin_nation_region": """
             SELECT n_name, r_name FROM nation CROSS JOIN region
+        """,
+        "q99_redact_documents": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       'https?://[^\s]+', '[URL]', 'g') AS red_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        + len(regexp_extract_all(text, 'https?://[^\s]+'))
+                        AS BIGINT) AS n_redacted
+            FROM documents
+        """,
+        "q100_dedup_survivorship_documents": """
+            WITH RECURSIVE phash_t AS (""" + _Q30_PHASH_SQL + """
+            ), pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM phash_t x JOIN phash_t y
+                  ON x.doc_id < y.doc_id
+                 AND bit_count(xor(x.phash, y.phash)) <= 2
+            ), edges AS (
+                SELECT a, b FROM pairs
+                UNION
+                SELECT b AS a, a AS b FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT a AS id FROM edges
+            ), reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, e.b
+                FROM reach JOIN edges e ON reach.r = e.a
+            ), clus AS (
+                SELECT id AS doc_id, MIN(r) AS cluster_id
+                FROM reach GROUP BY id
+            ), j AS (
+                SELECT c.cluster_id, c.doc_id,
+                       CAST(length(d.text) AS BIGINT) AS len
+                FROM clus c JOIN documents d ON c.doc_id = d.doc_id
+            )
+            SELECT cluster_id,
+                   CAST(n_members AS BIGINT) AS n_members,
+                   doc_id AS rep_doc_id,
+                   len AS rep_len
+            FROM (
+                SELECT cluster_id, doc_id, len,
+                       COUNT(*) OVER (PARTITION BY cluster_id)
+                           AS n_members,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                          ORDER BY len DESC, doc_id ASC)
+                           AS rn
+                FROM j
+            ) WHERE rn = 1
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -107,3 +107,38 @@ def regex_features(ds, col: str, patterns: dict[str, str],
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def redact(ds, col: str, id_cols: list[str],
+           patterns: dict[str, str] | None = None,
+           out_col: str = "red_text", count_col: str = "n_redacted"):
+    """PII redaction — replace every match of each named pattern with
+    its ``[NAME]`` placeholder and count total replacements; the
+    repair-side counterpart of :func:`regex_features` (detect) in a
+    training-data pipeline.
+
+    Patterns apply in dict order, each to the PREVIOUS pass's output
+    (same composition as nested SQL ``regexp_replace``); match counts
+    are taken on the ORIGINAL text.  All ``pc.replace_substring_regex``
+    / ``pc.count_substring_regex`` over the block's UTF-8 buffer — RE2
+    on both sides, so the nested DuckDB
+    ``regexp_replace(..., 'g')`` oracle is exact.  Defaults to
+    :data:`PII_PATTERNS`.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+
+    def fn(b: pa.Table) -> pa.Table:
+        orig = b[col]
+        s = orig
+        n = None
+        for name, pat in pats.items():
+            s = pc.replace_substring_regex(
+                s, pat, f"[{name.upper()}]")
+            c = pc.count_substring_regex(orig, pattern=pat)
+            n = c if n is None else pc.add(n, c)
+        out = b.select(id_cols)
+        out = out.append_column(out_col, s)
+        out = out.append_column(count_col, pc.cast(n, pa.int64()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -109,3 +109,38 @@ def test_cross_join(ray_session):
     assert len(out) == 6
     assert out["a"].tolist() == [1, 1, 2, 2, 3, 3]
     assert out["b"].tolist() == ["x", "y"] * 3
+
+
+def test_redact_planted_pii(ray_session):
+    """Corpus PII count is zero at the fixture scales, so the kernel is
+    gated on planted emails/URLs here."""
+    from raqc_ray.ops.strings import redact
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at a.b+c@x-corp.io or http://t.co/q now",
+                 "no pii here",
+                 "https://a.b/c and d@e.fr and f.g@h.ij end"],
+    })
+    out = (redact(_ds(df, 2), "text", ["doc_id"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_redacted"].tolist() == [2, 0, 3]
+    assert out["red_text"][0] == "mail me at [EMAIL] or [URL] now"
+    assert out["red_text"][1] == "no pii here"
+    assert out["red_text"][2] == "[URL] and [EMAIL] and [EMAIL] end"
+
+
+def test_survivorship_picks_longest_then_smallest_id(ray_session):
+    from raqc_ray.ops.argmax import grouped_arg_max
+
+    df = pd.DataFrame({
+        "cluster_id": [1, 1, 1, 2, 2],
+        "doc_id": np.array([10, 11, 12, 20, 21], dtype=np.int64),
+        "len": np.array([5, 9, 9, 4, 4], dtype=np.int64),
+    })
+    df["neg_id"] = -df["doc_id"]
+    out = (grouped_arg_max(_ds(df, 3), "cluster_id", "len",
+                           tiebreak="neg_id")
+           .to_pandas().sort_values("cluster_id").reset_index(drop=True))
+    # cluster 1: max len 9 tie → doc 11; cluster 2: tie → doc 20
+    assert out["doc_id"].tolist() == [11, 20]
