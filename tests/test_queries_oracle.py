@@ -99,7 +99,10 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q88_normalize_documents", "q89_funnel_events",
             "q90_editdist_pairs_documents", "q91_unpivot_lineitem",
             "q92_weighted_avg_lineitem", "q93_quantile_cont_lineitem",
-            "q94_order_consistency", "q95_embnorm_stats"]
+            "q94_order_consistency", "q95_embnorm_stats",
+            "q96_rolling_time_events", "q97_winsorized_mean_lineitem",
+            "q98_crossjoin_nation_region", "q99_redact_documents",
+            "q100_dedup_survivorship_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
