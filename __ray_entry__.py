@@ -2069,6 +2069,94 @@ def q100_dedup_survivorship_documents(sf_dir: str):
     return out[["cluster_id", "n_members", "rep_doc_id", "rep_len"]]
 
 
+def q101_contamination_documents(sf_dir: str):
+    """Benchmark decontamination (ops/corpus.contamination_hits):
+    docs sharing any word 5-gram with the benchmark slice (doc_id %
+    97 == 0) — benchmark shingle set broadcast once, corpus streams,
+    exact string comparison so the count matches the SQL
+    string-equality oracle; counts are exact ints."""
+    from raqc_ray.ops.corpus import contamination_hits
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_filter(want_zero: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            hit = (t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0
+            return t.filter(pa.array(hit if want_zero else ~hit))
+
+        return fn
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    train = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    df = _typed_pandas(contamination_hits(bench_ds=bench, docs_ds=train,
+                                          id_col="doc_id",
+                                          text_col="text", n=5))
+    for c in ("doc_id", "n_shared"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_shared"]]
+
+
+def q102_repetition_documents(sf_dir: str):
+    """Within-document duplicate-3-gram fraction (ops/corpus.
+    repetition_ratio — the Gopher §A1.1 repetition quality signal):
+    pure per-row vectorized map, exact int counts, one small-int IEEE
+    division both sides."""
+    from raqc_ray.ops.corpus import repetition_ratio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(repetition_ratio(docs, "doc_id", "text", n=3))
+    for c in ("doc_id", "n_ngrams", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    df["dup_frac"] = df["dup_frac"].astype("float64")
+    return df[["doc_id", "n_ngrams", "n_distinct", "dup_frac"]]
+
+
+def q103_ngram_vocab_by_source(sf_dir: str):
+    """Per-source 5-gram vocabulary stats (ops/corpus.
+    distinct_ngrams_by_source): block-level (source, shingle) partial
+    counts collapse duplicates before the only shuffle; exact int64
+    sums/counts."""
+    from raqc_ray.ops.corpus import distinct_ngrams_by_source
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    df = _typed_pandas(distinct_ngrams_by_source(docs, "source",
+                                                 "text", n=5))
+    for c in ("n_ngrams", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    return df[["source", "n_ngrams", "n_distinct"]]
+
+
+def q104_upsample_documents(sf_dir: str):
+    """Deterministic language-rebalancing upsampling (ops/sample.
+    upsample_by_key): low-resource langs repeated ×k with a copy
+    index — pure per-block fan-out, factor table in-closure."""
+    from raqc_ray.ops.sample import upsample_by_key
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    df = _typed_pandas(upsample_by_key(
+        docs, "lang", {"fr": 3, "de": 2, "es": 2}, copy_col="copy_idx"))
+    for c in ("doc_id", "copy_idx"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "lang", "copy_idx"]]
+
+
+def q105_token_shards_documents(sf_dir: str):
+    """Token-budget sharding (ops/prefix.token_shards): global
+    exclusive prefix sum of per-doc token counts in doc_id order via
+    the two-phase carried-offset scan (bucket totals broadcast,
+    within-bucket vectorized cumsum) — shard_id = prefix // 1000,
+    exact int64 everywhere, bit-identical to the ROWS-frame window
+    oracle."""
+    from raqc_ray.ops.prefix import token_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(token_shards(docs, "doc_id", "text",
+                                    budget=1000))
+    for c in ("doc_id", "n_tokens", "shard_id"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_tokens", "shard_id"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2193,6 +2281,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_redact_documents": q99_redact_documents,
         "q100_dedup_survivorship_documents":
             q100_dedup_survivorship_documents,
+        "q101_contamination_documents": q101_contamination_documents,
+        "q102_repetition_documents": q102_repetition_documents,
+        "q103_ngram_vocab_by_source": q103_ngram_vocab_by_source,
+        "q104_upsample_documents": q104_upsample_documents,
+        "q105_token_shards_documents": q105_token_shards_documents,
     }
 
 
@@ -3276,6 +3369,98 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM j
             ) WHERE rn = 1
+        """,
+        "q101_contamination_documents": """
+            WITH toks AS (
+                SELECT doc_id, w, i FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(
+                               string_split(text, ' '), 1) AS i
+                    FROM documents)
+                WHERE w <> ''
+            ), sh AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w,1) OVER win
+                         || ' ' || lead(w,2) OVER win
+                         || ' ' || lead(w,3) OVER win
+                         || ' ' || lead(w,4) OVER win AS s
+                FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ), shv AS (
+                SELECT DISTINCT doc_id, s FROM sh WHERE s IS NOT NULL
+            ), bench AS (
+                SELECT DISTINCT s FROM shv WHERE doc_id % 97 = 0
+            )
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM shv t JOIN bench b ON t.s = b.s
+            WHERE t.doc_id % 97 <> 0
+            GROUP BY t.doc_id
+        """,
+        "q102_repetition_documents": """
+            WITH toks AS (
+                SELECT doc_id, w, i FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(
+                               string_split(text, ' '), 1) AS i
+                    FROM documents)
+                WHERE w <> ''
+            ), sh AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w,1) OVER win
+                         || ' ' || lead(w,2) OVER win AS s
+                FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            )
+            SELECT doc_id, CAST(COUNT(s) AS BIGINT) AS n_ngrams,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+                   ROUND(1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE)
+                             / COUNT(s), 6) AS dup_frac
+            FROM sh WHERE s IS NOT NULL GROUP BY doc_id
+        """,
+        "q103_ngram_vocab_by_source": """
+            WITH toks AS (
+                SELECT doc_id, source, w, i FROM (
+                    SELECT doc_id, source,
+                           unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(
+                               string_split(text, ' '), 1) AS i
+                    FROM documents)
+                WHERE w <> ''
+            ), sh AS (
+                SELECT source,
+                       w || ' ' || lead(w,1) OVER win
+                         || ' ' || lead(w,2) OVER win
+                         || ' ' || lead(w,3) OVER win
+                         || ' ' || lead(w,4) OVER win AS s
+                FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            )
+            SELECT source, CAST(COUNT(s) AS BIGINT) AS n_ngrams,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct
+            FROM sh WHERE s IS NOT NULL GROUP BY source
+        """,
+        "q104_upsample_documents": """
+            SELECT doc_id, lang,
+                   unnest(range(CAST(k AS BIGINT))) AS copy_idx
+            FROM (SELECT doc_id, lang,
+                         CASE lang WHEN 'fr' THEN 3
+                                   WHEN 'de' THEN 2
+                                   WHEN 'es' THEN 2
+                                   ELSE 1 END AS k
+                  FROM documents)
+        """,
+        "q105_token_shards_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            w -> w <> '')) AS BIGINT)
+                           AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                         - n_tokens) // 1000 AS BIGINT) AS shard_id
+            FROM t
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

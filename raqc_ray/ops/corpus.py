@@ -1,0 +1,155 @@
+"""Corpus-hygiene operators for LLM training-data pipelines:
+benchmark decontamination, within-document repetition scoring
+(Gopher-style duplicate-n-gram fraction), and per-source n-gram
+vocabulary statistics.
+
+Ray-Data-first plans:
+
+- :func:`contamination_hits` — the benchmark side (an eval/test set)
+  is corpus-tiny by construction, so its distinct shingle set is built
+  once and BROADCAST (``ray.put`` → read zero-copy in every task); the
+  training corpus then streams through one ``map_batches`` membership
+  test.  No shuffle of the corpus, ever — the exchange is
+  benchmark-sized, which is the only shape that survives 10^12 docs.
+- :func:`repetition_ratio` — a document's n-grams are a pure function
+  of its own row, so the whole op is one vectorized ``map_batches``
+  (flatten → shingle → per-parent bincount).  Embarrassingly parallel;
+  nothing moves.
+- :func:`distinct_ngrams_by_source` — per-block ``(source, shingle)``
+  partial counts collapse duplicates BEFORE the hash exchange, so the
+  shuffle moves one row per distinct (source, shingle) per block
+  (vocabulary-sized × blocks), never the token stream — the same
+  combiner discipline as ``unnest.token_counts``.
+
+RAQC analog: none (SURVEY §2 — the reference has no text/corpus ops);
+part of the §2 "large-scale training-data pipeline" surface
+(decontamination per Brown et al. 2020 App. C / Dodge et al. 2021;
+repetition filters per Rae et al. 2021 "Gopher" §A1.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def word_ngrams(col, n: int):
+    """Vectorized word n-gram extraction from an Arrow string column.
+
+    Returns ``(parent, shingles)``: int64 row indices into ``col`` and
+    an object ndarray of space-joined n-gram strings.  Tokenization
+    matches the SQL oracle exactly: split on single spaces, drop empty
+    tokens (so runs of spaces behave like one), shingle over the
+    FILTERED sequence — ``string_split(text,' ')`` + ``w <> ''`` +
+    ``row_number()`` adjacency in DuckDB terms.
+    """
+    toks = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    parent = parent[keep]
+    m = len(words) - n + 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object)
+    valid = parent[:m] == parent[n - 1:]
+    # element-wise C-loop string concat (object dtype); no Python
+    # per-row loop in this module
+    s = pd.Series(words[:m], dtype=object)
+    for j in range(1, n):
+        s = s + " " + pd.Series(words[j:m + j], dtype=object)
+    return parent[:m][valid], s.to_numpy()[valid]
+
+
+def repetition_ratio(ds, id_col: str, text_col: str, n: int = 3,
+                     round_to: int = 6):
+    """Per-document duplicate-n-gram fraction — the Gopher §A1.1
+    repetition signal.  Output: ``(id_col, n_ngrams, n_distinct,
+    dup_frac)`` with ``dup_frac = round(1 - distinct/total, round_to)``;
+    documents with fewer than ``n`` tokens emit no row (the SQL GROUP
+    BY over zero shingles produces none).  Counts are exact int64 and
+    the single division of two small ints is the same IEEE op the SQL
+    engine performs — bit-stable under any block layout."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        par, sh = word_ngrams(t[text_col], n)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(par, minlength=len(t))
+        d = pd.DataFrame({"p": par, "s": sh}).drop_duplicates()
+        dst = np.bincount(d["p"].to_numpy(), minlength=len(t))
+        mask = tot > 0
+        tot, dst = tot[mask].astype(np.int64), dst[mask].astype(np.int64)
+        frac = np.round(1.0 - dst.astype(np.float64) / tot, round_to)
+        return pa.table({id_col: ids[mask], "n_ngrams": tot,
+                         "n_distinct": dst, "dup_frac": frac})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def contamination_hits(docs_ds, bench_ds, id_col: str, text_col: str,
+                       n: int = 5):
+    """Benchmark decontamination: for every training document, the
+    number of DISTINCT word ``n``-grams it shares with ``bench_ds``
+    (the eval/benchmark corpus).  Output: ``(id_col, n_shared)`` for
+    documents with ``n_shared > 0`` — the flag set a dedup/removal
+    step consumes (GPT-3 App. C–style n-gram decontamination).
+
+    ``bench_ds`` must be corpus-small (an eval set); its distinct
+    shingle set is collected once and broadcast via ``ray.put`` — the
+    training side streams, nothing corpus-sized shuffles.  Exact string
+    comparison (no hashing) so the result is identical to the SQL
+    string-equality oracle.
+    """
+    import ray
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        _, sh = word_ngrams(t[text_col], n)
+        return pa.table({"s": pd.unique(sh)})
+
+    bench_parts = bench_ds.map_batches(
+        bench_shingles, batch_format="pyarrow").to_pandas()
+    bench_set = frozenset(bench_parts["s"].to_numpy())
+    bench_ref = ray.put(bench_set)
+
+    def score(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        par, sh = word_ngrams(t[text_col], n)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame({"p": par, "s": sh}).drop_duplicates()
+        hit = d["s"].isin(bset).to_numpy()
+        cnt = np.bincount(d["p"].to_numpy()[hit], minlength=len(t))
+        mask = cnt > 0
+        return pa.table({id_col: ids[mask],
+                         "n_shared": cnt[mask].astype(np.int64)})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def distinct_ngrams_by_source(ds, key: str, text_col: str, n: int = 5):
+    """Per-``key`` n-gram vocabulary statistics: ``(key, n_ngrams,
+    n_distinct)`` — total shingle occurrences and distinct shingles
+    per group (vocabulary growth / dedup-potential profiling).
+
+    One hash exchange of per-block ``(key, shingle, partial_n)`` rows
+    — duplicates collapse inside each block first, so the shuffle is
+    vocabulary-sized × blocks, not token-stream-sized.  All counts are
+    associative int64 sums: layout-invariant, exact."""
+    from ray.data.aggregate import Count, Sum
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        par, sh = word_ngrams(t[text_col], n)
+        src = t[key].to_numpy(zero_copy_only=False)[par]
+        d = (pd.DataFrame({key: src, "s": sh})
+             .groupby([key, "s"], sort=False, as_index=False)
+             .size().rename(columns={"size": "pn"}))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    per_shingle = (ds.map_batches(block_pairs, batch_format="pyarrow")
+                   .groupby([key, "s"])
+                   .aggregate(Sum("pn", alias_name="cnt")))
+    return (per_shingle.groupby(key)
+            .aggregate(Sum("cnt", alias_name="n_ngrams"),
+                       Count(alias_name="n_distinct")))

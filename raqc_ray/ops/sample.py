@@ -110,3 +110,35 @@ def stratified_sample(ds, group_col: str, key_col: str, n_per_group: int,
     return grouped_topk(hashed, key=group_col, order_by=hash_col,
                         k=n_per_group, ascending=True, tiebreak=key_col,
                         rank_col=rank_col)
+
+
+def upsample_by_key(ds, key_col: str, factors: dict, copy_col: str = "copy_idx"):
+    """Deterministic per-key upsampling for data-mixture rebalancing:
+    each row is emitted ``factors.get(key, 1)`` times with ``copy_col``
+    = 0..k-1 (the repetition index a downstream shuffle or curriculum
+    stage keys on).  The language-rebalancing step of an LLM data
+    recipe (e.g. low-resource-language ×k repetition) expressed as a
+    pure per-block fan-out: the factor table is tiny and ships inside
+    the closure; no shuffle, no driver loop, block sizes grow by at
+    most ``max(factors.values())``.
+
+    Matches SQL ``JOIN (VALUES ...) USING (key), unnest(range(k))``;
+    rows whose key is absent from ``factors`` keep factor 1.
+
+    RAQC analog: none (SURVEY §2); §2 training-data surface.
+    """
+    import pandas as pd
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df[key_col].map(factors).fillna(1)
+             .to_numpy(dtype=np.int64))
+        idx = np.repeat(np.arange(len(df), dtype=np.int64), k)
+        out = df.iloc[idx].reset_index(drop=True)
+        # 0..k_i-1 within each source row: global position minus the
+        # row's first output position
+        starts = np.concatenate(([0], np.cumsum(k)[:-1]))
+        out[copy_col] = np.arange(len(out), dtype=np.int64) - np.repeat(
+            starts, k)
+        return out
+
+    return ds.map_batches(fan_out, batch_format="pandas")

@@ -102,7 +102,10 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q94_order_consistency", "q95_embnorm_stats",
             "q96_rolling_time_events", "q97_winsorized_mean_lineitem",
             "q98_crossjoin_nation_region", "q99_redact_documents",
-            "q100_dedup_survivorship_documents"]
+            "q100_dedup_survivorship_documents",
+            "q101_contamination_documents", "q102_repetition_documents",
+            "q103_ngram_vocab_by_source", "q104_upsample_documents",
+            "q105_token_shards_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
