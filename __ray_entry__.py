@@ -2157,6 +2157,87 @@ def q105_token_shards_documents(sf_dir: str):
     return df[["doc_id", "n_tokens", "shard_id"]]
 
 
+def q106_decile_stats_events(sf_dir: str):
+    """Per-type value-decile aggregates (composition: ops/window.
+    grouped_ntile → native groupby agg): integer-cents values, the
+    (cents, event_id) tiebreak makes the NTILE order total, and the
+    per-tile sums are associative int64 — exact both sides."""
+    from ray.data.aggregate import Count, Sum
+
+    from raqc_ray.ops.window import grouped_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    tiled = grouped_ntile(ev.map_batches(cents, batch_format="pandas"),
+                          "event_type", "cents", 10,
+                          tiebreak="event_id", out_col="tile")
+    df = (tiled.groupby(["event_type", "tile"])
+          .aggregate(Count(alias_name="n"),
+                     Sum("cents", alias_name="sum_cents"))
+          .to_pandas())
+    for c in ("tile", "n", "sum_cents"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "tile", "n", "sum_cents"]]
+
+
+def q107_mad_outlier_events(sf_dir: str):
+    """Robust z-score outliers (composition: ops/quantile_exact.
+    grouped_median_mad → broadcast threshold filter): |cents −
+    median| > 3·MAD per event_type.  Median/MAD come from ONE
+    distributed value histogram; both are dyadic (x or x.5 in cents)
+    so every comparison is exact IEEE arithmetic, identical to the
+    quantile_cont SQL oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_median_mad
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "event_type": df["event_type"],
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    cds = ev.map_batches(cents, batch_format="pandas").materialize()
+    mm = grouped_median_mad(cds, "event_type", "cents").to_pandas()
+    med = dict(zip(mm["event_type"], mm["median"]))
+    mad = dict(zip(mm["event_type"], mm["mad"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med).to_numpy(dtype=np.float64)
+        s = df["event_type"].map(mad).to_numpy(dtype=np.float64)
+        v = df["cents"].to_numpy(dtype=np.float64)
+        return df[np.abs(v - m) > 3.0 * s]
+
+    df = _typed_pandas(cds.map_batches(flag, batch_format="pandas"))
+    for c in ("event_id", "cents"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "event_type", "cents"]]
+
+
+def q108_collocations_documents(sf_dir: str):
+    """Adjacent-bigram collocation mining (ops/corpus.
+    adjacent_bigram_scores): exact integer PMI-ratio scores — no
+    logs, no float sums — bit-identical to the SQL oracle."""
+    from raqc_ray.ops.corpus import adjacent_bigram_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(adjacent_bigram_scores(docs, "text",
+                                              min_count=5))
+    for c in ("c_xy", "score"):
+        df[c] = df[c].astype("int64")
+    return df[["w1", "w2", "c_xy", "score"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2286,6 +2367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q103_ngram_vocab_by_source": q103_ngram_vocab_by_source,
         "q104_upsample_documents": q104_upsample_documents,
         "q105_token_shards_documents": q105_token_shards_documents,
+        "q106_decile_stats_events": q106_decile_stats_events,
+        "q107_mad_outlier_events": q107_mad_outlier_events,
+        "q108_collocations_documents": q108_collocations_documents,
     }
 
 
@@ -3461,6 +3545,75 @@ def oracle_sql() -> dict[str, str]:
                                       AND CURRENT ROW)
                          - n_tokens) // 1000 AS BIGINT) AS shard_id
             FROM t
+        """,
+        "q106_decile_stats_events": """
+            WITH c AS (
+                SELECT event_type, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), t AS (
+                SELECT event_type, cents,
+                       NTILE(10) OVER (PARTITION BY event_type
+                                       ORDER BY cents, event_id) AS tile
+                FROM c
+            )
+            SELECT event_type, CAST(tile AS BIGINT) AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM t GROUP BY event_type, tile
+        """,
+        "q107_mad_outlier_events": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), med AS (
+                SELECT event_type, quantile_cont(cents, 0.5) AS median
+                FROM c GROUP BY event_type
+            ), m2 AS (
+                SELECT c.event_type, ANY_VALUE(med.median) AS median,
+                       quantile_cont(ABS(c.cents - med.median), 0.5)
+                           AS mad
+                FROM c JOIN med USING (event_type)
+                GROUP BY c.event_type
+            )
+            SELECT c.event_id, c.event_type, c.cents
+            FROM c JOIN m2 USING (event_type)
+            WHERE ABS(c.cents - m2.median) > 3 * m2.mad
+        """,
+        "q108_collocations_documents": """
+            WITH toks AS (
+                SELECT doc_id, w, i FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(
+                               string_split(text, ' '), 1) AS i
+                    FROM documents)
+                WHERE w <> ''
+            ), bi AS (
+                SELECT w AS w1, lead(w,1) OVER (PARTITION BY doc_id
+                                                ORDER BY i) AS w2
+                FROM toks
+            ), cxy AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+                FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+            ), cx AS (
+                SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x
+                FROM cxy GROUP BY w1
+            ), cy AS (
+                SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y
+                FROM cxy GROUP BY w2
+            ), nt AS (
+                SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM cxy
+            )
+            SELECT c.w1, c.w2, c.c_xy,
+                   CAST((c.c_xy * nt.n * 1000000)
+                        // (cx.c_x * cy.c_y) AS BIGINT) AS score
+            FROM cxy c
+            CROSS JOIN nt
+            JOIN cx ON c.w1 = cx.w1
+            JOIN cy ON c.w2 = cy.w2
+            WHERE c.c_xy >= 5
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

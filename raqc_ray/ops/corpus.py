@@ -153,3 +153,73 @@ def distinct_ngrams_by_source(ds, key: str, text_col: str, n: int = 5):
     return (per_shingle.groupby(key)
             .aggregate(Sum("cnt", alias_name="n_ngrams"),
                        Count(alias_name="n_distinct")))
+
+
+def adjacent_bigram_scores(ds, text_col: str, min_count: int = 5,
+                           scale: int = 1_000_000):
+    """Collocation mining with EXACT integer association scores:
+    ``(w1, w2, c_xy, score)`` for adjacent word bigrams with ``c_xy >=
+    min_count``, where ``score = (c_xy * N * scale) // (c_x * c_y)``
+    — the PMI ratio ``p(x,y)/(p(x)p(y))`` scaled to an integer so the
+    result is associative int64 arithmetic, bit-identical to the SQL
+    oracle under any layout (no logs, no float sums).
+
+    Plan: per-block bigram partial counts (the token stream never
+    shuffles — same combiner discipline as ``unnest.token_counts``)
+    → one vocabulary²-bounded hash aggregate → left/right marginals
+    derived FROM the bigram table (two vocabulary-sized aggregates)
+    → two hash joins of frequency tables, never of the corpus.
+
+    int64 bound: ``max(c_xy) * N * scale < 2^63`` — holds to ~10^5
+    docs/word × 10^12-bigram corpora at scale=10^6; past that swap the
+    score arithmetic to int128/hugeint (the SQL side already can).
+    """
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    def block_bigrams(t: pa.Table) -> pa.Table:
+        _, sh = word_ngrams(t[text_col], 2)
+        if not len(sh):
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
+        d = (pd.DataFrame({"s": sh})
+             .groupby("s", sort=False, as_index=False).size()
+             .rename(columns={"size": "pn"}))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    big = (ds.map_batches(block_bigrams, batch_format="pyarrow")
+           .groupby("s")
+           .aggregate(Sum("pn", alias_name="c_xy"))
+           .materialize())  # three downstream reads of this lineage
+
+    n_total = int(big.aggregate(Sum("c_xy", alias_name="n"))["n"])
+
+    def split_words(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["s"].str.split(" ", n=1, expand=True)
+        out = pd.DataFrame({"w1": parts[0], "w2": parts[1],
+                            "c_xy": df["c_xy"].astype("int64")})
+        return out
+
+    bw = big.map_batches(split_words, batch_format="pandas")
+    left = bw.groupby("w1").aggregate(Sum("c_xy", alias_name="c_x"))
+    right = bw.groupby("w2").aggregate(Sum("c_xy", alias_name="c_y"))
+
+    def frequent(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["c_xy"] >= min_count]
+
+    j = hash_join(hash_join(bw.map_batches(frequent,
+                                           batch_format="pandas"),
+                            left, on="w1"),
+                  right, on="w2")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["w1", "w2", "c_xy"]].copy()
+        num = (df["c_xy"].to_numpy(dtype=np.int64) * n_total * scale)
+        den = (df["c_x"].to_numpy(dtype=np.int64)
+               * df["c_y"].to_numpy(dtype=np.int64))
+        # all terms positive, so numpy floor-// == SQL trunc-//
+        out["score"] = num // den
+        return out
+
+    return j.map_batches(score, batch_format="pandas")

@@ -170,3 +170,20 @@ def test_token_shards_planted(ray_session):
     # exclusive prefixes: 0,3,5,9 → shards 0,0,1,2
     assert out["n_tokens"].tolist() == [3, 2, 4, 1]
     assert out["shard_id"].tolist() == [0, 0, 1, 2]
+
+
+def test_adjacent_bigram_scores_planted(ray_session):
+    from raqc_ray.ops.corpus import adjacent_bigram_scores
+
+    # corpus: "a b" ×3, "b c" ×2, "c a" ×1 → N=6
+    df = pd.DataFrame({"text": ["a b c a b", "a b c"]})
+    # bigrams doc1: ab bc ca ab ; doc2: ab bc → ab:3 bc:2 ca:1
+    out = (adjacent_bigram_scores(_ds(df), "text", min_count=2,
+                                  scale=1000)
+           .to_pandas().sort_values(["w1", "w2"])
+           .reset_index(drop=True))
+    assert out[["w1", "w2"]].values.tolist() == [["a", "b"], ["b", "c"]]
+    assert out["c_xy"].tolist() == [3, 2]
+    # c_x(a)=3, c_y(b)=3 → 3*6*1000 // 9 = 2000
+    # c_x(b)=2, c_y(c)=2 → 2*6*1000 // 4 = 3000
+    assert out["score"].tolist() == [2000, 3000]
