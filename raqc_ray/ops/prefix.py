@@ -48,6 +48,11 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
     OVER (ORDER BY o ROWS UNBOUNDED PRECEDING) - v``."""
     from ray.data.aggregate import Max, Min, Sum
 
+    # pin the input: the range aggregate, the bucket totals and the
+    # sort are three executions of this lineage — without pinning, an
+    # expensive or non-reproducible upstream runs three times (the
+    # grouped_share/kmeans_fit discipline)
+    ds = ds.materialize()
     stats = ds.aggregate(Min(order_col, alias_name="lo"),
                          Max(order_col, alias_name="hi"))
     if stats.get("lo") is None or ds.schema() is None:
@@ -80,17 +85,34 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str,
         return out
 
     bds = ds.map_batches(bucketize, batch_format="pandas")
-    totals = (bds.groupby(_BKT)
-              .aggregate(Sum(value_col, alias_name="__t"))
-              .to_pandas()
-              .sort_values(_BKT))
-    # exclusive offsets in arbitrary-precision Python ints (Ray's Sum
-    # already merged block partials exactly)
+
+    # per-bucket totals via BLOCK PARTIALS: each block emits at most
+    # n_buckets (bucket, int64 partial) rows, so the exchange is
+    # bucket-count × blocks — never the data stream (a plain
+    # groupby().aggregate(Sum) would shuffle every row to compute 64
+    # numbers)
+    def block_totals(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[_BKT].to_numpy(dtype=np.int64)
+        v = df[value_col].to_numpy(dtype=np.int64)
+        s = np.zeros(n_buckets, dtype=np.int64)   # exact int64 adds
+        np.add.at(s, b, v)
+        present = np.bincount(b, minlength=n_buckets) > 0
+        return pd.DataFrame({_BKT: np.flatnonzero(present),
+                             "__t": s[present]})
+
+    totals = (bds.map_batches(block_totals, batch_format="pandas")
+              .groupby(_BKT)
+              .aggregate(Sum("__t", alias_name="__t"))
+              .to_pandas())
+    tmap = {int(b): int(t) for b, t in zip(totals[_BKT], totals["__t"])}
+    # exclusive offsets for EVERY bucket id in arbitrary-precision
+    # Python ints (Ray's Sum merged the int64 block partials exactly;
+    # absent buckets contribute 0)
     offs: dict[int, int] = {}
     acc = 0
-    for b, t in zip(totals[_BKT], totals["__t"]):
-        offs[int(b)] = acc
-        acc += int(t)
+    for b in range(n_buckets):
+        offs[b] = acc
+        acc += tmap.get(b, 0)
 
     in_cols = list(base_empty.columns)
     scan_empty = base_empty.copy()
