@@ -2238,6 +2238,22 @@ def q108_collocations_documents(sf_dir: str):
     return df[["w1", "w2", "c_xy", "score"]]
 
 
+def q109_transitions_events(sf_dir: str):
+    """First-order Markov transition matrix over the event stream
+    (ops/transitions.transition_counts): per-user (ts, event_id)-
+    ordered adjacent event_type pairs, counted globally.  One sort +
+    vectorized sorted-group scan; exact int64 counts hash-identically
+    to the SQL LEAD() oracle."""
+    from raqc_ray.ops.transitions import transition_counts
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    df = _typed_pandas(transition_counts(
+        ev, "user_id", "ts", "event_type", tiebreak="event_id"))
+    df["n"] = df["n"].astype("int64")
+    return df[["from_state", "to_state", "n"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2370,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q106_decile_stats_events": q106_decile_stats_events,
         "q107_mad_outlier_events": q107_mad_outlier_events,
         "q108_collocations_documents": q108_collocations_documents,
+        "q109_transitions_events": q109_transitions_events,
     }
 
 
@@ -3614,6 +3631,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN cx ON c.w1 = cx.w1
             JOIN cy ON c.w2 = cy.w2
             WHERE c.c_xy >= 5
+        """,
+        "q109_transitions_events": """
+            WITH o AS (
+                SELECT event_type AS from_state,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_state
+                FROM events
+            )
+            SELECT from_state, to_state, COUNT(*) AS n
+            FROM o WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -106,7 +106,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q101_contamination_documents", "q102_repetition_documents",
             "q103_ngram_vocab_by_source", "q104_upsample_documents",
             "q105_token_shards_documents", "q106_decile_stats_events",
-            "q107_mad_outlier_events", "q108_collocations_documents"]
+            "q107_mad_outlier_events", "q108_collocations_documents",
+            "q109_transitions_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
