@@ -2254,6 +2254,46 @@ def q109_transitions_events(sf_dir: str):
     return df[["from_state", "to_state", "n"]]
 
 
+def q110_table_diff_customer(sf_dir: str):
+    """Row-level epoch diff (ops/diff.table_diff): compare the
+    customer table against a deterministically-perturbed second epoch
+    (drop every 13th key, +10 on every 7th key's balance, re-key every
+    17th row as new) and emit added/removed/changed cells.  One
+    full-outer hash join + vectorized emit; output is
+    difference-sized."""
+    from raqc_ray.ops.diff import table_diff
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def make_b(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(dtype=np.int64)
+        acct = df["c_acctbal"].to_numpy(dtype=np.float64)
+        nat = df["c_nationkey"].to_numpy(dtype=np.float64)
+        keep = k % 13 != 0
+        upd = pd.DataFrame({
+            "c_custkey": k[keep],
+            "c_acctbal": np.where(k[keep] % 7 == 0,
+                                  acct[keep] + 10.0, acct[keep]),
+            "c_nationkey": nat[keep],
+        })
+        addm = k % 17 == 0
+        add = pd.DataFrame({
+            "c_custkey": k[addm] + 1_000_000,
+            "c_acctbal": acct[addm],
+            "c_nationkey": nat[addm],
+        })
+        return pd.concat([upd, add], ignore_index=True)
+
+    b = cust.map_batches(make_b, batch_format="pandas")
+    df = _typed_pandas(table_diff(cust, b, "c_custkey",
+                                  ["c_acctbal", "c_nationkey"]))
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    for c in ("old_val", "new_val"):
+        df[c] = df[c].astype("float64")
+    return df[["c_custkey", "col", "old_val", "new_val", "change_type"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2387,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q107_mad_outlier_events": q107_mad_outlier_events,
         "q108_collocations_documents": q108_collocations_documents,
         "q109_transitions_events": q109_transitions_events,
+        "q110_table_diff_customer": q110_table_diff_customer,
     }
 
 
@@ -3643,6 +3684,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_state, to_state, COUNT(*) AS n
             FROM o WHERE to_state IS NOT NULL
             GROUP BY from_state, to_state
+        """,
+        "q110_table_diff_customer": """
+            WITH a AS (
+                SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+                       CAST(c_nationkey AS DOUBLE) AS c_nationkey
+                FROM customer
+            ), b AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 7 = 0
+                            THEN CAST(c_acctbal AS DOUBLE) + 10.0
+                            ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal,
+                       CAST(c_nationkey AS DOUBLE) AS c_nationkey
+                FROM customer WHERE c_custkey % 13 <> 0
+                UNION ALL
+                SELECT c_custkey + 1000000,
+                       CAST(c_acctbal AS DOUBLE),
+                       CAST(c_nationkey AS DOUBLE)
+                FROM customer WHERE c_custkey % 17 = 0
+            ), j AS (
+                SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+                       a.c_custkey IS NOT NULL AS in_a,
+                       b.c_custkey IS NOT NULL AS in_b,
+                       a.c_acctbal AS a1, b.c_acctbal AS b1,
+                       a.c_nationkey AS a2, b.c_nationkey AS b2
+                FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+            )
+            SELECT k AS c_custkey, CAST(NULL AS VARCHAR) AS col,
+                   CAST(NULL AS DOUBLE) AS old_val,
+                   CAST(NULL AS DOUBLE) AS new_val,
+                   'removed' AS change_type
+            FROM j WHERE NOT in_b
+            UNION ALL
+            SELECT k, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), 'added'
+            FROM j WHERE NOT in_a
+            UNION ALL
+            SELECT k, 'c_acctbal', a1, b1, 'changed'
+            FROM j WHERE in_a AND in_b AND a1 <> b1
+            UNION ALL
+            SELECT k, 'c_nationkey', a2, b2, 'changed'
+            FROM j WHERE in_a AND in_b AND a2 <> b2
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
