@@ -2294,6 +2294,32 @@ def q110_table_diff_customer(sf_dir: str):
     return df[["c_custkey", "col", "old_val", "new_val", "change_type"]]
 
 
+def q111_global_decile_events(sf_dir: str):
+    """Global equi-depth deciles (ops/prefix.global_ntile): NTILE(10)
+    over the whole event stream ordered by (value cents, event_id) —
+    the composite order encoded as ONE unique int so the two-phase
+    prefix scan applies.  All-integer NTILE split, bit-identical to
+    the SQL window oracle."""
+    from raqc_ray.ops.prefix import global_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        # (cents, event_id) as one unique int: cents < 2^30,
+        # event_id < 2^33 in every fixture scale
+        return pd.DataFrame({"event_id": eid, "cents": cents,
+                             "okey": (cents << np.int64(33)) + eid})
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(global_ntile(pds, "okey", 10))
+    for c in ("event_id", "cents", "tile"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "cents", "tile"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2428,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q108_collocations_documents": q108_collocations_documents,
         "q109_transitions_events": q109_transitions_events,
         "q110_table_diff_customer": q110_table_diff_customer,
+        "q111_global_decile_events": q111_global_decile_events,
     }
 
 
@@ -3725,6 +3752,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT k, 'c_nationkey', a2, b2, 'changed'
             FROM j WHERE in_a AND in_b AND a2 <> b2
+        """,
+        "q111_global_decile_events": """
+            SELECT event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   NTILE(10) OVER (
+                       ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                event_id) AS tile
+            FROM events
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

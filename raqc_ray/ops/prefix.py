@@ -183,3 +183,46 @@ def token_shards(docs_ds, id_col: str, text_col: str, budget: int):
         return out
 
     return pref.map_batches(finish, batch_format="pandas")
+
+
+def global_ntile(ds, order_col: str, n_tiles: int, out_col: str = "tile",
+                 n_buckets: int = 64):
+    """Global equi-depth binning — SQL ``NTILE(n) OVER (ORDER BY
+    order_col)`` with no partition key (quantile bucketing for
+    curriculum ordering / difficulty binning / equi-depth histograms).
+
+    Plan: the 0-based global row number is :func:`ordered_prefix_sum`
+    of a ones column (the same two-phase carried-offset scan — nothing
+    data-sized on the driver), then one vectorized ``map_batches``
+    applies the exact NTILE split (the first ``n % n_tiles`` buckets
+    take one extra row).  All-integer arithmetic — bit-identical to the
+    SQL window oracle under any block layout.  Same assumptions as
+    :func:`ordered_prefix_sum`: ``order_col`` is UNIQUE ints (encode a
+    composite (value, tiebreak) order as one int if needed)."""
+    ds = ds.materialize()
+    n = ds.count()
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__one"] = np.ones(len(df), dtype=np.int64)
+        return out
+
+    pref = ordered_prefix_sum(ds.map_batches(ones, batch_format="pandas"),
+                              order_col, "__one", out_col="__rn",
+                              n_buckets=n_buckets)
+    base, rem = divmod(n, n_tiles) if n_tiles > 0 else (0, 0)
+    boundary = rem * (base + 1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["__rn"].to_numpy(dtype=np.int64)
+        if base > 0:
+            tile = np.where(i < boundary, i // (base + 1) + 1,
+                            rem + (i - boundary) // base + 1)
+        else:
+            # fewer rows than tiles: row i alone occupies tile i+1
+            tile = i + 1
+        out = df.drop(columns=["__one", "__rn"])
+        out[out_col] = tile.astype(np.int64)
+        return out
+
+    return pref.map_batches(finish, batch_format="pandas")

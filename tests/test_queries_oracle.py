@@ -107,7 +107,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q103_ngram_vocab_by_source", "q104_upsample_documents",
             "q105_token_shards_documents", "q106_decile_stats_events",
             "q107_mad_outlier_events", "q108_collocations_documents",
-            "q109_transitions_events", "q110_table_diff_customer"]
+            "q109_transitions_events", "q110_table_diff_customer",
+            "q111_global_decile_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
