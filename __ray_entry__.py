@@ -2320,6 +2320,20 @@ def q111_global_decile_events(sf_dir: str):
     return df[["event_id", "cents", "tile"]]
 
 
+def q112_lm_quality_documents(sf_dir: str):
+    """CCNet-style bigram-LM fluency score per document
+    (ops/corpus.bigram_lm_scores): mean scaled conditional bigram
+    frequency under the corpus's own counts — exact integer
+    arithmetic, bit-identical to the SQL window+join oracle."""
+    from raqc_ray.ops.corpus import bigram_lm_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(bigram_lm_scores(docs, "doc_id", "text"))
+    for c in ("doc_id", "n_bigrams", "lm_score"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_bigrams", "lm_score"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2455,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q109_transitions_events": q109_transitions_events,
         "q110_table_diff_customer": q110_table_diff_customer,
         "q111_global_decile_events": q111_global_decile_events,
+        "q112_lm_quality_documents": q112_lm_quality_documents,
     }
 
 
@@ -3760,6 +3775,38 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
                                 event_id) AS tile
             FROM events
+        """,
+        "q112_lm_quality_documents": """
+            WITH toks AS (
+                SELECT doc_id, w, i FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           generate_subscripts(
+                               string_split(text, ' '), 1) AS i
+                    FROM documents)
+                WHERE w <> ''
+            ), bi AS (
+                SELECT doc_id, w AS w1,
+                       lead(w, 1) OVER (PARTITION BY doc_id
+                                        ORDER BY i) AS w2
+                FROM toks
+            ), bib AS (
+                SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL
+            ), cxy AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+                FROM bib GROUP BY w1, w2
+            ), cx AS (
+                SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x
+                FROM cxy GROUP BY w1
+            ), v AS (
+                SELECT c.w1, c.w2,
+                       CAST(c.c_xy * 1000000 // x.c_x AS BIGINT) AS v
+                FROM cxy c JOIN cx x ON c.w1 = x.w1
+            )
+            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(v.v) // COUNT(*) AS BIGINT) AS lm_score
+            FROM bib b JOIN v ON b.w1 = v.w1 AND b.w2 = v.w2
+            GROUP BY b.doc_id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -223,3 +223,78 @@ def adjacent_bigram_scores(ds, text_col: str, min_count: int = 5,
         return out
 
     return j.map_batches(score, batch_format="pandas")
+
+
+def bigram_lm_scores(ds, id_col: str, text_col: str,
+                     scale: int = 1_000_000):
+    """Per-document bigram-LM fluency score — the CCNet-style
+    "quality by language-model" filter, with EXACT integer arithmetic:
+
+    ``lm_score(doc) = (Σ_i  (c(w_i, w_{i+1}) * scale) // c_left(w_i))
+    // n_bigrams(doc)`` — the mean scaled conditional frequency
+    ``p(w_{i+1} | w_i)`` of the document's adjacent bigrams under the
+    corpus's own counts (``c_left`` = the bigram table's left
+    marginal).  High = the document's word sequences are typical of
+    the corpus; low = disfluent/garbled text.  All terms are positive
+    int64 (``c_xy * scale < 2^63``) and integer division matches SQL
+    ``//``, so the result is layout-invariant and hashes bit-identically
+    to the DuckDB window+join oracle.
+
+    Plan: bigram counts exactly as :func:`adjacent_bigram_scores`
+    (per-block partials, ONE vocabulary²-bounded aggregate), the
+    per-bigram value table ``v = (c_xy * scale) // c_x`` reduced on the
+    driver (vocabulary-sized — the documented broadcast contract; at
+    vocabularies past worker memory, swap the broadcast for a
+    :func:`raqc_ray.ops.join.hash_join` of the exploded doc-bigram
+    stream against the value table — same rows, one more shuffle),
+    broadcast ONCE via ``ray.put``, then one streaming ``map_batches``
+    over the corpus merges each block's bigrams against the shared
+    table and reduces per document.  Documents with < 1 bigram emit no
+    row (SQL inner-join semantics).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def block_bigrams(t: pa.Table) -> pa.Table:
+        _, sh = word_ngrams(t[text_col], 2)
+        if not len(sh):
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "pn": pa.array([], type=pa.int64())})
+        d = (pd.DataFrame({"s": sh})
+             .groupby("s", sort=False, as_index=False).size()
+             .rename(columns={"size": "pn"}))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    big = (ds.map_batches(block_bigrams, batch_format="pyarrow")
+           .groupby("s")
+           .aggregate(Sum("pn", alias_name="c_xy"))
+           .to_pandas())
+    # vocabulary-sized driver reduce: left marginal + per-bigram value
+    big["c_xy"] = big["c_xy"].astype("int64")
+    w1 = big["s"].str.split(" ", n=1, expand=True)[0]
+    c_x = big.groupby(w1, sort=False)["c_xy"].transform("sum").astype("int64")
+    vtab = pd.DataFrame({
+        "s": big["s"],
+        "__v": (big["c_xy"].to_numpy(dtype=np.int64) * int(scale))
+        // c_x.to_numpy(dtype=np.int64),
+    })
+    ref = ray.put(vtab)
+
+    def score_block(t: pa.Table) -> pd.DataFrame:
+        parent, sh = word_ngrams(t[text_col], 2)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(sh):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n_bigrams": pd.Series(dtype="int64"),
+                                 "lm_score": pd.Series(dtype="int64")})
+        v = ray.get(ref)
+        d = pd.DataFrame({id_col: ids[parent], "s": sh}).merge(v, on="s")
+        g = d.groupby(id_col, sort=False)["__v"].agg(["sum", "size"])
+        return pd.DataFrame({
+            id_col: g.index.to_numpy(dtype=np.int64),
+            "n_bigrams": g["size"].to_numpy(dtype=np.int64),
+            "lm_score": (g["sum"].to_numpy(dtype=np.int64)
+                         // g["size"].to_numpy(dtype=np.int64)),
+        })
+
+    return ds.map_batches(score_block, batch_format="pyarrow")
