@@ -2334,6 +2334,19 @@ def q112_lm_quality_documents(sf_dir: str):
     return df[["doc_id", "n_bigrams", "lm_score"]]
 
 
+def q113_vocab_drift_documents(sf_dir: str):
+    """Pairwise source vocabulary drift (ops/corpus.
+    source_vocab_drift): scaled-integer total-variation distance
+    between per-source unigram distributions — the corpus drift
+    screen, exact int64, full SQL oracle."""
+    from raqc_ray.ops.corpus import source_vocab_drift
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    df = _typed_pandas(source_vocab_drift(docs, "source", "text"))
+    df["l1_dist"] = df["l1_dist"].astype("int64")
+    return df[["src_a", "src_b", "l1_dist"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2470,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_table_diff_customer": q110_table_diff_customer,
         "q111_global_decile_events": q111_global_decile_events,
         "q112_lm_quality_documents": q112_lm_quality_documents,
+        "q113_vocab_drift_documents": q113_vocab_drift_documents,
     }
 
 
@@ -3807,6 +3821,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v.v) // COUNT(*) AS BIGINT) AS lm_score
             FROM bib b JOIN v ON b.w1 = v.w1 AND b.w2 = v.w2
             GROUP BY b.doc_id
+        """,
+        "q113_vocab_drift_documents": """
+            WITH tok AS (
+                SELECT source, w FROM (
+                    SELECT source,
+                           unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+                WHERE w <> ''
+            ), c AS (
+                SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY source, w
+            ), n AS (
+                SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                FROM c GROUP BY source
+            ), p AS (
+                SELECT c.source, c.w,
+                       CAST(c.c * 1000000 // n.n AS BIGINT) AS p
+                FROM c JOIN n USING (source)
+            ), pairs AS (
+                SELECT a.source AS src_a, b.source AS src_b
+                FROM n a JOIN n b ON a.source < b.source
+            ), u AS (
+                SELECT pr.src_a, pr.src_b,
+                       COALESCE(pa.p, 0) AS pa, COALESCE(pb.p, 0) AS pb
+                FROM pairs pr
+                CROSS JOIN (SELECT DISTINCT w FROM c) w
+                LEFT JOIN p pa ON pa.source = pr.src_a AND pa.w = w.w
+                LEFT JOIN p pb ON pb.source = pr.src_b AND pb.w = w.w
+            )
+            SELECT src_a, src_b,
+                   CAST(SUM(ABS(pa - pb)) AS BIGINT) AS l1_dist
+            FROM u GROUP BY src_a, src_b
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

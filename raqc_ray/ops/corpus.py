@@ -298,3 +298,94 @@ def bigram_lm_scores(ds, id_col: str, text_col: str,
         })
 
     return ds.map_batches(score_block, batch_format="pyarrow")
+
+
+def source_vocab_drift(ds, key: str, text_col: str,
+                       scale: int = 1_000_000):
+    """Pairwise vocabulary-distribution drift between sources —
+    ``(src_a, src_b, l1_dist)`` where ``l1_dist = Σ_w |p_a(w) −
+    p_b(w)|`` over the union vocabulary and ``p_k(w) = (c_k(w) *
+    scale) // n_k`` is the scaled-integer token frequency.  This is
+    (2× scale ×) the total-variation distance between the sources'
+    unigram distributions — the corpus-level drift screen an LLM data
+    pipeline runs across shards/snapshots before mixing (the integer
+    analog of the validation engine's PSI drift check, which needs
+    logs and therefore floats).
+
+    Plan: per-(key, token) exact counts via
+    :func:`raqc_ray.ops.unnest.grouped_token_counts` (per-block
+    combiner, the token stream never shuffles), per-key totals from
+    block partials (a sources-sized broadcast), then ONE sorted-group
+    scan co-locates each token's ≤K rows and a vectorized block pass
+    scatters them into a (segments × K) matrix — all pairwise |p_a −
+    p_b| partial sums per BLOCK, one tiny final groupby.  Everything
+    is positive int64 with ``//`` floor = SQL trunc, so the result is
+    layout-invariant and bit-identical to the SQL oracle.
+
+    Partitioning assumption: sources are few (K ≤ hundreds — K² pair
+    scalars per block); the vocabulary can be arbitrarily large.
+    """
+    from ray.data.aggregate import Sum
+
+    from .groupscan import scan_sorted_groups
+    from .unnest import grouped_token_counts
+
+    counts = grouped_token_counts(ds, key, text_col).materialize()
+
+    def block_totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    tot = (counts.map_batches(block_totals, batch_format="pandas")
+           .groupby(key).aggregate(Sum("n", alias_name="n")).to_pandas())
+    totals = {k: int(v) for k, v in zip(tot[key], tot["n"])}
+    skeys = sorted(totals)
+    kpos = {k: i for i, k in enumerate(skeys)}
+    K = len(skeys)
+
+    out_empty = pd.DataFrame({
+        "src_a": pd.Series(dtype="object"),
+        "src_b": pd.Series(dtype="object"),
+        "l1_dist": pd.Series(dtype="int64"),
+    })
+
+    def pair_rows(M: np.ndarray) -> pd.DataFrame:
+        rows_a, rows_b, rows_d = [], [], []
+        for i in range(K):
+            for j in range(i + 1, K):
+                d = int(np.abs(M[:, i] - M[:, j]).sum())
+                if d:
+                    rows_a.append(skeys[i])
+                    rows_b.append(skeys[j])
+                    rows_d.append(d)
+        if not rows_a:
+            return out_empty
+        return pd.DataFrame({"src_a": rows_a, "src_b": rows_b,
+                             "l1_dist": np.array(rows_d, dtype=np.int64)})
+
+    def p_of(df: pd.DataFrame) -> np.ndarray:
+        n = df["n"].to_numpy(dtype=np.int64)
+        nk = df[key].map(totals).to_numpy(dtype=np.int64)
+        return (n * int(scale)) // nk
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        M = np.zeros((1, K), dtype=np.int64)
+        M[0, g[key].map(kpos).to_numpy(dtype=np.int64)] = p_of(g)
+        return pair_rows(M)
+
+    def block_fn(interior: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        seg_id = np.zeros(len(interior), dtype=np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        M = np.zeros((len(starts), K), dtype=np.int64)
+        M[seg_id, interior[key].map(kpos).to_numpy(dtype=np.int64)] = \
+            p_of(interior)
+        return pair_rows(M)
+
+    partials = scan_sorted_groups(counts, "token", group_fn, out_empty,
+                                  min_group=1, block_fn=block_fn)
+    out = partials.groupby(["src_a", "src_b"]).aggregate(
+        Sum("l1_dist", alias_name="l1_dist"))
+    return out.select_columns(["src_a", "src_b", "l1_dist"])

@@ -108,7 +108,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q105_token_shards_documents", "q106_decile_stats_events",
             "q107_mad_outlier_events", "q108_collocations_documents",
             "q109_transitions_events", "q110_table_diff_customer",
-            "q111_global_decile_events", "q112_lm_quality_documents"]
+            "q111_global_decile_events", "q112_lm_quality_documents",
+            "q113_vocab_drift_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
