@@ -2347,6 +2347,106 @@ def q113_vocab_drift_documents(sf_dir: str):
     return df[["src_a", "src_b", "l1_dist"]]
 
 
+def q114_zscore_events(sf_dir: str):
+    """Per-type sample z-score standardization (ops/moments.
+    grouped_zscore): exact int64 moment sums, one float64 rounding
+    per term in the oracle's operation order — bit-stable."""
+    from raqc_ray.ops.moments import grouped_zscore
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "event_type": df["event_type"],
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    cds = ev.map_batches(cents, batch_format="pandas")
+    df = _typed_pandas(grouped_zscore(cds, "event_type", "cents"))
+    for c in ("event_id", "cents"):
+        df[c] = df[c].astype("int64")
+    df["z"] = df["z"].astype("float64")
+    return df[["event_id", "event_type", "cents", "z"]]
+
+
+def q115_hourly_anomaly_events(sf_dir: str):
+    """Hourly event-rate anomaly screen: exact per-(type, hour) counts
+    (block partials, epoch-microsecond hour bucketing — no float
+    timestamp math), then the robust median+MAD gate from
+    ops/quantile_exact over the COUNT series — the time-series
+    monitoring composition of q107's row-level outlier op.  All
+    comparisons are exact dyadic arithmetic, bit-identical to the
+    quantile_cont SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from raqc_ray.ops.quantile_exact import grouped_median_mad
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hour_partials(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+              // 3_600_000_000)
+        d = pd.DataFrame({"event_type": df["event_type"], "hr": hr})
+        g = (d.groupby(["event_type", "hr"], sort=False)
+             .size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    hc = (ev.map_batches(hour_partials, batch_format="pandas")
+          .groupby(["event_type", "hr"])
+          .aggregate(Sum("cnt", alias_name="cnt"))
+          .materialize())
+    mm = grouped_median_mad(hc, "event_type", "cnt").to_pandas()
+    med = dict(zip(mm["event_type"], mm["median"]))
+    mad = dict(zip(mm["event_type"], mm["mad"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med).to_numpy(dtype=np.float64)
+        s = df["event_type"].map(mad).to_numpy(dtype=np.float64)
+        c = df["cnt"].to_numpy(dtype=np.float64)
+        return df[np.abs(c - m) > 3.0 * s]
+
+    df = _typed_pandas(hc.map_batches(flag, batch_format="pandas"))
+    for c in ("hr", "cnt"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "hr", "cnt"]]
+
+
+def q116_rebalance_documents(sf_dir: str):
+    """Mixture rebalancing: downsample every source to the SMALLEST
+    source's row count — equal-share mixing for training-data
+    composition.  The per-source budget comes from a keys-sized count
+    aggregate (block partials); selection is the deterministic
+    Lehmer-hash stratified sampler (ops/sample.stratified_sample), so
+    the kept set is reproducible across layouts and cluster sizes and
+    fully SQL-oracled."""
+    from ray.data.aggregate import Sum
+
+    from raqc_ray.ops.sample import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"]).materialize()
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("source", sort=False).size()
+             .reset_index(name="c"))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = (docs.map_batches(block_counts, batch_format="pandas")
+              .groupby("source").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    n_min = int(counts["c"].min())
+
+    res = stratified_sample(docs, "source", "doc_id",
+                            n_per_group=n_min, salt=7)
+    df = _typed_pandas(res)
+    for c in ("doc_id", "h", "rank"):
+        df[c] = df[c].astype("int64")
+    return df[["source", "doc_id", "h", "rank"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2484,6 +2584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_global_decile_events": q111_global_decile_events,
         "q112_lm_quality_documents": q112_lm_quality_documents,
         "q113_vocab_drift_documents": q113_vocab_drift_documents,
+        "q114_zscore_events": q114_zscore_events,
+        "q115_hourly_anomaly_events": q115_hourly_anomaly_events,
+        "q116_rebalance_documents": q116_rebalance_documents,
     }
 
 
@@ -3853,6 +3956,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_a, src_b,
                    CAST(SUM(ABS(pa - pb)) AS BIGINT) AS l1_dist
             FROM u GROUP BY src_a, src_b
+        """,
+        "q114_zscore_events": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(cents) AS s1,
+                       SUM(cents * cents) AS s2
+                FROM c GROUP BY event_type
+            ), m AS (
+                SELECT event_type,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)) AS std
+                FROM s
+            )
+            SELECT c.event_id, c.event_type, c.cents,
+                   ROUND((CAST(c.cents AS DOUBLE) - m.mean) / m.std, 6)
+                       AS z
+            FROM c JOIN m USING (event_type)
+        """,
+        "q115_hourly_anomaly_events": """
+            WITH hc AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS hr,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY event_type, hr
+            ), med AS (
+                SELECT event_type, quantile_cont(cnt, 0.5) AS median
+                FROM hc GROUP BY event_type
+            ), m2 AS (
+                SELECT hc.event_type, ANY_VALUE(med.median) AS median,
+                       quantile_cont(ABS(hc.cnt - med.median), 0.5)
+                           AS mad
+                FROM hc JOIN med USING (event_type)
+                GROUP BY hc.event_type
+            )
+            SELECT hc.event_type, hc.hr, hc.cnt
+            FROM hc JOIN m2 USING (event_type)
+            WHERE ABS(hc.cnt - m2.median) > 3 * m2.mad
+        """,
+        "q116_rebalance_documents": """
+            SELECT source, doc_id, h, rank FROM (
+                SELECT source, doc_id, h,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY h, doc_id
+                       ) AS BIGINT) AS rank
+                FROM (
+                    SELECT source, doc_id,
+                           (((doc_id + 7) * 48271) % 2147483647)
+                               * 48271 % 2147483647 AS h
+                    FROM documents
+                )
+            )
+            WHERE rank <= (SELECT MIN(c) FROM (
+                SELECT COUNT(*) AS c FROM documents GROUP BY source))
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -254,3 +254,65 @@ def grouped_weighted_avg(ds, key: str, int_value_col: str,
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_zscore(ds, key: str, int_value_col: str, out_col: str = "z",
+                   round_to: int = 6):
+    """Appends ``out_col``: the per-key SAMPLE z-score of an
+    integer-valued column — ``(v - mean) / stddev_samp`` — the
+    standardization step of a feature pipeline (complement of
+    :func:`grouped_minmax_norm`).
+
+    Determinism discipline: the per-key moment sums ``(n, Σv, Σv²)``
+    are EXACT int64 block partials merged by one keys-sized hash
+    groupby (Ray sums int64 partials in arbitrary-precision Python
+    ints, so the totals are exact under any layout); mean and stddev
+    are then derived with ONE float64 rounding per term in the same
+    order the SQL oracle does (``double(num) / double(den)``), so the
+    per-row z matches the oracle bit-for-bit.  Requires every key to
+    have n ≥ 2 rows (sample stddev) and a non-constant value stream.
+
+    Input is materialized first (the grouped_share discipline): the
+    keys-sized aggregate and the streaming map are two executions of
+    the lineage.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = ds.materialize()
+
+    def block_partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[int_value_col].to_numpy(dtype=np.int64)
+        d = pd.DataFrame({key: df[key], "__n": np.ones(len(df),
+                                                       dtype=np.int64),
+                          "__s1": v, "__s2": v * v})
+        return (d.groupby(key, sort=False, as_index=False).sum())
+
+    agg = (ds.map_batches(block_partials, batch_format="pandas")
+           .groupby(key)
+           .aggregate(Sum("__n", alias_name="__n"),
+                      Sum("__s1", alias_name="__s1"),
+                      Sum("__s2", alias_name="__s2"))
+           .to_pandas())
+    stats: dict = {}
+    for k, n, s1, s2 in zip(agg[key], agg["__n"], agg["__s1"],
+                            agg["__s2"]):
+        n, s1, s2 = int(n), int(s1), int(s2)
+        mean = np.float64(s1) / np.float64(n)
+        # sample variance from exact integer sums; one rounding per
+        # operand, double division — the SQL oracle's exact shape
+        var = (np.float64(n * s2 - s1 * s1)
+               / np.float64(n * (n - 1)))
+        stats[k] = (mean, np.sqrt(var))
+
+    means = {k: v[0] for k, v in stats.items()}
+    stds = {k: v[1] for k, v in stats.items()}
+
+    def append_z(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        mean = df[key].map(means).to_numpy(dtype=np.float64)
+        std = df[key].map(stds).to_numpy(dtype=np.float64)
+        v = df[int_value_col].to_numpy(dtype=np.float64)
+        out[out_col] = np.round((v - mean) / std, round_to)
+        return out
+
+    return ds.map_batches(append_z, batch_format="pandas")
