@@ -16,6 +16,12 @@ collects; the output is difference-sized, which for epoch validation
 is violation-sized.  Compared columns must be numeric (they are
 compared as float64; NaN on both sides counts as equal).
 
+Both the tag stages and the emit stage produce EXPLICITLY-TYPED arrow
+tables: Ray's pandas→arrow conversion maps an all-null pandas column
+to the arrow ``null`` type, which acero's hash join rejects, and empty
+pandas blocks lose their dtypes — arrow-first blocks keep the schema
+stable even for empty/degenerate inputs.
+
 Determinism: exact float64 equality per cell — layout-invariant, so
 the result hashes bit-identically to the SQL FULL OUTER JOIN oracle.
 Caveat: the outer join nulls the absent side's key, so the int64 key
@@ -30,7 +36,8 @@ reference has no row-level diff.  Part of the §2 validation surface
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def table_diff(ds_a, ds_b, key: str, compare_cols: list[str],
@@ -41,66 +48,77 @@ def table_diff(ds_a, ds_b, key: str, compare_cols: list[str],
     from .join import hash_join
 
     col_c, old_c, new_c, type_c = out_cols
+    out_schema = pa.schema([
+        (key, pa.int64()), (col_c, pa.string()),
+        (old_c, pa.float64()), (new_c, pa.float64()),
+        (type_c, pa.string()),
+    ])
 
-    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key] + compare_cols].copy()
-        d["__in_a"] = np.int8(1)
-        return d
-
-    def tag_b(df: pd.DataFrame) -> pd.DataFrame:
-        # carry the key twice: Ray's outer join keeps the LEFT key
-        # column, which is null for right-only (added) rows
-        d = pd.DataFrame({key: df[key], "__b_key": df[key]})
+    def tag_a(t: pa.Table) -> pa.Table:
+        cols = {key: pc.cast(t[key], pa.int64())}
         for c in compare_cols:
-            d["__b_" + c] = df[c]
-        d["__in_b"] = np.int8(1)
-        return d
+            cols[c] = pc.cast(t[c], pa.float64())
+        cols["__in_a"] = pa.array(np.ones(len(t), dtype=np.int8))
+        return pa.table(cols)
 
-    a = ds_a.map_batches(tag_a, batch_format="pandas")
-    b = ds_b.map_batches(tag_b, batch_format="pandas")
+    def tag_b(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key], pa.int64())
+        # carry the key twice: the outer join keeps the LEFT key
+        # column, which is null for right-only (added) rows
+        cols = {key: k, "__b_key": k}
+        for c in compare_cols:
+            cols["__b_" + c] = pc.cast(t[c], pa.float64())
+        cols["__in_b"] = pa.array(np.ones(len(t), dtype=np.int8))
+        return pa.table(cols)
+
+    a = ds_a.map_batches(tag_a, batch_format="pyarrow")
+    b = ds_b.map_batches(tag_b, batch_format="pyarrow")
     j = hash_join(a, b, on=key, how="full_outer",
                   num_partitions=num_partitions)
 
-    key_dtype = "int64"
+    def _f64(t: pa.Table, c: str) -> np.ndarray:
+        return (t[c].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.float64))
 
-    def empty_out() -> pd.DataFrame:
-        return pd.DataFrame({
-            key: pd.Series(dtype=key_dtype),
-            col_c: pd.Series(dtype="object"),
-            old_c: pd.Series(dtype="float64"),
-            new_c: pd.Series(dtype="float64"),
-            type_c: pd.Series(dtype="object"),
-        })
-
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return empty_out()
-        in_a = df["__in_a"].notna().to_numpy()
-        in_b = df["__in_b"].notna().to_numpy()
+    def emit(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if not n:
+            return out_schema.empty_table()
+        in_a = ~np.isnan(_f64(t, "__in_a"))
+        in_b = ~np.isnan(_f64(t, "__in_b"))
         # coalesce the key across sides (left key is null on added rows)
-        ka = df[key].to_numpy(dtype=np.float64, na_value=np.nan)
-        kb = df["__b_key"].to_numpy(dtype=np.float64, na_value=np.nan)
+        ka = _f64(t, key)
+        kb = _f64(t, "__b_key")
         k = np.where(in_a, ka, kb).astype(np.int64)
-        frames: list[pd.DataFrame] = []
+        ks, cols, olds, news, types = [], [], [], [], []
         for mask, ct in ((in_a & ~in_b, "removed"), (~in_a & in_b, "added")):
-            if mask.any():
-                frames.append(pd.DataFrame({
-                    key: k[mask], col_c: None,
-                    old_c: np.nan, new_c: np.nan, type_c: ct,
-                }))
+            m = int(mask.sum())
+            if m:
+                ks.append(k[mask])
+                cols.append(np.full(m, None, dtype=object))
+                olds.append(np.full(m, np.nan))
+                news.append(np.full(m, np.nan))
+                types.append(np.full(m, ct, dtype=object))
         both = in_a & in_b
         for c in compare_cols:
-            av = df[c].to_numpy(dtype=np.float64, na_value=np.nan)
-            bv = df["__b_" + c].to_numpy(dtype=np.float64, na_value=np.nan)
+            av = _f64(t, c)
+            bv = _f64(t, "__b_" + c)
             m = both & (av != bv) & ~(np.isnan(av) & np.isnan(bv))
-            if m.any():
-                frames.append(pd.DataFrame({
-                    key: k[m], col_c: c,
-                    old_c: av[m], new_c: bv[m], type_c: "changed",
-                }))
-        if not frames:
-            return empty_out()
-        out = pd.concat(frames, ignore_index=True)
-        return out[[key, col_c, old_c, new_c, type_c]]
+            cnt = int(m.sum())
+            if cnt:
+                ks.append(k[m])
+                cols.append(np.full(cnt, c, dtype=object))
+                olds.append(av[m])
+                news.append(bv[m])
+                types.append(np.full(cnt, "changed", dtype=object))
+        if not ks:
+            return out_schema.empty_table()
+        return pa.table({
+            key: pa.array(np.concatenate(ks), type=pa.int64()),
+            col_c: pa.array(np.concatenate(cols), type=pa.string()),
+            old_c: pa.array(np.concatenate(olds), type=pa.float64()),
+            new_c: pa.array(np.concatenate(news), type=pa.float64()),
+            type_c: pa.array(np.concatenate(types), type=pa.string()),
+        }, schema=out_schema)
 
-    return j.map_batches(emit, batch_format="pandas")
+    return j.map_batches(emit, batch_format="pyarrow")
