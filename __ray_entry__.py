@@ -2447,6 +2447,19 @@ def q116_rebalance_documents(sf_dir: str):
     return df[["source", "doc_id", "h", "rank"]]
 
 
+def q117_ttr_documents(sf_dir: str):
+    """Per-document type-token ratio (ops/text.type_token_ratio):
+    Gopher-style lexical-diversity quality signal — document-local,
+    zero shuffle, scaled-integer ratio with a full SQL oracle."""
+    from raqc_ray.ops.text import type_token_ratio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(type_token_ratio(docs))
+    for c in ("doc_id", "n_tokens", "n_distinct", "ttr"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_tokens", "n_distinct", "ttr"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2587,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q114_zscore_events": q114_zscore_events,
         "q115_hourly_anomaly_events": q115_hourly_anomaly_events,
         "q116_rebalance_documents": q116_rebalance_documents,
+        "q117_ttr_documents": q117_ttr_documents,
     }
 
 
@@ -4015,6 +4029,18 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rank <= (SELECT MIN(c) FROM (
                 SELECT COUNT(*) AS c FROM documents GROUP BY source))
+        """,
+        "q117_ttr_documents": """
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(DISTINCT w) * 1000000 // COUNT(*)
+                        AS BIGINT) AS ttr
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+            WHERE w <> ''
+            GROUP BY doc_id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

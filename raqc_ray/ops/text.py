@@ -172,3 +172,47 @@ def bpe_token_count(ds, id_col: str, text_col: str,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def type_token_ratio(ds, id_col: str = "doc_id", text_col: str = "text",
+                     scale: int = 1_000_000):
+    """Per-document lexical diversity — ``(id_col, n_tokens,
+    n_distinct, ttr)`` with ``ttr = (n_distinct * scale) // n_tokens``
+    (the Gopher-style type-token-ratio quality signal, complementing
+    the within-document repetition ratio).
+
+    Entirely document-local: one vectorized ``map_batches`` pass
+    (arrow split + parent-index gather, a single pandas groupby per
+    block), NO shuffle of any kind.  Tokenization is the engine-wide
+    space-split-drop-empties contract; the scaled ratio is positive
+    int64 ``//``, bit-identical to the SQL oracle.  Documents with
+    zero tokens emit no row (SQL GROUP BY semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def block(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_numpy(zero_copy_only=False)[keep]
+        parent = parent[keep]
+        if not len(words):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "n_distinct": pd.Series(dtype="int64"),
+                                 "ttr": pd.Series(dtype="int64")})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame({id_col: ids[parent], "w": words})
+        g = d.groupby(id_col, sort=False)["w"].agg(["size", "nunique"])
+        n_tok = g["size"].to_numpy(dtype=np.int64)
+        n_dis = g["nunique"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: g.index.to_numpy(dtype=np.int64),
+            "n_tokens": n_tok,
+            "n_distinct": n_dis,
+            "ttr": (n_dis * int(scale)) // n_tok,
+        })
+
+    return ds.map_batches(block, batch_format="pyarrow")
