@@ -176,11 +176,20 @@ def run_bench() -> dict:
         c.batch_size = 256 if BENCH_PROFILE == "benchjpeg" else 2048
         cfgs[e] = c
 
-    t0 = time.time()
-    r1, r2 = validate_epoch_pair(
-        part_paths["e1"], part_paths["e2"], cfgs["e1"], cfgs["e2"]
-    )
-    t_validate = time.time() - t0
+    # best-of-N pair wall (default 2): the host has ±20-30% run-to-run
+    # noise with multi-hour slow windows (BASELINE.md) — min of two
+    # runs separates engine regressions from host noise, the same
+    # rationale as the per-query reps below.  Scaling mode keeps its
+    # own per-level reps and sets this to 1.
+    pair_reps = int(os.environ.get("RAQC_BENCH_PAIR_REPS", "2"))
+    t_validate = None
+    for _ in range(pair_reps):
+        t0 = time.time()
+        r1, r2 = validate_epoch_pair(
+            part_paths["e1"], part_paths["e2"], cfgs["e1"], cfgs["e2"]
+        )
+        dt = time.time() - t0
+        t_validate = dt if t_validate is None else min(t_validate, dt)
     # row-counting the already-returned result is reporting, not
     # validation — outside the timed window
     n_violations = r1.violations.count() + r2.violations.count()
@@ -257,7 +266,10 @@ def _scaling_one_profile(profile: str) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO,
                    RAQC_BENCH_FIXTURE=fixture, RAQC_BENCH_PROFILE=profile,
-                   RAQC_BENCH_QUERY_REPS="1")
+                   RAQC_BENCH_QUERY_REPS="1",
+                   # scaling already takes best-of-RAQC_SCALING_REPS
+                   # whole-bench runs per level — one pair per run
+                   RAQC_BENCH_PAIR_REPS="1")
         # Pin the whole process tree to ncpu physical cores: ray's
         # num_cpus only limits scheduler slots — numpy/zlib inside workers
         # and ray internals would otherwise spill onto all host cores and
