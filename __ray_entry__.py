@@ -2460,6 +2460,22 @@ def q117_ttr_documents(sf_dir: str):
     return df[["doc_id", "n_tokens", "n_distinct", "ttr"]]
 
 
+def q118_journey_events(sf_dir: str):
+    """Per-user journey prefix (ops/transitions.journey_prefix): the
+    first five event types in (ts, event_id) order joined with '>'
+    plus the user's full event count — string_agg-over-rank SQL
+    oracle."""
+    from raqc_ray.ops.transitions import journey_prefix
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    df = _typed_pandas(journey_prefix(ev, "user_id", "ts", "event_type",
+                                      k=5, tiebreak="event_id"))
+    for c in ("user_id", "n_events"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "journey", "n_events"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2601,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q115_hourly_anomaly_events": q115_hourly_anomaly_events,
         "q116_rebalance_documents": q116_rebalance_documents,
         "q117_ttr_documents": q117_ttr_documents,
+        "q118_journey_events": q118_journey_events,
     }
 
 
@@ -4041,6 +4058,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE w <> ''
             GROUP BY doc_id
+        """,
+        "q118_journey_events": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n_all
+                FROM events
+            )
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS journey,
+                   CAST(ANY_VALUE(n_all) AS BIGINT) AS n_events
+            FROM o WHERE rn <= 5
+            GROUP BY user_id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

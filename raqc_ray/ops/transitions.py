@@ -112,3 +112,65 @@ def transition_counts(ds, key, order_by: str, state_col: str,
     out = partials.groupby([from_col, to_col]).aggregate(
         Sum(out_col, alias_name=out_col))
     return out.select_columns([from_col, to_col, out_col])
+
+
+def journey_prefix(ds, key, order_by: str, state_col: str,
+                   k: int = 5, sep: str = ">",
+                   tiebreak: str | None = None,
+                   out_col: str = "journey"):
+    """Per-key ordered path prefix — ``(key, out_col, n_events)``
+    where ``out_col`` joins the FIRST ``k`` states of each key's
+    ``(order_by, tiebreak)``-ordered stream with ``sep`` and
+    ``n_events`` is the key's full stream length (SQL
+    ``string_agg(state, sep ORDER BY rn) ... WHERE rn <= k``).  The
+    session-path feature a behavioral pipeline derives per user;
+    deterministic because ``tiebreak`` totalizes the order.
+
+    Same one-sort + sorted-group-scan plan as
+    :func:`transition_counts`; the per-block pass ranks every segment
+    with one vectorized carried-offset subtraction and joins only
+    ``≤ k × groups`` strings.
+    """
+    from ._join_util import arrow_schema
+
+    keys = [key] if isinstance(key, str) else list(key)
+    sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
+
+    # key columns keep their INPUT dtypes (an object-typed empty frame
+    # would declare a string schema for an int64 key)
+    out_empty = arrow_schema(ds).empty_table().to_pandas()[keys]
+    out_empty[out_col] = pd.Series(dtype="object")
+    out_empty["n_events"] = pd.Series(dtype="int64")
+    out_cols = list(out_empty.columns)
+
+    def _join_prefix(d: pd.DataFrame) -> pd.DataFrame:
+        # d: key-sorted rows already ranked and truncated to rn < k,
+        # with __n carrying each key's full count
+        g = (d.groupby(keys, sort=False)
+             .agg(**{out_col: (state_col, sep.join),
+                     "n_events": ("__n", "first")})
+             .reset_index())
+        g["n_events"] = g["n_events"].astype("int64")
+        return g[out_cols]
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(sort_cols, kind="mergesort")
+        d = s.head(k).copy()
+        d["__n"] = np.int64(len(g))
+        return _join_prefix(d)
+
+    def block_fn(interior: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        s = interior.sort_values(keys + sort_cols,
+                                 kind="mergesort").reset_index(drop=True)
+        n = len(s)
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        rn = np.arange(n, dtype=np.int64) - starts[seg_id]
+        d = s[rn < k].copy()
+        d["__n"] = (ends - starts)[seg_id[rn < k]]
+        return _join_prefix(d)
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1,
+                              block_fn=block_fn)
