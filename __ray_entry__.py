@@ -2476,6 +2476,34 @@ def q118_journey_events(sf_dir: str):
     return df[["user_id", "journey", "n_events"]]
 
 
+def q119_weighted_median_lineitem(sf_dir: str):
+    """Exact grouped weighted median (ops/quantile_exact.
+    grouped_weighted_median): price cents weighted by quantity per
+    return flag — all-integer histogram plan, window-cumsum SQL
+    oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "cents": np.floor(df["l_extendedprice"]
+                              .to_numpy(dtype=np.float64) * 100.0
+                              + 0.5).astype(np.int64),
+            "qty": df["l_quantity"].to_numpy(dtype=np.float64)
+            .astype(np.int64),
+        })
+
+    pds = li.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_weighted_median(pds, "l_returnflag",
+                                               "cents", "qty"))
+    for c in ("w_total", "wmedian"):
+        df[c] = df[c].astype("int64")
+    return df[["l_returnflag", "w_total", "wmedian"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2618,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q116_rebalance_documents": q116_rebalance_documents,
         "q117_ttr_documents": q117_ttr_documents,
         "q118_journey_events": q118_journey_events,
+        "q119_weighted_median_lineitem": q119_weighted_median_lineitem,
     }
 
 
@@ -4072,6 +4101,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ANY_VALUE(n_all) AS BIGINT) AS n_events
             FROM o WHERE rn <= 5
             GROUP BY user_id
+        """,
+        "q119_weighted_median_lineitem": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS cents,
+                       CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem
+            ), h AS (
+                SELECT l_returnflag, cents, SUM(qty) AS wv
+                FROM t GROUP BY l_returnflag, cents
+            ), c AS (
+                SELECT l_returnflag, cents,
+                       SUM(wv) OVER (PARTITION BY l_returnflag
+                                     ORDER BY cents) AS cw,
+                       SUM(wv) OVER (PARTITION BY l_returnflag) AS tw
+                FROM h
+            )
+            SELECT l_returnflag,
+                   CAST(ANY_VALUE(tw) AS BIGINT) AS w_total,
+                   CAST(MIN(cents) AS BIGINT) AS wmedian
+            FROM c WHERE 2 * cw >= tw
+            GROUP BY l_returnflag
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

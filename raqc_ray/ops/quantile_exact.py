@@ -154,3 +154,41 @@ def grouped_quantile_cont(ds, key: str, value_col: str,
         return pd.DataFrame(row)
 
     return hist.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def grouped_weighted_median(ds, key: str, value_col: str,
+                            weight_col: str, out_col: str = "wmedian"):
+    """Exact grouped WEIGHTED (lower) median: the smallest value whose
+    cumulative weight reaches half the key's total weight —
+    ``min v : 2·Σ_{x≤v} w(x) ≥ W``.  Weights must be non-negative
+    int64, so every comparison is exact integer arithmetic and the
+    result is layout-invariant (full SQL window oracle).
+
+    Same plan as :func:`grouped_quantile_disc` with weight sums in
+    place of counts: per-block ``(key, value) → Σw`` partials, ONE
+    hash groupby to make the histogram global, then a per-key pick
+    over histogram rows (distinct values × keys, never the input).
+    Columns: ``(key, w_total, out_col)``."""
+    from ray.data.aggregate import Sum
+
+    def block_wsums(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].copy()
+        d["__w"] = df[weight_col].to_numpy(dtype=np.int64)
+        return d.groupby([key, value_col], sort=False, as_index=False).sum()
+
+    partial = ds.map_batches(block_wsums, batch_format="pandas")
+    hist = partial.groupby([key, value_col]).aggregate(
+        Sum("__w", alias_name="__w"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy()
+        w = s["__w"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "w_total": [np.int64(total)],
+                             out_col: [v[idx]]})
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")

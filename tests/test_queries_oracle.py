@@ -111,7 +111,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q111_global_decile_events", "q112_lm_quality_documents",
             "q113_vocab_drift_documents", "q114_zscore_events",
             "q115_hourly_anomaly_events", "q116_rebalance_documents",
-            "q117_ttr_documents", "q118_journey_events"]
+            "q117_ttr_documents", "q118_journey_events",
+            "q119_weighted_median_lineitem"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
