@@ -191,3 +191,43 @@ def test_vocab_drift_disjoint_vocabulary(ray_session):
     out = source_vocab_drift(_ds(df, 2), "source", "text").to_pandas()
     # every token mass is disjoint: l1 = 4 * (1e6 // 2) = 2e6
     assert out["l1_dist"].tolist() == [2_000_000]
+
+
+# ------------------------------------------------- journey / wmedian
+
+def test_journey_prefix_matches_reference(ray_session):
+    from raqc_ray.ops.transitions import journey_prefix
+
+    rng = np.random.RandomState(21)
+    n = 2500
+    u = np.where(rng.rand(n) < 0.5, 3, rng.randint(0, 30, n))  # hot key
+    df = pd.DataFrame({"u": u.astype(np.int64),
+                       "t": rng.permutation(n),
+                       "s": rng.choice(list("pqrs"), n)})
+    out = journey_prefix(_ds(df, 6), "u", "t", "s", k=4).to_pandas()
+    ref = {}
+    for uk, g in df.sort_values("t").groupby("u"):
+        ref[uk] = (">".join(g["s"].head(4)), len(g))
+    assert len(out) == len(ref)
+    for r in out.itertuples():
+        assert ref[r.u] == (r.journey, r.n_events)
+
+
+def test_weighted_median_matches_expansion(ray_session):
+    from raqc_ray.ops.quantile_exact import grouped_weighted_median
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 400),
+                       "v": rng.randint(0, 50, 400).astype(np.int64),
+                       "w": rng.randint(0, 5, 400).astype(np.int64)})
+    out = (grouped_weighted_median(_ds(df, 4), "k", "v", "w")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        expanded = np.sort(np.repeat(g["v"].to_numpy(),
+                                     g["w"].to_numpy()))
+        total = int(g["w"].sum())
+        # lower weighted median: first expanded element at cum*2 >= W
+        lower = expanded[(total - 1) // 2] if total else None
+        assert int(out.loc[k, "w_total"]) == total
+        if total:
+            assert int(out.loc[k, "wmedian"]) == int(lower)
