@@ -2504,6 +2504,52 @@ def q119_weighted_median_lineitem(sf_dir: str):
     return df[["l_returnflag", "w_total", "wmedian"]]
 
 
+def q120_region_share_orders(sf_dir: str):
+    """Hierarchical percent-of-parent rollup: per-nation order revenue
+    and its scaled-integer share of the region total.  The fact stream
+    (orders) is joined map-side against the broadcast customer dim
+    (ops/join.broadcast_join discipline — `ray.put` once, zero-copy
+    per task), reduced to nation-keyed int64 cents by block partials,
+    and the nations×regions tail is driver-side by construction
+    (25 rows).  Exact integer share — bit-identical to SQL."""
+    from ray.data.aggregate import Sum
+
+    from raqc_ray.ops.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+
+    j = broadcast_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "c_nationkey": df["c_nationkey"].to_numpy(dtype=np.int64),
+            "cents": np.floor(df["o_totalprice"]
+                              .to_numpy(dtype=np.float64) * 100.0
+                              + 0.5).astype(np.int64),
+        })
+        return d.groupby("c_nationkey", sort=False, as_index=False).sum()
+
+    nat = (j.map_batches(partials, batch_format="pandas")
+           .groupby("c_nationkey")
+           .aggregate(Sum("cents", alias_name="cents"))
+           .to_pandas())
+    nat["cents"] = nat["cents"].astype("int64")
+    m = (nat.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    reg_tot = m.groupby("r_regionkey")["cents"].transform("sum")
+    m["share"] = (m["cents"].astype(object) * 1_000_000
+                  // reg_tot.astype(object)).astype("int64")
+    m = m.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return m[["r_name", "n_name", "cents", "share"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2647,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q117_ttr_documents": q117_ttr_documents,
         "q118_journey_events": q118_journey_events,
         "q119_weighted_median_lineitem": q119_weighted_median_lineitem,
+        "q120_region_share_orders": q120_region_share_orders,
     }
 
 
@@ -4124,6 +4171,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(cents) AS BIGINT) AS wmedian
             FROM c WHERE 2 * cw >= tw
             GROUP BY l_returnflag
+        """,
+        "q120_region_share_orders": """
+            WITH nat AS (
+                SELECT c_nationkey,
+                       SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_nationkey
+            ), m AS (
+                SELECT r_name, n_name, r_regionkey, cents
+                FROM nat
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+            )
+            SELECT r_name, n_name, CAST(cents AS BIGINT) AS cents,
+                   CAST(cents * 1000000
+                        // SUM(cents) OVER (PARTITION BY r_regionkey)
+                        AS BIGINT) AS share
+            FROM m
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
