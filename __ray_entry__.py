@@ -2550,6 +2550,30 @@ def q120_region_share_orders(sf_dir: str):
     return m[["r_name", "n_name", "cents", "share"]]
 
 
+def q121_cume_dist_events(sf_dir: str):
+    """Per-type CUME_DIST as a scaled integer (ops/window.
+    grouped_cume_dist): ties-inclusive rank over key size in pure
+    int64 — the empirical-CDF feature, bit-identical to the SQL
+    COUNT-over-COUNT window oracle."""
+    from raqc_ray.ops.window import grouped_cume_dist
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "event_type": df["event_type"],
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    cds = ev.map_batches(cents, batch_format="pandas")
+    df = _typed_pandas(grouped_cume_dist(cds, "event_type", "cents"))
+    for c in ("event_id", "cents", "cume"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "event_type", "cents", "cume"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2694,6 +2718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_journey_events": q118_journey_events,
         "q119_weighted_median_lineitem": q119_weighted_median_lineitem,
         "q120_region_share_orders": q120_region_share_orders,
+        "q121_cume_dist_events": q121_cume_dist_events,
     }
 
 
@@ -4190,6 +4215,19 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(cents) OVER (PARTITION BY r_regionkey)
                         AS BIGINT) AS share
             FROM m
+        """,
+        "q121_cume_dist_events": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, event_type, cents,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type
+                                       ORDER BY cents) * 1000000
+                        // COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS cume
+            FROM c
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

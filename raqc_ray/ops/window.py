@@ -300,3 +300,69 @@ def grouped_rolling_time(ds, key: str, ts_col: str, value_col: str,
         return s[out_cols]
 
     return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1)
+
+
+def grouped_cume_dist(ds, key: str, value_col: str,
+                      scale: int = 1_000_000, out_col: str = "cume"):
+    """Per-key CUME_DIST as a SCALED INTEGER: appends ``out_col`` =
+    ``(#rows with value ≤ this row's value in the key) * scale //
+    n_key`` — SQL ``COUNT(*) OVER (PARTITION BY key ORDER BY v)``
+    (RANGE frame: ties count together) over ``COUNT(*) OVER
+    (PARTITION BY key)``.  Pure int64 arithmetic — unlike
+    ``CUME_DIST()`` itself (a double ratio whose ×scale-floor can be
+    off by one ulp), this form hashes bit-identically to the SQL
+    oracle under any layout.
+
+    Same one-sort + vectorized sorted-group-scan plan as
+    :func:`grouped_running`; within a block one stable sort by
+    ``(key, value)`` re-orders every segment in place and the
+    ties-inclusive rank is a reverse-propagated run-end index —
+    no per-group Python.
+    """
+    out_empty = arrow_schema(ds).empty_table().to_pandas()
+    out_empty[out_col] = pd.Series(dtype="int64")
+    out_cols = list(out_empty.columns)
+
+    def _cume(v: np.ndarray, seg_start: np.ndarray,
+              seg_end: np.ndarray, same_seg: np.ndarray) -> np.ndarray:
+        """ties-inclusive rank scaled, for value-sorted rows.
+        ``same_seg[i]`` = rows i and i+1 share a segment."""
+        n = len(v)
+        # run = maximal (segment, value) streak; run end index per row
+        diff = np.ones(n, dtype=bool)
+        if n > 1:
+            diff[:-1] = ~same_seg | (v[1:] != v[:-1])
+        # each row's run END = the nearest diff-marked index at or
+        # after it: reverse cumulative MIN over sentinel-filled indices
+        idx = np.arange(n, dtype=np.int64)
+        cand = np.where(diff, idx, np.int64(n))
+        last = np.minimum.accumulate(cand[::-1])[::-1]
+        cnt_le = last + 1 - seg_start
+        n_seg = seg_end - seg_start
+        return (cnt_le * np.int64(scale)) // n_seg
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort").reset_index(drop=True)
+        n = len(s)
+        v = s[value_col].to_numpy()
+        same = np.ones(max(n - 1, 0), dtype=bool)
+        s[out_col] = _cume(v, np.zeros(n, dtype=np.int64),
+                           np.full(n, n, dtype=np.int64), same)
+        return s[out_cols]
+
+    def block_fn(interior: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        s = (interior.sort_values([key, value_col], kind="mergesort")
+             .reset_index(drop=True))
+        n = len(s)
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        kk = s[key].to_numpy()
+        same_seg = kk[1:] == kk[:-1] if n > 1 else np.zeros(0, dtype=bool)
+        v = s[value_col].to_numpy()
+        s[out_col] = _cume(v, starts[seg_id], ends[seg_id], same_seg)
+        return s[out_cols]
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty, min_group=1,
+                              block_fn=block_fn)

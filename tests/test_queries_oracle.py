@@ -112,7 +112,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q113_vocab_drift_documents", "q114_zscore_events",
             "q115_hourly_anomaly_events", "q116_rebalance_documents",
             "q117_ttr_documents", "q118_journey_events",
-            "q119_weighted_median_lineitem", "q120_region_share_orders"]
+            "q119_weighted_median_lineitem", "q120_region_share_orders",
+            "q121_cume_dist_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
