@@ -2574,6 +2574,192 @@ def q121_cume_dist_events(sf_dir: str):
     return df[["event_id", "event_type", "cents", "cume"]]
 
 
+def q122_gini_lineitem(sf_dir: str):
+    """Exact per-flag Gini coefficient of price cents (ops/inequality.
+    grouped_gini): value-histogram plan + Python-int rank sums —
+    scaled-integer output, bit-identical to the HUGEINT window
+    oracle."""
+    from raqc_ray.ops.inequality import grouped_gini
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "cents": np.floor(df["l_extendedprice"]
+                              .to_numpy(dtype=np.float64) * 100.0
+                              + 0.5).astype(np.int64),
+        })
+
+    cds = li.map_batches(cents, batch_format="pandas")
+    df = _typed_pandas(grouped_gini(cds, "l_returnflag", "cents"))
+    for c in ("n", "total", "gini"):
+        df[c] = df[c].astype("int64")
+    return df[["l_returnflag", "n", "total", "gini"]]
+
+
+def q123_hhi_events(sf_dir: str):
+    """Per-type user-concentration HHI (ops/inequality.grouped_hhi)
+    over per-(type, user) event counts — combiner-fed moment sums,
+    exact scaled-integer shares."""
+    from ray.data.aggregate import Sum
+
+    from raqc_ray.ops.inequality import grouped_hhi
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["event_type", "user_id"]].copy()
+        d["n"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby(["event_type", "user_id"], sort=False,
+                         as_index=False).sum()
+
+    counts = (ev.map_batches(block_counts, batch_format="pandas")
+              .groupby(["event_type", "user_id"])
+              .aggregate(Sum("n", alias_name="n")))
+    df = _typed_pandas(grouped_hhi(counts, "event_type", "n"))
+    for c in ("k", "total", "hhi"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "k", "total", "hhi"]]
+
+
+def q124_cohort_events(sf_dir: str):
+    """First-day cohort retention matrix (ops/cohort.cohort_retention):
+    combiner → hash groupby first-day, distributed hash join back to
+    the stream, dedup carriers, cell counts — epoch-day integers
+    throughout."""
+    from raqc_ray.ops.cohort import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    df = _typed_pandas(cohort_retention(ev, "user_id", "ts"))
+    for c in ("cohort_day", "day_offset", "users"):
+        df[c] = df[c].astype("int64")
+    return df[["cohort_day", "day_offset", "users"]]
+
+
+def q125_skyline_orders(sf_dir: str):
+    """Order pareto front — earliest date / highest price not
+    dominated (ops/skyline.skyline2d): per-block vectorized sweep
+    prune, one-task global sweep, NOT EXISTS oracle."""
+    from raqc_ray.ops.skyline import skyline2d
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64),
+            "day": df["o_orderdate"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000,
+            "cents": np.floor(df["o_totalprice"]
+                              .to_numpy(dtype=np.float64) * 100.0
+                              + 0.5).astype(np.int64),
+        })
+
+    pds = orders.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(skyline2d(pds, "day", "cents"))
+    for c in ("o_orderkey", "day", "cents"):
+        df[c] = df[c].astype("int64")
+    return df[["o_orderkey", "day", "cents"]]
+
+
+def q126_runs_events(sf_dir: str):
+    """Per-user gaps-and-islands run compression (ops/runs.
+    run_length_segments): one sort + vectorized sorted-block RLE —
+    the SCD2 segment table, islands-trick SQL oracle."""
+    from raqc_ray.ops.runs import run_length_segments
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    df = _typed_pandas(run_length_segments(
+        ev, "user_id", "ts", "event_type", "event_id"))
+    for c in ("user_id", "run_idx", "start_id", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "run_idx", "event_type", "start_id", "n"]]
+
+
+def q127_interarrival_events(sf_dir: str):
+    """Per-user inter-arrival gap stats (ops/runs.interarrival_stats):
+    one sort + masked-reduceat block scan, integer-µs gaps — LAG
+    oracle."""
+    from raqc_ray.ops.runs import interarrival_stats
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    df = _typed_pandas(interarrival_stats(ev, "user_id", "ts",
+                                          "event_id"))
+    for c in ("user_id", "n_events", "n_gaps", "gap_min", "gap_max",
+              "gap_sum"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "n_events", "n_gaps", "gap_min", "gap_max",
+               "gap_sum"]]
+
+
+def q128_degree_hist_documents(sf_dir: str):
+    """Degree distribution of the Hamming-≤2 phash near-dup graph
+    (ops/concomp.degree_histogram over hamming_pairs): banded pair
+    extraction → endpoint-count combiners — bit_count(xor) self-join
+    oracle on the q30 synthetic phash."""
+    from raqc_ray.ops.concomp import degree_histogram, hamming_pairs
+
+    ds = (_read(sf_dir, "documents", ["doc_id"])
+          .map_batches(_q30_phash_batch, batch_format="pyarrow"))
+    pairs = hamming_pairs(ds, "doc_id", "phash", max_hamming=2)
+    df = _typed_pandas(degree_histogram(pairs))
+    for c in ("degree", "n_nodes"):
+        df[c] = df[c].astype("int64")
+    return df[["degree", "n_nodes"]]
+
+
+def q129_percent_rank_events(sf_dir: str):
+    """Distinct-value PERCENT_RANK per event type as a scaled integer
+    (ops/quantile_exact.grouped_percent_rank): value-histogram plan,
+    ties collapsed to one carrier row — RANK-window SQL oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_percent_rank
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    cds = ev.map_batches(cents, batch_format="pandas")
+    df = _typed_pandas(grouped_percent_rank(cds, "event_type", "cents"))
+    for c in ("cents", "cnt", "pr"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "cents", "cnt", "pr"]]
+
+
+def q130_spearman_lineitem(sf_dir: str):
+    """Exact per-flag Spearman rank correlation of quantity vs price
+    (ops/rankcorr.grouped_spearman): joint-histogram plan, centered
+    doubled average ranks, IEEE-mirrored float finish — RANK-window
+    SQL oracle."""
+    from raqc_ray.ops.rankcorr import grouped_spearman
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "x": df["l_quantity"].to_numpy(dtype=np.float64)
+            .astype(np.int64),
+            "y": np.floor(df["l_extendedprice"]
+                          .to_numpy(dtype=np.float64) * 100.0
+                          + 0.5).astype(np.int64),
+        })
+
+    pds = li.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_spearman(pds, "l_returnflag", "x", "y"))
+    df["n"] = df["n"].astype("int64")
+    df["rho"] = df["rho"].astype("float64")
+    return df[["l_returnflag", "n", "rho"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2719,6 +2905,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q119_weighted_median_lineitem": q119_weighted_median_lineitem,
         "q120_region_share_orders": q120_region_share_orders,
         "q121_cume_dist_events": q121_cume_dist_events,
+        "q122_gini_lineitem": q122_gini_lineitem,
+        "q123_hhi_events": q123_hhi_events,
+        "q124_cohort_events": q124_cohort_events,
+        "q125_skyline_orders": q125_skyline_orders,
+        "q126_runs_events": q126_runs_events,
+        "q127_interarrival_events": q127_interarrival_events,
+        "q128_degree_hist_documents": q128_degree_hist_documents,
+        "q129_percent_rank_events": q129_percent_rank_events,
+        "q130_spearman_lineitem": q130_spearman_lineitem,
     }
 
 
@@ -4228,6 +4423,193 @@ def oracle_sql() -> dict[str, str]:
                         // COUNT(*) OVER (PARTITION BY event_type)
                         AS BIGINT) AS cume
             FROM c
+        """,
+        "q122_gini_lineitem": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v
+                FROM lineitem
+            ), r AS (
+                SELECT l_returnflag, v,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                          ORDER BY v) AS i,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM t
+            )
+            SELECT l_returnflag,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS total,
+                   CAST((1000000000 *
+                         SUM((2 * i - n - 1) * CAST(v AS HUGEINT)))
+                        // (ANY_VALUE(n) * SUM(CAST(v AS HUGEINT)))
+                        AS BIGINT) AS gini
+            FROM r GROUP BY l_returnflag
+        """,
+        "q123_hhi_events": """
+            WITH c AS (
+                SELECT event_type, user_id, COUNT(*) AS n
+                FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   CAST((100000000 * SUM(CAST(n AS HUGEINT) * n))
+                        // (SUM(CAST(n AS HUGEINT))
+                            * SUM(CAST(n AS HUGEINT)))
+                        AS BIGINT) AS hhi
+            FROM c GROUP BY event_type
+        """,
+        "q124_cohort_events": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day
+                FROM events
+            ), f AS (
+                SELECT user_id, MIN(day) AS cohort_day
+                FROM d GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT d.user_id, cohort_day,
+                       day - cohort_day AS day_offset
+                FROM d JOIN f USING (user_id)
+            )
+            SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+                   CAST(day_offset AS BIGINT) AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS users
+            FROM a GROUP BY cohort_day, day_offset
+        """,
+        "q125_skyline_orders": """
+            WITH t AS (
+                SELECT o_orderkey,
+                       CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS day,
+                       CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT o_orderkey, day, cents
+            FROM t r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t s
+                WHERE s.day <= r.day AND s.cents >= r.cents
+                  AND (s.day < r.day OR s.cents > r.cents)
+            )
+        """,
+        "q126_runs_events": """
+            WITH o AS (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                           AS rn,
+                       ROW_NUMBER() OVER (PARTITION BY user_id,
+                                                       event_type
+                                          ORDER BY ts, event_id)
+                           AS rt
+                FROM events
+            ), g AS (
+                SELECT user_id, event_type, rn - rt AS grp,
+                       MIN(rn) AS mn,
+                       arg_min(event_id, rn) AS start_id,
+                       COUNT(*) AS n
+                FROM o GROUP BY user_id, event_type, rn - rt
+            )
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY mn)
+                        AS BIGINT) AS run_idx,
+                   event_type,
+                   CAST(start_id AS BIGINT) AS start_id,
+                   CAST(n AS BIGINT) AS n
+            FROM g
+        """,
+        "q127_interarrival_events": """
+            WITH o AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS t,
+                       LAG(CAST(epoch_us(ts) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pt
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(pt) AS BIGINT) AS n_gaps,
+                   CAST(COALESCE(MIN(t - pt), 0) AS BIGINT)
+                       AS gap_min,
+                   CAST(COALESCE(MAX(t - pt), 0) AS BIGINT)
+                       AS gap_max,
+                   CAST(COALESCE(SUM(t - pt), 0) AS BIGINT)
+                       AS gap_sum
+            FROM o GROUP BY user_id
+        """,
+        "q128_degree_hist_documents": f"""
+            WITH t AS ({_Q30_PHASH_SQL}),
+            p AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM t a JOIN t b
+                  ON a.doc_id < b.doc_id
+                 AND bit_count(xor(a.phash, b.phash)) <= 2
+            ), d AS (
+                SELECT id, COUNT(*) AS deg
+                FROM (SELECT ia AS id FROM p
+                      UNION ALL SELECT ib AS id FROM p)
+                GROUP BY id
+            )
+            SELECT CAST(deg AS BIGINT) AS degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY deg
+        """,
+        "q129_percent_rank_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), r AS (
+                SELECT event_type, cents, COUNT(*) AS cnt
+                FROM c GROUP BY event_type, cents
+            ), w AS (
+                SELECT event_type, cents, cnt,
+                       COALESCE(SUM(cnt) OVER (
+                           PARTITION BY event_type ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb,
+                       SUM(cnt) OVER (PARTITION BY event_type) AS n
+                FROM r
+            )
+            SELECT event_type, cents, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(CASE WHEN n > 1
+                             THEN cb * 1000000 // (n - 1)
+                             ELSE 0 END AS BIGINT) AS pr
+            FROM w
+        """,
+        "q130_spearman_lineitem": """
+            WITH t AS (
+                SELECT l_returnflag AS k,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS y
+                FROM lineitem
+            ), r AS (
+                SELECT k,
+                       2 * RANK() OVER (PARTITION BY k ORDER BY x)
+                       + COUNT(*) OVER (PARTITION BY k, x)
+                       - 2 - COUNT(*) OVER (PARTITION BY k) AS dx,
+                       2 * RANK() OVER (PARTITION BY k ORDER BY y)
+                       + COUNT(*) OVER (PARTITION BY k, y)
+                       - 2 - COUNT(*) OVER (PARTITION BY k) AS dy
+                FROM t
+            )
+            SELECT k AS l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CASE WHEN SUM(dx * dx) = 0 OR SUM(dy * dy) = 0
+                        THEN 0.0
+                        ELSE CAST(SUM(dx * dy) AS DOUBLE)
+                             / sqrt(CAST(SUM(dx * dx) AS DOUBLE)
+                                    * CAST(SUM(dy * dy) AS DOUBLE))
+                   END AS rho
+            FROM r GROUP BY k
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

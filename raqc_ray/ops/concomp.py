@@ -278,3 +278,35 @@ def connected_components(pairs, a: str = "a", b: str = "b",
             cluster_id=df["node"].to_numpy(dtype=np.int64)),
             batch_format="pandas"))
     return nodes.union(roots)
+
+
+def degree_histogram(pairs):
+    """Degree distribution of an undirected edge list ``(a, b)``:
+    one row per distinct degree — ``(degree, n_nodes)``.
+
+    Plan: per-block endpoint-count partials (both columns bincounted
+    in one pandas pass) → hash ``groupby(node).Sum`` → the same
+    combiner shape again over degrees.  Two narrow exchanges, each
+    carrying at most distinct-nodes (then distinct-degrees) × blocks
+    rows; no edge list ever re-shuffles whole."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def endpoint_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["a"].to_numpy(dtype=np.int64),
+                              df["b"].to_numpy(dtype=np.int64)])
+        d = pd.DataFrame({"node": ids,
+                          "deg": np.ones(len(ids), dtype=np.int64)})
+        return d.groupby("node", sort=False, as_index=False).sum()
+
+    deg = (pairs.map_batches(endpoint_counts, batch_format="pandas")
+           .groupby("node").aggregate(Sum("deg", alias_name="degree")))
+
+    def deg_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"degree": df["degree"].to_numpy(dtype=np.int64),
+                          "n_nodes": np.ones(len(df), dtype=np.int64)})
+        return d.groupby("degree", sort=False, as_index=False).sum()
+
+    return (deg.map_batches(deg_counts, batch_format="pandas")
+            .groupby("degree").aggregate(Sum("n_nodes",
+                                             alias_name="n_nodes")))

@@ -156,6 +156,42 @@ def grouped_quantile_cont(ds, key: str, value_col: str,
     return hist.groupby(key).map_groups(pick, batch_format="pandas")
 
 
+def grouped_percent_rank(ds, key: str, value_col: str,
+                         scale: int = 10 ** 6):
+    """Exact PERCENT_RANK per distinct value as a scaled integer:
+    one output row per ``(key, value)`` with the value's multiplicity
+    and ``pr = scale · (rank − 1) // (n − 1)`` where rank is the SQL
+    RANK() of the value (1 + count of strictly smaller rows) — the
+    distinct-value form of the window, derived from the same
+    value-histogram plan as :func:`grouped_quantile_disc` (nothing
+    row-scale shuffles; ties collapse into one carrier row).  Keys
+    with a single row report ``pr = 0`` (the SQL convention).
+    Columns: ``(key, value_col, cnt, pr)``."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False, as_index=False).sum()
+
+    hist = (ds.map_batches(block_counts, batch_format="pandas")
+            .groupby([key, value_col])
+            .aggregate(Sum("__c", alias_name="__c")))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        c = s["__c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        before = np.concatenate([[0], np.cumsum(c)[:-1]])
+        pr = (before * scale // (n - 1) if n > 1
+              else np.zeros(len(c), dtype=np.int64))
+        return pd.DataFrame({key: s[key].to_numpy(),
+                             value_col: s[value_col].to_numpy(),
+                             "cnt": c, "pr": pr.astype(np.int64)})
+
+    return hist.groupby(key).map_groups(rank, batch_format="pandas")
+
+
 def grouped_weighted_median(ds, key: str, value_col: str,
                             weight_col: str, out_col: str = "wmedian"):
     """Exact grouped WEIGHTED (lower) median: the smallest value whose

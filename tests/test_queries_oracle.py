@@ -113,7 +113,11 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q115_hourly_anomaly_events", "q116_rebalance_documents",
             "q117_ttr_documents", "q118_journey_events",
             "q119_weighted_median_lineitem", "q120_region_share_orders",
-            "q121_cume_dist_events"]
+            "q121_cume_dist_events", "q122_gini_lineitem",
+            "q123_hhi_events", "q124_cohort_events",
+            "q125_skyline_orders", "q126_runs_events",
+            "q127_interarrival_events", "q128_degree_hist_documents",
+            "q129_percent_rank_events", "q130_spearman_lineitem"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
