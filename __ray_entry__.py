@@ -2760,6 +2760,64 @@ def q130_spearman_lineitem(sf_dir: str):
     return df[["l_returnflag", "n", "rho"]]
 
 
+def q131_weighted_sample_documents(sf_dir: str):
+    """Deterministic weight-proportional Bernoulli sample (ops/sample.
+    weighted_hash_sample): keep docs with probability n_chars/4000 via
+    the Lehmer hash predicate — shuffle-free, layout-invariant, SQL
+    mirror is the same int64 inequality verbatim."""
+    from raqc_ray.ops.sample import weighted_hash_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    df = _typed_pandas(weighted_hash_sample(docs, "doc_id", "n_chars",
+                                            wmax=4000, salt=7))
+    for c in ("doc_id", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_chars"]]
+
+
+def q132_ohlc_events(sf_dir: str):
+    """Hourly OHLC bars per event type (ops/ohlc.grouped_ohlc):
+    block partials → sorted-scan merge over partial rows only —
+    ROW_NUMBER-window SQL oracle, integer cents."""
+    from raqc_ray.ops.ohlc import grouped_ohlc
+
+    ev = _read(sf_dir, "events",
+               ["event_type", "ts", "value", "event_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "ts": df["ts"],
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_ohlc(pds, "event_type", "ts", "cents",
+                                    "event_id"))
+    for c in ("bucket", "open", "high", "low", "close", "n", "vsum"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "bucket", "open", "high", "low", "close",
+               "n", "vsum"]]
+
+
+def q133_sorted_neighborhood_documents(sf_dir: str):
+    """Sorted-neighborhood candidate pairs (ops/neighborhood
+    .sorted_neighborhood_pairs): docs ordered by (n_chars, doc_id),
+    window 3 — one global sort, vectorized within-block pair emit,
+    provably-complete bounded cross-block edge pass; ROW_NUMBER
+    self-join oracle."""
+    from raqc_ray.ops.neighborhood import sorted_neighborhood_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    df = _typed_pandas(sorted_neighborhood_pairs(
+        docs, ["n_chars"], "doc_id", window=3))
+    for c in ("a_id", "b_id"):
+        df[c] = df[c].astype("int64")
+    return df[["a_id", "b_id"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2914,6 +2972,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q128_degree_hist_documents": q128_degree_hist_documents,
         "q129_percent_rank_events": q129_percent_rank_events,
         "q130_spearman_lineitem": q130_spearman_lineitem,
+        "q131_weighted_sample_documents": q131_weighted_sample_documents,
+        "q132_ohlc_events": q132_ohlc_events,
+        "q133_sorted_neighborhood_documents":
+            q133_sorted_neighborhood_documents,
     }
 
 
@@ -4610,6 +4672,54 @@ def oracle_sql() -> dict[str, str]:
                                     * CAST(SUM(dy * dy) AS DOUBLE))
                    END AS rho
             FROM r GROUP BY k
+        """,
+        "q131_weighted_sample_documents": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ((((doc_id + 7) * 48271) % 2147483647) * 48271
+                   % 2147483647) * 4000 < n_chars * 2147483647
+        """,
+        "q132_ohlc_events": """
+            WITH t AS (
+                SELECT event_type, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS tu,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                           AS bucket,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), r AS (
+                SELECT event_type, bucket, cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type,
+                                                       bucket
+                                          ORDER BY tu, event_id)
+                           AS rn,
+                       ROW_NUMBER() OVER (PARTITION BY event_type,
+                                                       bucket
+                                          ORDER BY tu DESC,
+                                                   event_id DESC)
+                           AS rrn
+                FROM t
+            )
+            SELECT event_type, bucket,
+                   CAST(MAX(CASE WHEN rn = 1 THEN cents END)
+                        AS BIGINT) AS open,
+                   CAST(MAX(cents) AS BIGINT) AS high,
+                   CAST(MIN(cents) AS BIGINT) AS low,
+                   CAST(MAX(CASE WHEN rrn = 1 THEN cents END)
+                        AS BIGINT) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS vsum
+            FROM r GROUP BY event_type, bucket
+        """,
+        "q133_sorted_neighborhood_documents": """
+            WITH r AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                           AS rn
+                FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

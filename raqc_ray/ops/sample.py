@@ -142,3 +142,29 @@ def upsample_by_key(ds, key_col: str, factors: dict, copy_col: str = "copy_idx")
         return out
 
     return ds.map_batches(fan_out, batch_format="pandas")
+
+
+def weighted_hash_sample(ds, key_col: str, weight_col: str, wmax: int,
+                         salt: int = 0):
+    """Deterministic weight-proportional Bernoulli sample: keep a row
+    iff ``lehmer(key) · wmax < weight · M`` — inclusion probability
+    ``min(1, w/wmax)`` per key, as a pure shuffle-free per-row
+    predicate with the same reproducibility contract as
+    :func:`hash_sample` (same key ⇒ same decision on any layout /
+    cluster size; the comparison is exact int64 for ``wmax ≤ ~4·10⁹``).
+
+    The quality-weighted downsampling primitive: pass a per-document
+    quality/length score as ``weight_col`` and its cap as ``wmax`` —
+    high-scoring documents are kept with proportionally higher
+    probability, and the SQL mirror is the same inequality verbatim
+    (full DuckDB oracle, q131)."""
+    if wmax <= 0:
+        raise ValueError(f"wmax must be positive, got {wmax}")
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lhs = _lehmer(keys, salt) * np.int64(wmax)
+        return b.filter(pa.array(lhs < w * np.int64(_M)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

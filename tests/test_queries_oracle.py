@@ -117,7 +117,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q123_hhi_events", "q124_cohort_events",
             "q125_skyline_orders", "q126_runs_events",
             "q127_interarrival_events", "q128_degree_hist_documents",
-            "q129_percent_rank_events", "q130_spearman_lineitem"]
+            "q129_percent_rank_events", "q130_spearman_lineitem",
+            "q131_weighted_sample_documents", "q132_ohlc_events",
+            "q133_sorted_neighborhood_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
