@@ -2818,6 +2818,73 @@ def q133_sorted_neighborhood_documents(sf_dir: str):
     return df[["a_id", "b_id"]]
 
 
+def q134_resample_events(sf_dir: str):
+    """Hourly forward-filled resampling per event type (ops/resample
+    .resample_ffill): dense buckets with carried last values — pure
+    ANSI LEAD-interval SQL oracle."""
+    from raqc_ray.ops.resample import resample_ffill
+
+    ev = _read(sf_dir, "events",
+               ["event_type", "ts", "value", "event_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "ts": df["ts"],
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(resample_ffill(pds, "event_type", "ts",
+                                      "cents", "event_id"))
+    for c in ("bucket", "value"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "bucket", "value"]]
+
+
+def q135_debounce_events(sf_dir: str):
+    """Rapid-repeat suppression per (user, type) with a 10-minute gap
+    (ops/runs.suppress_rapid_repeats): stateless LAG-gap filter —
+    full-row emission, LAG SQL oracle."""
+    from raqc_ray.ops.runs import suppress_rapid_repeats
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id"])
+    df = _typed_pandas(suppress_rapid_repeats(
+        ev, ["user_id", "event_type"], "ts", "event_id",
+        gap_us=600_000_000))
+    for c in ("user_id", "event_id"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "event_type", "ts", "event_id"]]
+
+
+def q136_tail_sum_lineitem(sf_dir: str):
+    """Top-decile price mass per return flag (ops/quantile_exact
+    .grouped_tail_sum): exact P90 cut from the value histogram, then
+    strict-tail count and integer-cents sum — window-cumsum SQL
+    oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_tail_sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "cents": np.floor(df["l_extendedprice"]
+                              .to_numpy(dtype=np.float64) * 100.0
+                              + 0.5).astype(np.int64),
+        })
+
+    cds = li.map_batches(cents, batch_format="pandas")
+    df = _typed_pandas(grouped_tail_sum(cds, "l_returnflag", "cents",
+                                        q=0.9))
+    for c in ("n", "cut", "tail_n", "tail_sum"):
+        df[c] = df[c].astype("int64")
+    return df[["l_returnflag", "n", "cut", "tail_n", "tail_sum"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -2976,6 +3043,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q132_ohlc_events": q132_ohlc_events,
         "q133_sorted_neighborhood_documents":
             q133_sorted_neighborhood_documents,
+        "q134_resample_events": q134_resample_events,
+        "q135_debounce_events": q135_debounce_events,
+        "q136_tail_sum_lineitem": q136_tail_sum_lineitem,
     }
 
 
@@ -4720,6 +4790,91 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS a_id, b.doc_id AS b_id
             FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+        """,
+        "q134_resample_events": """
+            WITH t AS (
+                SELECT event_type, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS tu,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                           AS bucket,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM events
+            ), bl AS (
+                SELECT event_type, bucket, cents FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY event_type, bucket
+                        ORDER BY tu DESC, event_id DESC) AS rn
+                    FROM t
+                ) WHERE rn = 1
+            ), iv AS (
+                SELECT event_type, bucket AS b0,
+                       LEAD(bucket) OVER (PARTITION BY event_type
+                                          ORDER BY bucket) AS b1,
+                       cents
+                FROM bl
+            ), rng AS (
+                SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+                FROM t GROUP BY event_type
+            ), g AS (
+                SELECT event_type,
+                       unnest(generate_series(mn, mx)) AS bucket
+                FROM rng
+            )
+            SELECT g.event_type, CAST(g.bucket AS BIGINT) AS bucket,
+                   CAST(iv.cents AS BIGINT) AS value
+            FROM g JOIN iv
+              ON g.event_type = iv.event_type
+             AND g.bucket >= iv.b0
+             AND (g.bucket < iv.b1 OR iv.b1 IS NULL)
+        """,
+        "q135_debounce_events": """
+            WITH t AS (
+                SELECT user_id, event_type, event_id, ts,
+                       CAST(epoch_us(ts) AS BIGINT) AS tu
+                FROM events
+            ), l AS (
+                SELECT *, LAG(tu) OVER (PARTITION BY user_id,
+                                                     event_type
+                                        ORDER BY tu, event_id) AS pt
+                FROM t
+            )
+            SELECT user_id, event_type, ts, event_id
+            FROM l WHERE pt IS NULL OR tu - pt > 600000000
+        """,
+        "q136_tail_sum_lineitem": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v
+                FROM lineitem
+            ), h AS (
+                SELECT l_returnflag, v, COUNT(*) AS c
+                FROM t GROUP BY l_returnflag, v
+            ), w AS (
+                SELECT l_returnflag, v, c,
+                       SUM(c) OVER (PARTITION BY l_returnflag
+                                    ORDER BY v) AS cum,
+                       SUM(c) OVER (PARTITION BY l_returnflag) AS n
+                FROM h
+            ), cuts AS (
+                SELECT l_returnflag, MIN(v) AS cut, ANY_VALUE(n) AS n
+                FROM w
+                WHERE cum >= GREATEST(
+                    1, CAST(ceil(0.9 * n) AS BIGINT))
+                GROUP BY l_returnflag
+            )
+            SELECT c.l_returnflag,
+                   CAST(c.n AS BIGINT) AS n,
+                   CAST(c.cut AS BIGINT) AS cut,
+                   CAST(COALESCE(SUM(CASE WHEN t.v > c.cut
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS tail_n,
+                   CAST(COALESCE(SUM(CASE WHEN t.v > c.cut
+                                          THEN t.v ELSE 0 END), 0)
+                        AS BIGINT) AS tail_sum
+            FROM cuts c JOIN t ON t.l_returnflag = c.l_returnflag
+            GROUP BY c.l_returnflag, c.n, c.cut
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

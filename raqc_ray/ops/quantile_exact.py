@@ -192,6 +192,45 @@ def grouped_percent_rank(ds, key: str, value_col: str,
     return hist.groupby(key).map_groups(rank, batch_format="pandas")
 
 
+def grouped_tail_sum(ds, key: str, value_col: str, q: float = 0.9):
+    """Per-key tail mass above the exact discrete q-quantile: one row
+    ``(key, n, cut, tail_n, tail_sum)`` where ``cut`` is the
+    ``quantile_disc(q)`` value (smallest value whose cumulative count
+    reaches ``ceil(q·n)``) and ``tail_n`` / ``tail_sum`` count and sum
+    the values STRICTLY above it — the top-decile concentration audit
+    (how much of the mass the heaviest items carry).  Same
+    value-histogram plan as :func:`grouped_quantile_disc`; sums are
+    exact Python ints (callers pass integer cents)."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False, as_index=False).sum()
+
+    partial = ds.map_batches(block_counts, batch_format="pandas")
+    hist = partial.groupby([key, value_col]).aggregate(
+        Sum("__c", alias_name="__c"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy()
+        c = s["__c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        cut_i = int(np.searchsorted(cum, max(1, math.ceil(q * n))))
+        tail = v > v[cut_i]
+        tail_sum = int((v[tail].astype(object) * c[tail]).sum()) \
+            if tail.any() else 0
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n": [np.int64(n)],
+                             "cut": [v[cut_i]],
+                             "tail_n": [np.int64(c[tail].sum())],
+                             "tail_sum": [np.int64(tail_sum)]})
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+
+
 def grouped_weighted_median(ds, key: str, value_col: str,
                             weight_col: str, out_col: str = "wmedian"):
     """Exact grouped WEIGHTED (lower) median: the smallest value whose

@@ -159,3 +159,35 @@ def interarrival_stats(ds, key: str, ts: str, tiebreak: str):
 
     return scan_sorted_groups(ds, key, group_fn, out_empty,
                               min_group=1, block_fn=block_fn)
+
+
+def suppress_rapid_repeats(ds, keys, ts: str, tiebreak: str,
+                           gap_us: int):
+    """Stateless debounce: drop a row when the PREVIOUS row of the
+    same key group (in ``(ts, tiebreak)`` order) is within ``gap_us``
+    microseconds — the LAG-gap filter that strips bursty duplicate
+    events before rate/funnel analysis.  The first row of every group
+    is always kept.
+
+    NOTE the documented semantics: the gap is measured to the
+    immediately preceding EVENT, not to the last KEPT event (the
+    stateful variant is an inherently sequential recurrence; this
+    stateless form is the SQL-expressible one and the standard
+    pre-aggregation filter).  Same ordered-scan plan and partitioning
+    contract as :func:`run_length_segments`; emission is the input
+    row set filtered, all columns preserved.
+    """
+    from ._join_util import arrow_schema
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_empty = arrow_schema(ds).empty_table().to_pandas()
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([ts, tiebreak], kind="mergesort")
+        t = s[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = np.ones(len(s), dtype=bool)
+        keep[1:] = (t[1:] - t[:-1]) > gap_us
+        return s[keep]
+
+    return scan_sorted_groups(ds, keys, group_fn, out_empty,
+                              min_group=1)

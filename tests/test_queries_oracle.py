@@ -119,7 +119,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q127_interarrival_events", "q128_degree_hist_documents",
             "q129_percent_rank_events", "q130_spearman_lineitem",
             "q131_weighted_sample_documents", "q132_ohlc_events",
-            "q133_sorted_neighborhood_documents"]
+            "q133_sorted_neighborhood_documents", "q134_resample_events",
+            "q135_debounce_events", "q136_tail_sum_lineitem"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
