@@ -286,3 +286,35 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit DIFFERENCE hash (gradient hash): 8×9 block-mean luma
+    grid, bit (r, c) set iff cell (r, c+1) > cell (r, c).  The
+    classic dHash — complementary to :func:`phash64`'s median
+    threshold: comparing ADJACENT cells makes it invariant to uniform
+    brightness/contrast shifts (differences are unchanged where the
+    8-bit clip does not engage), while phash's global median moves
+    with any luminance change.  Returns signed int64."""
+    luma = (
+        0.299 * arr[:, :, 0].astype(np.float64)
+        + 0.587 * arr[:, :, 1]
+        + 0.114 * arr[:, :, 2]
+    )
+    h, w = luma.shape
+    gh, gw = 8, 9
+    ys = (np.arange(gh + 1) * h) // gh
+    xs = (np.arange(gw + 1) * w) // gw
+    if h >= gh and w >= gw:
+        rows = np.add.reduceat(luma, ys[:gh], axis=0)
+        grid = np.add.reduceat(rows, xs[:gw], axis=1)
+        grid /= np.outer(np.diff(ys), np.diff(xs))
+    else:
+        grid = np.empty((gh, gw), dtype=np.float64)
+        for i in range(gh):
+            for j in range(gw):
+                grid[i, j] = luma[ys[i]: max(ys[i + 1], ys[i] + 1),
+                                  xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (grid[:, 1:] > grid[:, :-1]).ravel().astype(np.uint64)
+    val = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+    return int(val.astype(np.int64))
