@@ -2885,6 +2885,62 @@ def q136_tail_sum_lineitem(sf_dir: str):
     return df[["l_returnflag", "n", "cut", "tail_n", "tail_sum"]]
 
 
+_EVENT_BITS = {"click": 1, "signup": 2, "error": 4, "view": 8,
+               "purchase": 16}
+
+
+def q137_audience_overlap_events(sf_dir: str):
+    """Venn-cell census of users by event-type combination
+    (ops/setops.membership_mask_counts): exactly-once membership →
+    per-user bit sums → mask counts — CASE-bitmap SQL oracle."""
+    from raqc_ray.ops.setops import membership_mask_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    df = _typed_pandas(membership_mask_counts(ev, "user_id",
+                                              "event_type",
+                                              _EVENT_BITS))
+    for c in ("mask", "n_entities"):
+        df[c] = df[c].astype("int64")
+    return df[["mask", "n_entities"]]
+
+
+def q138_chi2_events(sf_dir: str):
+    """Scaled-integer chi-square independence of event type vs ISO
+    weekday (ops/contingency.chi_square_independence): combiner-fed
+    cell counts, full-grid exact statistic — HUGEINT SQL oracle."""
+    from raqc_ray.ops.contingency import chi_square_independence
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "dow": ((day + 3) % 7 + 1).astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(chi_square_independence(pds, "event_type",
+                                               "dow"))
+    for c in ("n", "cells", "dof", "chi2"):
+        df[c] = df[c].astype("int64")
+    return df[["n", "cells", "dof", "chi2"]]
+
+
+def q139_activity_coverage_events(sf_dir: str):
+    """Per-user activity-coverage ratio (ops/cohort
+    .activity_coverage): exactly-once (user, day) carriers →
+    Min/Max/Count → exact scaled division — epoch-day SQL oracle."""
+    from raqc_ray.ops.cohort import activity_coverage
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    df = _typed_pandas(activity_coverage(ev, "user_id", "ts"))
+    for c in ("user_id", "days_active", "span_days", "cover"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "days_active", "span_days", "cover"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -3046,6 +3102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q134_resample_events": q134_resample_events,
         "q135_debounce_events": q135_debounce_events,
         "q136_tail_sum_lineitem": q136_tail_sum_lineitem,
+        "q137_audience_overlap_events": q137_audience_overlap_events,
+        "q138_chi2_events": q138_chi2_events,
+        "q139_activity_coverage_events": q139_activity_coverage_events,
     }
 
 
@@ -4875,6 +4934,75 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS tail_sum
             FROM cuts c JOIN t ON t.l_returnflag = c.l_returnflag
             GROUP BY c.l_returnflag, c.n, c.cut
+        """,
+        "q137_audience_overlap_events": """
+            WITH m AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ), b AS (
+                SELECT user_id,
+                       SUM(CASE event_type
+                           WHEN 'click' THEN 1 WHEN 'signup' THEN 2
+                           WHEN 'error' THEN 4 WHEN 'view' THEN 8
+                           WHEN 'purchase' THEN 16 END) AS mask
+                FROM m GROUP BY user_id
+            )
+            SELECT CAST(mask AS BIGINT) AS mask,
+                   CAST(COUNT(*) AS BIGINT) AS n_entities
+            FROM b GROUP BY mask
+        """,
+        "q138_chi2_events": """
+            WITH t AS (
+                SELECT event_type,
+                       ((CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         + 3) % 7) + 1 AS dow
+                FROM events
+            ), c AS (
+                SELECT event_type, dow, COUNT(*) AS o
+                FROM t GROUP BY event_type, dow
+            ), ra AS (
+                SELECT event_type, SUM(o) AS r FROM c
+                GROUP BY event_type
+            ), cb AS (
+                SELECT dow, SUM(o) AS cc FROM c GROUP BY dow
+            ), tot AS (
+                SELECT SUM(o) AS n, COUNT(*) AS cells FROM c
+            ), grid AS (
+                SELECT CAST(ra.r AS HUGEINT) AS r,
+                       CAST(cb.cc AS HUGEINT) AS cc,
+                       CAST(COALESCE(c.o, 0) AS HUGEINT) * tot.n
+                       - CAST(ra.r AS HUGEINT) * cb.cc AS d,
+                       CAST(tot.n AS HUGEINT) AS n,
+                       tot.cells AS cells
+                FROM ra CROSS JOIN cb CROSS JOIN tot
+                LEFT JOIN c ON c.event_type = ra.event_type
+                           AND c.dow = cb.dow
+            )
+            SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+                   CAST(ANY_VALUE(cells) AS BIGINT) AS cells,
+                   CAST(((SELECT COUNT(*) FROM ra) - 1)
+                        * ((SELECT COUNT(*) FROM cb) - 1)
+                        AS BIGINT) AS dof,
+                   CAST(SUM((1000000 * d * d) // (r * cc * n))
+                        AS BIGINT) AS chi2
+            FROM grid
+        """,
+        "q139_activity_coverage_events": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day
+                FROM events
+            ), a AS (
+                SELECT user_id, COUNT(*) AS days_active,
+                       MIN(day) AS mn, MAX(day) AS mx
+                FROM d GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(days_active AS BIGINT) AS days_active,
+                   CAST(mx - mn + 1 AS BIGINT) AS span_days,
+                   CAST(days_active * 1000000 // (mx - mn + 1)
+                        AS BIGINT) AS cover
+            FROM a
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

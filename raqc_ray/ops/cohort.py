@@ -71,3 +71,46 @@ def cohort_retention(ds, user: str, ts: str):
     return (carriers.groupby(["cohort_day", "day_offset"])
             .aggregate(Count(alias_name="users"))
             .select_columns(["cohort_day", "day_offset", "users"]))
+
+
+def activity_coverage(ds, user: str, ts: str, scale: int = 10 ** 6):
+    """Per-entity activity-coverage audit: ``(user, days_active,
+    span_days, cover)`` where ``cover = scale · distinct-active-days
+    // span`` (span = last − first day + 1) — the regularity signal
+    separating steady contributors from burst-and-vanish ones.
+
+    Plan: block-dedup ``(user, day)`` partials → ONE hash groupby
+    makes days exactly-once → per-user Min/Max/Count in a second
+    combiner-fed groupby; integer epoch-days throughout, exact scaled
+    division — bit-identical to the SQL oracle."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            user: df[user].to_numpy(dtype=np.int64),
+            "day": df[ts].to_numpy().astype("datetime64[us]")
+            .astype(np.int64) // _US_PER_DAY,
+        }).drop_duplicates()
+
+    days = (ds.map_batches(to_days, batch_format="pandas")
+            .groupby([user, "day"])
+            .aggregate(Count(alias_name="__one")))
+
+    agg = (days.groupby(user)
+           .aggregate(Count(alias_name="days_active"),
+                      Min("day", alias_name="__mn"),
+                      Max("day", alias_name="__mx")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mn = df["__mn"].to_numpy(dtype=np.int64)
+        mx = df["__mx"].to_numpy(dtype=np.int64)
+        act = df["days_active"].to_numpy(dtype=np.int64)
+        span = mx - mn + 1
+        return pd.DataFrame({
+            user: df[user].to_numpy(dtype=np.int64),
+            "days_active": act,
+            "span_days": span,
+            "cover": act * np.int64(scale) // span,
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -92,3 +92,47 @@ def union_distinct(left_ds, right_ds, on: str,
         r = r.map_batches(lambda t: t.rename_columns([on]),
                           batch_format="pyarrow")
     return _distinct_keys(left_ds.select_columns([on]).union(r), on)
+
+def membership_mask_counts(ds, entity_col: str, category_col: str,
+                           bit_map: dict):
+    """Audience-overlap profile: how many entities belong to each
+    COMBINATION of categories — one row ``(mask, n_entities)`` per
+    observed bitmask, where ``mask = Σ bit_map[category]`` over the
+    entity's distinct categories (the Venn-cell census that a plain
+    per-category count cannot express).
+
+    Plan: block-dedup ``(entity, category)`` partials → hash groupby
+    makes membership global and exactly-once → bit values summed per
+    entity (Σ of distinct power-of-two bits ≡ OR) → combiner-fed
+    count per mask.  Every exchange carries entity- or mask-scale
+    rows, never input rows.  Unmapped categories raise (a silent drop
+    would corrupt the census)."""
+    import numpy as np
+    from ray.data.aggregate import Min, Sum
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[entity_col, category_col]].drop_duplicates()
+        missing = set(d[category_col]) - set(bit_map)
+        if missing:
+            raise ValueError(
+                f"membership_mask_counts: unmapped categories {missing}")
+        d = d.assign(__bit=d[category_col].map(bit_map)
+                     .astype(np.int64))
+        return d[[entity_col, category_col, "__bit"]]
+
+    pairs = (ds.map_batches(block_pairs, batch_format="pandas")
+             .groupby([entity_col, category_col])
+             .aggregate(Min("__bit", alias_name="__bit")))
+
+    masks = (pairs.groupby(entity_col)
+             .aggregate(Sum("__bit", alias_name="mask")))
+
+    def mask_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"mask": df["mask"].to_numpy(dtype=np.int64),
+                          "n_entities": np.ones(len(df),
+                                                dtype=np.int64)})
+        return d.groupby("mask", sort=False, as_index=False).sum()
+
+    return (masks.map_batches(mask_partials, batch_format="pandas")
+            .groupby("mask")
+            .aggregate(Sum("n_entities", alias_name="n_entities")))

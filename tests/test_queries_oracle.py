@@ -120,7 +120,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q129_percent_rank_events", "q130_spearman_lineitem",
             "q131_weighted_sample_documents", "q132_ohlc_events",
             "q133_sorted_neighborhood_documents", "q134_resample_events",
-            "q135_debounce_events", "q136_tail_sum_lineitem"]
+            "q135_debounce_events", "q136_tail_sum_lineitem",
+            "q137_audience_overlap_events", "q138_chi2_events",
+            "q139_activity_coverage_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
