@@ -2941,6 +2941,56 @@ def q139_activity_coverage_events(sf_dir: str):
     return df[["user_id", "days_active", "span_days", "cover"]]
 
 
+def q140_auc_events(sf_dir: str):
+    """Exact per-weekday ROC-AUC of purchase-vs-rest value ranking
+    (ops/rankcorr.grouped_auc): Mann-Whitney U with doubled average
+    ranks from the score histogram — RANK-window SQL oracle."""
+    from raqc_ray.ops.rankcorr import grouped_auc
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return pd.DataFrame({
+            "dow": ((day + 3) % 7 + 1).astype(np.int64),
+            "lab": (df["event_type"].to_numpy() == "purchase")
+            .astype(np.int64),
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_auc(pds, "dow", "lab", "cents"))
+    for c in ("dow", "n_pos", "n_neg", "auc"):
+        df[c] = df[c].astype("int64")
+    return df[["dow", "n_pos", "n_neg", "auc"]]
+
+
+def q141_longest_run_events(sf_dir: str):
+    """Longest same-type run per user — composition of the
+    gaps-and-islands segments (q126) with the payload-carrying k=1
+    combiner (ops/argmax.grouped_arg_max), ties to the earliest
+    run."""
+    from raqc_ray.ops.argmax import grouped_arg_max
+    from raqc_ray.ops.runs import run_length_segments
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    segs = run_length_segments(ev, "user_id", "ts", "event_type",
+                               "event_id")
+
+    def neg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__neg=-df["run_idx"].to_numpy(dtype=np.int64))
+
+    best = grouped_arg_max(segs.map_batches(neg, batch_format="pandas"),
+                           "user_id", "n", tiebreak="__neg")
+    df = _typed_pandas(best).drop(columns=["__neg", "start_id"])
+    for c in ("user_id", "run_idx", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "run_idx", "event_type", "n"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -3105,6 +3155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q137_audience_overlap_events": q137_audience_overlap_events,
         "q138_chi2_events": q138_chi2_events,
         "q139_activity_coverage_events": q139_activity_coverage_events,
+        "q140_auc_events": q140_auc_events,
+        "q141_longest_run_events": q141_longest_run_events,
     }
 
 
@@ -5003,6 +5055,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(days_active * 1000000 // (mx - mn + 1)
                         AS BIGINT) AS cover
             FROM a
+        """,
+        "q140_auc_events": """
+            WITH t AS (
+                SELECT ((CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         + 3) % 7) + 1 AS dow,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS lab,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+                FROM events
+            ), r AS (
+                SELECT dow, lab,
+                       2 * RANK() OVER (PARTITION BY dow ORDER BY s)
+                       + COUNT(*) OVER (PARTITION BY dow, s) - 1
+                           AS r2
+                FROM t
+            )
+            SELECT dow,
+                   CAST(SUM(lab) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - lab) AS BIGINT) AS n_neg,
+                   CAST(CASE WHEN SUM(lab) = 0 OR SUM(1 - lab) = 0
+                             THEN 0
+                             ELSE (1000000 *
+                                   (SUM(CASE WHEN lab = 1 THEN r2
+                                             ELSE 0 END)
+                                    - SUM(lab) * (SUM(lab) + 1)))
+                                  // (2 * SUM(lab) * SUM(1 - lab))
+                        END AS BIGINT) AS auc
+            FROM r GROUP BY dow
+        """,
+        "q141_longest_run_events": """
+            WITH o AS (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                           AS rn,
+                       ROW_NUMBER() OVER (PARTITION BY user_id,
+                                                       event_type
+                                          ORDER BY ts, event_id)
+                           AS rt
+                FROM events
+            ), g AS (
+                SELECT user_id, event_type, rn - rt AS grp,
+                       MIN(rn) AS mn, COUNT(*) AS n
+                FROM o GROUP BY user_id, event_type, rn - rt
+            ), r AS (
+                SELECT user_id, event_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY mn) AS run_idx
+                FROM g
+            )
+            SELECT user_id,
+                   CAST(run_idx AS BIGINT) AS run_idx,
+                   event_type,
+                   CAST(n AS BIGINT) AS n
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id
+                    ORDER BY n DESC, run_idx ASC) AS pk
+                FROM r
+            ) WHERE pk = 1
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -63,6 +63,86 @@ def _marginal_ranks(joint, key: str, col: str, cnt: str, rank_col: str):
     return marg.groupby(key).map_groups(ranks, batch_format="pandas")
 
 
+def grouped_auc(ds, key: str, label_col: str, score_col: str,
+                scale: int = 10 ** 6):
+    """Exact per-key ROC-AUC (Mann-Whitney U with average-rank ties)
+    as a scaled integer: one row ``(key, n_pos, n_neg, auc)`` with
+    ``auc = scale·(ΣR₂₊ − n₊(n₊+1)) // (2·n₊·n₋)`` where ``R₂`` is
+    the DOUBLED average rank of the score within the key (integer by
+    construction) and ``ΣR₂₊`` sums it over positive rows.  Keys
+    lacking either class report ``auc = 0``.
+
+    Plan (all histogram-scale): joint ``(key, label, score)`` counts
+    via ONE combiner-fed groupby; score-marginal doubled ranks per
+    key (cumsum over histogram rows); one distributed hash join maps
+    ranks back; the positive-side moment sum reduces per key.
+    ``label_col`` must be 0/1 int."""
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, label_col, score_col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, label_col, score_col], sort=False,
+                         as_index=False).sum()
+
+    joint = (ds.map_batches(block_counts, batch_format="pandas")
+             .groupby([key, label_col, score_col])
+             .aggregate(Sum("__c", alias_name="__c"))).materialize()
+
+    def marg(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, score_col, "__c"]].copy()
+        return d.groupby([key, score_col], sort=False,
+                         as_index=False).sum()
+
+    marg_ds = (joint.map_batches(marg, batch_format="pandas")
+               .groupby([key, score_col])
+               .aggregate(Sum("__c", alias_name="__m")))
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(score_col, kind="mergesort")
+        c = s["__m"].to_numpy(dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(c)[:-1]])
+        return pd.DataFrame({key: s[key].to_numpy(),
+                             score_col: s[score_col].to_numpy(),
+                             "__r2": (2 * below + c + 1)
+                             .astype(np.int64)})
+
+    rk = marg_ds.groupby(key).map_groups(ranks, batch_format="pandas")
+    j = hash_join(joint, rk, on=(key, score_col))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["__c"].to_numpy(dtype=np.int64)
+        lab = df[label_col].to_numpy(dtype=np.int64)
+        r2 = df["__r2"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame({
+            key: df[key],
+            "n_pos": c * lab, "n_neg": c * (1 - lab),
+            "sr2": c * lab * r2,
+        })
+        return d.groupby(key, sort=False, as_index=False).sum()
+
+    agg = (j.map_batches(moments, batch_format="pandas")
+           .groupby(key)
+           .aggregate(Sum("n_pos", alias_name="n_pos"),
+                      Sum("n_neg", alias_name="n_neg"),
+                      Sum("sr2", alias_name="sr2")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {key: df[key], "n_pos": [], "n_neg": [], "auc": []}
+        for np_, nn, sr2 in zip(df["n_pos"], df["n_neg"], df["sr2"]):
+            np_, nn, sr2 = int(np_), int(nn), int(sr2)
+            rows["n_pos"].append(np.int64(np_))
+            rows["n_neg"].append(np.int64(nn))
+            rows["auc"].append(np.int64(
+                (scale * (sr2 - np_ * (np_ + 1))) // (2 * np_ * nn)
+                if np_ and nn else 0))
+        return pd.DataFrame(rows)
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def grouped_spearman(ds, key: str, x_col: str, y_col: str):
     """One row per key: ``(key, n, rho)`` — exact Spearman ρ of
     (x, y) with average-rank tie handling.  Keys where either column

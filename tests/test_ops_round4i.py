@@ -134,3 +134,48 @@ def test_activity_coverage_single_day_is_full(ray_session):
     out = activity_coverage(_ds(df, 1), "user_id", "ts").to_pandas()
     assert out["cover"].tolist() == [10 ** 6]
     assert out["span_days"].tolist() == [1]
+
+
+# ----------------------------------------------------------------- auc
+
+
+def test_auc_brute(ray_session):
+    from raqc_ray.ops.rankcorr import grouped_auc
+
+    rng = np.random.default_rng(79)
+    n = 600
+    df = pd.DataFrame({"k": rng.integers(0, 3, n),
+                       "lab": rng.integers(0, 2, n).astype(np.int64),
+                       "s": rng.integers(0, 30, n).astype(np.int64)})
+    out = (grouped_auc(_ds(df, 4), "k", "lab", "s").to_pandas()
+           .set_index("k").sort_index())
+    for k, g in df.groupby("k"):
+        # independent check: tie-aware pair counting
+        pos = g[g["lab"] == 1]["s"].to_numpy()
+        neg = g[g["lab"] == 0]["s"].to_numpy()
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        expect = (10 ** 6 * (2 * int(wins) + int(ties))) \
+            // (2 * len(pos) * len(neg))
+        assert out.loc[k, "auc"] == expect
+        assert out.loc[k, "n_pos"] == len(pos)
+        assert out.loc[k, "n_neg"] == len(neg)
+
+
+def test_auc_perfect_separation(ray_session):
+    from raqc_ray.ops.rankcorr import grouped_auc
+
+    df = pd.DataFrame({"k": [0] * 10,
+                       "lab": [0] * 5 + [1] * 5,
+                       "s": list(range(5)) + list(range(10, 15))})
+    out = grouped_auc(_ds(df, 2), "k", "lab", "s").to_pandas()
+    assert out["auc"].tolist() == [10 ** 6]
+
+
+def test_auc_single_class_is_zero(ray_session):
+    from raqc_ray.ops.rankcorr import grouped_auc
+
+    df = pd.DataFrame({"k": [0] * 6, "lab": [1] * 6,
+                       "s": list(range(6))})
+    out = grouped_auc(_ds(df, 2), "k", "lab", "s").to_pandas()
+    assert out["auc"].tolist() == [0]
