@@ -2991,6 +2991,47 @@ def q141_longest_run_events(sf_dir: str):
     return df[["user_id", "run_idx", "event_type", "n"]]
 
 
+def q142_cluster_sizes_documents(sf_dir: str):
+    """Duplicate-cluster SIZE distribution — q65's components output
+    reduced twice through count combiners (cluster sizes, then the
+    size histogram); the dedup-planning signal (how much of the
+    corpus sits in large clusters).  Recursive-CTE + double GROUP BY
+    oracle."""
+    from ray.data.aggregate import Sum
+
+    from raqc_ray.ops.concomp import connected_components, hamming_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pairs = hamming_pairs(
+        ds.map_batches(_q30_phash_batch, batch_format="pyarrow"),
+        "doc_id", "phash", max_hamming=2)
+    cc = connected_components(pairs)
+
+    def size_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"cluster_id": df["cluster_id"]
+                          .to_numpy(dtype=np.int64),
+                          "csize": np.ones(len(df), dtype=np.int64)})
+        return d.groupby("cluster_id", sort=False, as_index=False).sum()
+
+    sizes = (cc.map_batches(size_partials, batch_format="pandas")
+             .groupby("cluster_id").aggregate(Sum("csize",
+                                                  alias_name="csize")))
+
+    def hist_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"csize": df["csize"].to_numpy(dtype=np.int64),
+                          "n_clusters": np.ones(len(df),
+                                                dtype=np.int64)})
+        return d.groupby("csize", sort=False, as_index=False).sum()
+
+    out = (sizes.map_batches(hist_partials, batch_format="pandas")
+           .groupby("csize").aggregate(Sum("n_clusters",
+                                           alias_name="n_clusters")))
+    df = _typed_pandas(out)
+    for c in ("csize", "n_clusters"):
+        df[c] = df[c].astype("int64")
+    return df[["csize", "n_clusters"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -3160,6 +3201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q138_chi2_events": q138_chi2_events,
         "q139_activity_coverage_events": q139_activity_coverage_events,
         "q141_longest_run_events": q141_longest_run_events,
+        "q142_cluster_sizes_documents": q142_cluster_sizes_documents,
     }
 
 
@@ -5118,6 +5160,35 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY n DESC, run_idx ASC) AS pk
                 FROM r
             ) WHERE pk = 1
+        """,
+        "q142_cluster_sizes_documents": """
+            WITH RECURSIVE phash_t AS (""" + _Q30_PHASH_SQL + """
+            ), pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM phash_t x JOIN phash_t y
+                  ON x.doc_id < y.doc_id
+                 AND bit_count(xor(x.phash, y.phash)) <= 2
+            ), edges AS (
+                SELECT a, b FROM pairs
+                UNION
+                SELECT b AS a, a AS b FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT a AS id FROM edges
+            ), reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, e.b
+                FROM reach JOIN edges e ON reach.r = e.a
+            ), assign AS (
+                SELECT id, MIN(r) AS cluster_id
+                FROM reach GROUP BY id
+            ), sizes AS (
+                SELECT cluster_id, COUNT(*) AS csize
+                FROM assign GROUP BY cluster_id
+            )
+            SELECT CAST(csize AS BIGINT) AS csize,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY csize
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -1,32 +1,42 @@
-"""Distributed exact Spearman rank correlation per group — average
-(fractional) ranks with ties, computed from histograms, never from a
-per-row sort of the input.
+"""Distributed exact rank statistics per group — Spearman correlation
+and ROC-AUC (Mann-Whitney U), both with average-rank tie handling,
+computed from value histograms, never from a per-row sort of the
+input.
 
-Plan (every stage a narrow combiner-fed exchange, nothing row-scale
-on the driver and no whole-group sort):
+Shared plan (two regimes, size-triggered like ``checks/neardup``):
 
-1. joint value histogram: ``(key, x, y) → c`` via block partials +
-   ONE hash groupby — the only pass over the input stream;
-2. marginal histograms ``(key, x) → cx`` / ``(key, y) → cy`` derived
-   from the joint table (orders of magnitude smaller than the input);
-3. per-key CENTERED DOUBLED average ranks over each marginal —
-   ``D = 2·(count below) + (count equal) − n``, an integer in
-   ``[−n, n]`` with ``Σc·D = 0`` by construction, computed by a
-   cumsum over the key's histogram rows (``map_groups`` over
-   histogram rows only).  Doubling keeps tie-averaged ranks integral;
-   centering cancels the first moments so ``ρ = Sxy/√(Sxx·Syy)``;
-4. two distributed hash joins map the ranks back onto the joint
-   histogram; block partials accumulate ``Σc·Dx·Dy, Σc·Dx², Σc·Dy²``
-   in int64 — |term| ≤ n³ per key, exact for keys up to ~2·10⁶ rows
-   (beyond that scale the t-digest/approx-rank path is the right
-   tool; the global re-sum is Python-int exact either way);
-5. per-key finish: the final float steps (CAST each exact integer to
-   DOUBLE, multiply, sqrt, divide) are mirrored token-for-token by
-   the SQL oracle — IEEE-deterministic, bit-identical floats.
+1. marginal value histograms ``(key, value) → count`` via block
+   partials + ONE hash groupby — these DO compress (distinct values
+   per key ≪ rows in the quantized-measure regime this exact path
+   targets; continuous high-cardinality measures belong to the
+   t-digest path);
+2. per-key integer ranks over each marginal (cumsum over histogram
+   rows only; ``map_groups`` over histogram rows).  Doubled average
+   ranks keep ties integral; Spearman additionally CENTERS them
+   (``Σc·D = 0``) so only second moments matter;
+3. **broadcast regime** (default): the rank tables are small, so they
+   broadcast via :func:`raqc_ray.ops.join.broadcast_join` (``ray.put``
+   once, zero-copy per task) and the raw stream maps straight to
+   per-block per-key moment partials — 8-ish rows per block, one tiny
+   final groupby.  NO row-scale shuffle anywhere.  (Measured: the
+   previous joint-histogram plan shuffled ~9M partial rows for a 10M
+   spearman input and spent 930 s in Ray's aggregate reduce; the
+   broadcast plan removes that stage entirely — BASELINE.md round-4
+   ops bench.)
+4. **join regime** (rank tables above ``broadcast_limit`` rows): fall
+   back to aggregating the joint histogram and mapping ranks on with
+   distributed hash joins — the exchange is then histogram-scale,
+   which is the best exact plan when marginals don't fit a worker.
 
-RAQC analog: SURVEY §2.5 A6 covers Pearson (q46); Spearman is its
-robust rank complement for monotone-dependence checks between
-columns (w vs byte-length style audits).
+Exactness: moment partials are int64 (|term| ≤ n³ per key — exact
+for keys up to ~2·10⁶ rows; the global re-sum is Python-int exact);
+the final float steps (CAST exact integers to DOUBLE, multiply,
+sqrt, divide) are mirrored token-for-token by the SQL oracles —
+IEEE-deterministic, bit-identical floats.
+
+RAQC analog: SURVEY §2.5 A6 covers Pearson (q46); Spearman/AUC are
+its robust rank complements (monotone-dependence and
+label-separability audits).
 """
 
 from __future__ import annotations
@@ -37,83 +47,135 @@ import numpy as np
 import pandas as pd
 
 
-def _marginal_ranks(joint, key: str, col: str, cnt: str, rank_col: str):
-    """(key, col, rank_col): centered doubled average rank of each
-    distinct ``col`` value within its key, from the (key, col)
-    marginal of the joint histogram."""
+def _value_ranks(ds, key: str, col: str, rank_col: str,
+                 centered: bool):
+    """(key, col, rank_col) from the RAW stream: centered doubled
+    average rank (``2·below + c − n``) or plain doubled average rank
+    (``2·below + c + 1``) of each distinct ``col`` value within its
+    key."""
     from ray.data.aggregate import Sum
 
-    def block(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, col, cnt]].copy()
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
         return d.groupby([key, col], sort=False, as_index=False).sum()
 
-    marg = (joint.map_batches(block, batch_format="pandas")
-            .groupby([key, col]).aggregate(Sum(cnt, alias_name="__m")))
+    marg = (ds.map_batches(block_counts, batch_format="pandas")
+            .groupby([key, col]).aggregate(Sum("__c", alias_name="__m")))
 
     def ranks(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(col, kind="mergesort")
         c = s["__m"].to_numpy(dtype=np.int64)
         n = int(c.sum())
         below = np.concatenate([[0], np.cumsum(c)[:-1]])
+        r = 2 * below + c - n if centered else 2 * below + c + 1
         return pd.DataFrame({key: s[key].to_numpy(),
                              col: s[col].to_numpy(),
-                             rank_col: (2 * below + c - n)
-                             .astype(np.int64)})
+                             rank_col: r.astype(np.int64)})
 
     return marg.groupby(key).map_groups(ranks, batch_format="pandas")
 
 
-def grouped_auc(ds, key: str, label_col: str, score_col: str,
-                scale: int = 10 ** 6):
-    """Exact per-key ROC-AUC (Mann-Whitney U with average-rank ties)
-    as a scaled integer: one row ``(key, n_pos, n_neg, auc)`` with
-    ``auc = scale·(ΣR₂₊ − n₊(n₊+1)) // (2·n₊·n₋)`` where ``R₂`` is
-    the DOUBLED average rank of the score within the key (integer by
-    construction) and ``ΣR₂₊`` sums it over positive rows.  Keys
-    lacking either class report ``auc = 0``.
-
-    Plan (all histogram-scale): joint ``(key, label, score)`` counts
-    via ONE combiner-fed groupby; score-marginal doubled ranks per
-    key (cumsum over histogram rows); one distributed hash join maps
-    ranks back; the positive-side moment sum reduces per key.
-    ``label_col`` must be 0/1 int."""
+def _join_regime(ds, key: str, cols: list[str], rank_tables):
+    """Fallback: aggregate the joint histogram, then distributed hash
+    joins map each rank table on.  Returns (joined_ds, count_col)."""
     from ray.data.aggregate import Sum
 
     from .join import hash_join
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, label_col, score_col]].copy()
+        d = df[[key] + cols].copy()
         d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key, label_col, score_col], sort=False,
-                         as_index=False).sum()
+        return d.groupby([key] + cols, sort=False, as_index=False).sum()
 
-    joint = (ds.map_batches(block_counts, batch_format="pandas")
-             .groupby([key, label_col, score_col])
-             .aggregate(Sum("__c", alias_name="__c"))).materialize()
+    j = (ds.map_batches(block_counts, batch_format="pandas")
+         .groupby([key] + cols)
+         .aggregate(Sum("__c", alias_name="__c")))
+    for col, rt in rank_tables:
+        j = hash_join(j, rt, on=(key, col))
+    return j, "__c"
 
-    def marg(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, score_col, "__c"]].copy()
-        return d.groupby([key, score_col], sort=False,
-                         as_index=False).sum()
 
-    marg_ds = (joint.map_batches(marg, batch_format="pandas")
-               .groupby([key, score_col])
-               .aggregate(Sum("__c", alias_name="__m")))
+def _map_ranks(ds, key: str, rank_tables, broadcast_limit: int):
+    """Attach rank columns to the raw stream (broadcast regime) or to
+    the joint histogram (join regime).  Returns (ds, count_col|None)."""
+    from .join import broadcast_join
 
-    def ranks(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(score_col, kind="mergesort")
-        c = s["__m"].to_numpy(dtype=np.int64)
-        below = np.concatenate([[0], np.cumsum(c)[:-1]])
-        return pd.DataFrame({key: s[key].to_numpy(),
-                             score_col: s[score_col].to_numpy(),
-                             "__r2": (2 * below + c + 1)
-                             .astype(np.int64)})
+    mats = [(col, rt.materialize()) for col, rt in rank_tables]
+    total = sum(rt.count() for _, rt in mats)
+    if total <= broadcast_limit:
+        out = ds
+        for col, rt in mats:
+            out = broadcast_join(out, rt.to_pandas(), on=[key, col])
+        return out, None
+    cols = [col for col, _ in mats]
+    return _join_regime(ds, key, cols, mats)
 
-    rk = marg_ds.groupby(key).map_groups(ranks, batch_format="pandas")
-    j = hash_join(joint, rk, on=(key, score_col))
+
+def grouped_spearman(ds, key: str, x_col: str, y_col: str,
+                     broadcast_limit: int = 2_000_000):
+    """One row per key: ``(key, n, rho)`` — exact Spearman ρ of
+    (x, y) with average-rank tie handling.  Keys where either column
+    is constant report ``rho = 0.0`` (zero variance — the SQL
+    NULLIF-to-0 convention)."""
+    from ray.data.aggregate import Sum
+
+    # materialize: the two marginal passes and the moment pass must
+    # see ONE consistent execution of the upstream lineage
+    ds = ds.materialize()
+    rx = _value_ranks(ds, key, x_col, "__rx", centered=True)
+    ry = _value_ranks(ds, key, y_col, "__ry", centered=True)
+    j, cnt = _map_ranks(ds, key, [(x_col, rx), (y_col, ry)],
+                        broadcast_limit)
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["__c"].to_numpy(dtype=np.int64)
+        c = (df[cnt].to_numpy(dtype=np.int64) if cnt
+             else np.ones(len(df), dtype=np.int64))
+        dx = df["__rx"].to_numpy(dtype=np.int64)
+        dy = df["__ry"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame({
+            key: df[key], "n": c,
+            "sxx": c * dx * dx, "syy": c * dy * dy,
+            "sxy": c * dx * dy,
+        })
+        return d.groupby(key, sort=False, as_index=False).sum()
+
+    agg = (j.map_batches(moments, batch_format="pandas")
+           .groupby(key)
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sxx", "syy", "sxy")]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {key: df[key], "n": [], "rho": []}
+        for n, sxx, syy, sxy in zip(df["n"], df["sxx"], df["syy"],
+                                    df["sxy"]):
+            sxx, syy = int(sxx), int(syy)
+            rows["n"].append(np.int64(int(n)))
+            rows["rho"].append(
+                float(int(sxy)) / math.sqrt(float(sxx) * float(syy))
+                if sxx and syy else 0.0)
+        return pd.DataFrame(rows)
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_auc(ds, key: str, label_col: str, score_col: str,
+                scale: int = 10 ** 6, broadcast_limit: int = 2_000_000):
+    """Exact per-key ROC-AUC (Mann-Whitney U with average-rank ties)
+    as a scaled integer: one row ``(key, n_pos, n_neg, auc)`` with
+    ``auc = scale·(ΣR₂₊ − n₊(n₊+1)) // (2·n₊·n₋)`` where ``R₂`` is
+    the DOUBLED average rank of the score within the key and ``ΣR₂₊``
+    sums it over positive rows.  Keys lacking either class report
+    ``auc = 0``.  ``label_col`` must be 0/1 int."""
+    from ray.data.aggregate import Sum
+
+    ds = ds.materialize()
+    rk = _value_ranks(ds, key, score_col, "__r2", centered=False)
+    j, cnt = _map_ranks(ds, key, [(score_col, rk)], broadcast_limit)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df[cnt].to_numpy(dtype=np.int64) if cnt
+             else np.ones(len(df), dtype=np.int64))
         lab = df[label_col].to_numpy(dtype=np.int64)
         r2 = df["__r2"].to_numpy(dtype=np.int64)
         d = pd.DataFrame({
@@ -138,62 +200,6 @@ def grouped_auc(ds, key: str, label_col: str, score_col: str,
             rows["auc"].append(np.int64(
                 (scale * (sr2 - np_ * (np_ + 1))) // (2 * np_ * nn)
                 if np_ and nn else 0))
-        return pd.DataFrame(rows)
-
-    return agg.map_batches(finish, batch_format="pandas")
-
-
-def grouped_spearman(ds, key: str, x_col: str, y_col: str):
-    """One row per key: ``(key, n, rho)`` — exact Spearman ρ of
-    (x, y) with average-rank tie handling.  Keys where either column
-    is constant report ``rho = 0.0`` (zero variance — the SQL
-    NULLIF-to-0 convention)."""
-    from ray.data.aggregate import Sum
-
-    from .join import hash_join
-
-    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, x_col, y_col]].copy()
-        d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key, x_col, y_col], sort=False,
-                         as_index=False).sum()
-
-    # materialize: three consumers (two marginals + the join probe)
-    # must see ONE consistent execution of the upstream lineage
-    joint = (ds.map_batches(block_counts, batch_format="pandas")
-             .groupby([key, x_col, y_col])
-             .aggregate(Sum("__c", alias_name="__c"))).materialize()
-
-    rx = _marginal_ranks(joint, key, x_col, "__c", "__rx")
-    ry = _marginal_ranks(joint, key, y_col, "__c", "__ry")
-    j = hash_join(hash_join(joint, rx, on=(key, x_col)), ry,
-                  on=(key, y_col))
-
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["__c"].to_numpy(dtype=np.int64)
-        dx = df["__rx"].to_numpy(dtype=np.int64)
-        dy = df["__ry"].to_numpy(dtype=np.int64)
-        d = pd.DataFrame({
-            key: df[key], "n": c,
-            "sxx": c * dx * dx, "syy": c * dy * dy,
-            "sxy": c * dx * dy,
-        })
-        return d.groupby(key, sort=False, as_index=False).sum()
-
-    agg = (j.map_batches(moments, batch_format="pandas")
-           .groupby(key)
-           .aggregate(*[Sum(c, alias_name=c)
-                        for c in ("n", "sxx", "syy", "sxy")]))
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {key: df[key], "n": [], "rho": []}
-        for n, sxx, syy, sxy in zip(df["n"], df["sxx"], df["syy"],
-                                    df["sxy"]):
-            sxx, syy = int(sxx), int(syy)
-            rows["n"].append(np.int64(int(n)))
-            rows["rho"].append(
-                float(int(sxy)) / math.sqrt(float(sxx) * float(syy))
-                if sxx and syy else 0.0)
         return pd.DataFrame(rows)
 
     return agg.map_batches(finish, batch_format="pandas")
