@@ -3032,6 +3032,91 @@ def q142_cluster_sizes_documents(sf_dir: str):
     return df[["csize", "n_clusters"]]
 
 
+def _coengagement_pairs(sf_dir: str):
+    """Distinct user-user edges from co-activity in the same
+    (event_type, hour) cell — the co-engagement graph the triangle /
+    PageRank audits run on (ops/cooc.grouped_cooccurrence over an
+    injective cell encoding; cell granularity keeps per-cell fan-out
+    bounded at scale)."""
+    from raqc_ray.ops.cooc import grouped_cooccurrence
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["event_type", "ts", "user_id"])
+        return pd.DataFrame({
+            "cell": d["event_type"].astype(str) + "|"
+            + d["ts"].dt.floor("h").astype(str),
+            "user_id": d["user_id"].astype("int64"),
+        })
+
+    cds = ev.map_batches(cells, batch_format="pandas")
+    pairs = grouped_cooccurrence(cds, "cell", "user_id")
+    return pairs.select_columns(["val_a", "val_b"])
+
+
+_COENGAGE_PAIRS_SQL = """
+    SELECT DISTINCT x.user_id AS val_a, y.user_id AS val_b
+    FROM (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+                 user_id FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND user_id IS NOT NULL) x
+    JOIN (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+                 user_id FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND user_id IS NOT NULL) y
+      ON x.event_type = y.event_type AND x.h = y.h
+     AND x.user_id < y.user_id
+"""
+
+
+def q143_triangles_events(sf_dir: str):
+    """Triangle census of the user co-engagement graph
+    (ops/graph.triangle_count): degree-ordered wedge join — wedge
+    volume certificate plus the closed-triangle count, both exact —
+    three-way self-join oracle with an orientation-replay wedge
+    check."""
+    from raqc_ray.ops.graph import triangle_count
+
+    pairs = _coengagement_pairs(sf_dir)
+    df = _typed_pandas(triangle_count(pairs, "val_a", "val_b"))
+    for c in ("n_wedges", "n_triangles"):
+        df[c] = df[c].astype("int64")
+    return df[["n_wedges", "n_triangles"]]
+
+
+def q144_pagerank_events(sf_dir: str):
+    """Integer PageRank centrality (3 power iterations, damping
+    85/100, scale 10^9) over the symmetrized co-engagement graph
+    (ops/graph.pagerank): bit-exact int64 ranks, chained-CTE oracle
+    replaying the identical floor-division recursion."""
+    from raqc_ray.ops.graph import pagerank
+
+    pairs = _coengagement_pairs(sf_dir)
+    df = _typed_pandas(pagerank(pairs, "val_a", "val_b", iterations=3))
+    df = df.rename(columns={"id": "user_id"})
+    for c in ("user_id", "pr"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "pr"]]
+
+
+def q145_postings_documents(sf_dir: str):
+    """Inverted-index posting lists over the document corpus
+    (ops/unnest.posting_lists): block-deduped (token, doc) carriers →
+    one token-partitioned scan assembling ascending doc-id lists, df
+    bounds applied before any list is built — string_agg ORDER BY
+    oracle."""
+    from raqc_ray.ops.unnest import posting_lists
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(posting_lists(docs, "doc_id", "text",
+                                     min_df=2, max_df=400))
+    df["token"] = df["token"].astype(str)
+    df["df"] = df["df"].astype("int64")
+    df["postings"] = df["postings"].astype(str)
+    return df[["token", "df", "postings"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -3202,6 +3287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q139_activity_coverage_events": q139_activity_coverage_events,
         "q141_longest_run_events": q141_longest_run_events,
         "q142_cluster_sizes_documents": q142_cluster_sizes_documents,
+        "q143_triangles_events": q143_triangles_events,
+        "q144_pagerank_events": q144_pagerank_events,
+        "q145_postings_documents": q145_postings_documents,
     }
 
 
@@ -5189,6 +5277,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(csize AS BIGINT) AS csize,
                    CAST(COUNT(*) AS BIGINT) AS n_clusters
             FROM sizes GROUP BY csize
+        """,
+        "q143_triangles_events": """
+            WITH e AS (""" + _COENGAGE_PAIRS_SQL + """
+            ), deg AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT val_a AS id FROM e
+                      UNION ALL SELECT val_b FROM e)
+                GROUP BY id
+            ), oe AS (
+                SELECT CASE WHEN da.deg < db.deg
+                              OR (da.deg = db.deg AND e.val_a < e.val_b)
+                            THEN e.val_a ELSE e.val_b END AS src
+                FROM e JOIN deg da ON da.id = e.val_a
+                       JOIN deg db ON db.id = e.val_b
+            ), w AS (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS k
+                FROM oe GROUP BY src
+            ), nw AS (
+                SELECT COALESCE(SUM(k * (k - 1) // 2), 0) AS n_wedges
+                FROM w
+            ), t AS (
+                SELECT COUNT(*) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.val_a = e1.val_a
+                         AND e2.val_b > e1.val_b
+                JOIN e e3 ON e3.val_a = e1.val_b
+                         AND e3.val_b = e2.val_b
+            )
+            SELECT CAST(nw.n_wedges AS BIGINT) AS n_wedges,
+                   CAST(t.n_triangles AS BIGINT) AS n_triangles
+            FROM nw, t
+        """,
+        "q144_pagerank_events": """
+            WITH e AS (""" + _COENGAGE_PAIRS_SQL + """
+            ), se AS (
+                SELECT val_a AS s, val_b AS t FROM e
+                UNION ALL
+                SELECT val_b AS s, val_a AS t FROM e
+            ), od AS (
+                SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS od
+                FROM se GROUP BY s
+            ), nn AS (SELECT COUNT(*) AS n FROM od),
+            r0 AS (
+                SELECT id, od,
+                       CAST(1000000000 // (SELECT n FROM nn) AS BIGINT)
+                           AS r
+                FROM od
+            ), c1 AS (
+                SELECT se.t AS id,
+                       SUM((85 * r0.r) // (100 * r0.od)) AS c
+                FROM se JOIN r0 ON r0.id = se.s GROUP BY se.t
+            ), r1 AS (
+                SELECT r0.id, r0.od,
+                       CAST((CAST(15 AS BIGINT) * 1000000000)
+                            // (100 * (SELECT n FROM nn))
+                            + COALESCE(c1.c, 0) AS BIGINT) AS r
+                FROM r0 LEFT JOIN c1 USING (id)
+            ), c2 AS (
+                SELECT se.t AS id,
+                       SUM((85 * r1.r) // (100 * r1.od)) AS c
+                FROM se JOIN r1 ON r1.id = se.s GROUP BY se.t
+            ), r2 AS (
+                SELECT r1.id, r1.od,
+                       CAST((CAST(15 AS BIGINT) * 1000000000)
+                            // (100 * (SELECT n FROM nn))
+                            + COALESCE(c2.c, 0) AS BIGINT) AS r
+                FROM r1 LEFT JOIN c2 USING (id)
+            ), c3 AS (
+                SELECT se.t AS id,
+                       SUM((85 * r2.r) // (100 * r2.od)) AS c
+                FROM se JOIN r2 ON r2.id = se.s GROUP BY se.t
+            ), r3 AS (
+                SELECT r2.id, r2.od,
+                       CAST((CAST(15 AS BIGINT) * 1000000000)
+                            // (100 * (SELECT n FROM nn))
+                            + COALESCE(c3.c, 0) AS BIGINT) AS r
+                FROM r2 LEFT JOIN c3 USING (id)
+            )
+            SELECT id AS user_id, r AS pr FROM r3
+        """,
+        "q145_postings_documents": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+                WHERE token <> ''
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM toks GROUP BY token
+            HAVING COUNT(*) BETWEEN 2 AND 400
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

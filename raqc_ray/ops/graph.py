@@ -1,0 +1,292 @@
+"""Distributed triangle counting and integer PageRank over a pair
+(edge) dataset — the graph-analytics complement to the components /
+degree-histogram family in :mod:`raqc_ray.ops.concomp` (near-dup and
+co-engagement graphs are the two graphs a training-data pipeline
+actually builds; triangle density and rank centrality are their
+standard hygiene signals: community tightness of dup clusters,
+influence concentration of co-active users).
+
+Triangle counting — degree-ordered wedge join (Suri & Vassilvitskii,
+"Counting Triangles and the Curse of the Last Reducer", WWW 2011 —
+public knowledge):
+
+1. endpoint degrees via per-block partial counts + ONE hash groupby;
+2. each undirected edge is ORIENTED from its (degree, id)-smaller to
+   its (degree, id)-larger endpoint (two hash joins attach degrees) —
+   this caps every out-neighborhood at O(sqrt(E)), so the wedge
+   fan-out is O(E^1.5) total instead of sum-of-C(degree, 2) on hot
+   nodes;
+3. wedges are emitted per apex by ONE sorted-block scan
+   (:func:`raqc_ray.ops.groupscan.scan_sorted_groups` — vectorized
+   multi-segment emit, no per-node task); each triangle yields
+   exactly ONE wedge (its orientation-minimum vertex is the apex);
+4. a distributed hash join of the wedge set against the oriented edge
+   set counts the closing edges — per-block partial counts, one tiny
+   final sum.
+
+Integer PageRank — fixed-iteration power method with INTEGER
+arithmetic so the result is bit-identical across block layouts and
+matches a plain (non-recursive) SQL oracle token-for-token:
+
+    base       = (15 * scale) // (100 * n)
+    contrib(u) = (85 * r_t(u)) // (100 * outdeg(u))      per out-edge
+    r_{t+1}(v) = base + sum over in-neighbors contrib(u)
+
+Every quantity is int64 (mass only shrinks under floor division, so
+r <= scale + n*base bounds all terms well inside int64).  Two regimes
+per iteration, size-triggered like ops/rankcorr:
+
+- broadcast regime (rank table fits a worker): ranks go to the object
+  store ONCE per iteration (``ray.put``); the edge stream maps to
+  per-block per-target partial sums — the only exchange is the
+  node-scale partial groupby;
+- join regime: one distributed hash join (edges x ranks on src) per
+  iteration + the same partial groupby — the canonical plan when the
+  node table itself is too big to broadcast.
+
+RAQC analog: none (SURVEY §2 has no graph ops); part of the §2
+LLM-pipeline surface alongside ops/concomp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _degrees(pairs, a_col: str, b_col: str):
+    """(id, deg) endpoint-count table from distinct undirected pairs:
+    per-block partial counts, one hash groupby."""
+    from ray.data.aggregate import Sum
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df[a_col].to_numpy(dtype=np.int64),
+                              df[b_col].to_numpy(dtype=np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"id": u, "deg": c.astype(np.int64)})
+
+    return (pairs.map_batches(block, batch_format="pandas")
+            .groupby("id").aggregate(Sum("deg", alias_name="deg")))
+
+
+def triangle_count(pairs, a_col: str = "a", b_col: str = "b",
+                   num_partitions: int | None = None):
+    """Total number of triangles in the undirected graph given as a
+    DISTINCT pair dataset (``a_col < b_col`` per row — the contract of
+    every pair emitter in this package).  Returns a one-row Dataset
+    ``(n_wedges, n_triangles)`` (both int64; the wedge count is the
+    checked-candidate volume — the op's cost certificate)."""
+    from ray.data.aggregate import Sum
+
+    from .groupscan import scan_sorted_groups
+    from .join import hash_join
+
+    # pin the (possibly expensive) upstream: degrees and the oriented
+    # join are two consumers of the same lineage
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "n_wedges": pa.array([0], pa.int64()),
+            "n_triangles": pa.array([0], pa.int64()),
+        }))
+    deg = _degrees(pairs, a_col, b_col).materialize()
+    # orient by (deg, id): src = smaller endpoint in that total order
+    # (distinct right-side names per join — the native join keeps the
+    # right key column, so reusing "id"/"deg" twice would collide;
+    # rename via map_batches: Dataset.rename_columns assumes Arrow
+    # blocks, but groupby-aggregate emits pandas blocks)
+    def _rn(ia, da):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"id": ia, "deg": da})
+
+        return fn
+
+    deg_a = deg.map_batches(_rn("__ia", "__da"), batch_format="pandas")
+    deg_b = deg.map_batches(_rn("__ib", "__db"), batch_format="pandas")
+    e = hash_join(pairs, deg_a, on=a_col, right_on="__ia",
+                  num_partitions=num_partitions)
+    e = hash_join(e, deg_b, on=b_col, right_on="__ib",
+                  num_partitions=num_partitions)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[a_col].to_numpy(dtype=np.int64)
+        b = df[b_col].to_numpy(dtype=np.int64)
+        da = df["__da"].to_numpy(dtype=np.int64)
+        db = df["__db"].to_numpy(dtype=np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame({
+            "src": np.where(a_first, a, b),
+            "dst": np.where(a_first, b, a),
+            # the dst's (deg, id) key orders out-neighborhoods so the
+            # wedge (x, y) is emitted with x before y in orientation
+            # order — the closing edge, if any, is then exactly x->y
+            "ddeg": np.where(a_first, db, da),
+        })
+
+    oriented = e.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges_group(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["dst"].to_numpy(dtype=np.int64),
+                        g["ddeg"].to_numpy(dtype=np.int64)))
+        vs = g["dst"].to_numpy(dtype=np.int64)[o]
+        i, j = np.triu_indices(len(vs), 1)
+        return pd.DataFrame({"wx": vs[i], "wy": vs[j]})
+
+    def wedges_block(df: pd.DataFrame, starts: np.ndarray,
+                     ends: np.ndarray) -> pd.DataFrame:
+        # numpy emit per SEGMENT inside one block call (the accepted
+        # sorted-block pattern — no per-apex Ray task anywhere)
+        xs, ys = [], []
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        ddeg = df["ddeg"].to_numpy(dtype=np.int64)
+        for s, e_ in zip(starts.tolist(), ends.tolist()):
+            o = np.lexsort((dst[s:e_], ddeg[s:e_]))
+            vs = dst[s:e_][o]
+            i, j = np.triu_indices(len(vs), 1)
+            xs.append(vs[i])
+            ys.append(vs[j])
+        if not xs:
+            return pd.DataFrame({"wx": pd.Series(dtype="int64"),
+                                 "wy": pd.Series(dtype="int64")})
+        return pd.DataFrame({"wx": np.concatenate(xs),
+                             "wy": np.concatenate(ys)})
+
+    empty = pd.DataFrame({"wx": pd.Series(dtype="int64"),
+                          "wy": pd.Series(dtype="int64")})
+    w = scan_sorted_groups(oriented.select_columns(["src", "dst", "ddeg"]),
+                           "src", wedges_group, empty, min_group=2,
+                           block_fn=wedges_block).materialize()
+    n_wedges = w.count()
+    if n_wedges == 0:
+        n_tri = 0  # no wedges -> no triangles (and the native join
+        # rejects schema-less empty partitions)
+    else:
+        closed = hash_join(w, oriented.select_columns(["src", "dst"]),
+                           on=("wx", "wy"), right_on=("src", "dst"),
+                           num_partitions=num_partitions)
+        n_tri = closed.count()
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_wedges": pa.array([int(n_wedges)], pa.int64()),
+        "n_triangles": pa.array([int(n_tri)], pa.int64()),
+    }))
+
+
+def pagerank(pairs, a_col: str = "a", b_col: str = "b",
+             iterations: int = 3, scale: int = 10 ** 9,
+             broadcast_limit: int = 2_000_000,
+             num_partitions: int | None = None):
+    """Integer PageRank (damping 85/100) over the SYMMETRIZED graph of
+    a distinct undirected pair dataset.  Returns ``(id, pr)`` — one
+    int64 row per node, bit-identical across block layouts and equal
+    to the plain-SQL oracle's chained-CTE evaluation."""
+    from ray.data.aggregate import Sum
+
+    from .join import broadcast_join, hash_join
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[a_col].to_numpy(dtype=np.int64)
+        b = df[b_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"s": np.concatenate([a, b]),
+                             "t": np.concatenate([b, a])})
+
+    # pin the upstream: the symmetrized stream and the degree table
+    # are two consumers of the same lineage
+    pairs = pairs.materialize()
+    se = pairs.map_batches(sym, batch_format="pandas").materialize()
+    od = _degrees(pairs, a_col, b_col).materialize()
+    n = od.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                       "pr": pa.array([], pa.int64())}))
+    base = (15 * scale) // (100 * n)
+    r0 = scale // n
+
+    def contrib_partials(rank_lookup):
+        """Per-block (t, c) partial sums of (85*r)//(100*od) for a
+        broadcast {id: (r, od)} mapping shipped via ray.put."""
+        import ray
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            look = ray.get(rank_lookup)
+            s = df["s"].to_numpy(dtype=np.int64)
+            t = df["t"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(look["id"], s)
+            r = look["r"][idx]
+            o = look["od"][idx]
+            c = (85 * r) // (100 * o)
+            d = pd.DataFrame({"t": t, "c": c})
+            return d.groupby("t", sort=False, as_index=False).sum()
+
+        return fn
+
+    if n <= broadcast_limit:
+        import ray
+
+        ranks = od.to_pandas().sort_values("id").reset_index(drop=True)
+        ids = ranks["id"].to_numpy(dtype=np.int64)
+        ods = ranks["deg"].to_numpy(dtype=np.int64)
+        r = np.full(n, r0, dtype=np.int64)
+        for _ in range(iterations):
+            ref = ray.put({"id": ids, "r": r, "od": ods})
+            agg = (se.map_batches(contrib_partials(ref),
+                                  batch_format="pandas")
+                   .groupby("t").aggregate(Sum("c", alias_name="c"))
+                   .to_pandas())
+            nxt = np.full(n, base, dtype=np.int64)
+            idx = np.searchsorted(ids, agg["t"].to_numpy(dtype=np.int64))
+            nxt[idx] += agg["c"].to_numpy(dtype=np.int64)
+            r = nxt
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"id": pa.array(ids, pa.int64()),
+                                       "pr": pa.array(r, pa.int64())}))
+
+    # join regime: the rank table itself is distributed; one hash join
+    # (edges x ranks on src) + one node-scale partial groupby per round
+    def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": df["id"].to_numpy(dtype=np.int64),
+                             "od": df["deg"].to_numpy(dtype=np.int64),
+                             "r": np.full(len(df), r0, dtype=np.int64)})
+
+    ranks = od.map_batches(init_ranks,
+                           batch_format="pandas").materialize()
+    for _ in range(iterations):
+        j = hash_join(se, ranks, on="s", right_on="id",
+                      num_partitions=num_partitions)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            c = ((85 * df["r"].to_numpy(dtype=np.int64))
+                 // (100 * df["od"].to_numpy(dtype=np.int64)))
+            d = pd.DataFrame({"t": df["t"].to_numpy(dtype=np.int64),
+                              "c": c})
+            return d.groupby("t", sort=False, as_index=False).sum()
+
+        agg = (j.map_batches(contrib, batch_format="pandas")
+               .groupby("t").aggregate(Sum("c", alias_name="c")))
+        nxt = hash_join(ranks.select_columns(["id", "od"]), agg,
+                        on="id", right_on="t", how="left_outer",
+                        num_partitions=num_partitions)
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["c"].to_numpy()
+            c = np.where(pd.isna(c), 0, c).astype(np.int64)
+            return pd.DataFrame({
+                "id": df["id"].to_numpy(dtype=np.int64),
+                "od": df["od"].to_numpy(dtype=np.int64),
+                "r": base + c})
+
+        ranks = nxt.map_batches(finish,
+                                batch_format="pandas").materialize()
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": df["id"].to_numpy(dtype=np.int64),
+                             "pr": df["r"].to_numpy(dtype=np.int64)})
+
+    return ranks.map_batches(out, batch_format="pandas")

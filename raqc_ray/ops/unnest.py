@@ -144,3 +144,55 @@ def tfidf_terms(ds, key: str, id_col: str, text_col: str,
         return out
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def posting_lists(ds, id_col: str, text_col: str, sep: str = " ",
+                  min_df: int = 1, max_df: int | None = None,
+                  token_col: str = "token"):
+    """Inverted index: one row ``(token, df, postings)`` per surviving
+    token, where ``df`` is the exact document frequency and
+    ``postings`` the comma-joined ASCENDING doc-id list — the retrieval
+    artifact a corpus-search / contamination-audit stage hands off.
+
+    Plan: per-block DISTINCT ``(token, id)`` carriers (block-local
+    dedup — the token stream itself never shuffles), ONE hash exchange
+    partitioned by token via the sorted-block scan, vectorized
+    per-token assembly (cross-block duplicate carriers collapsed with
+    ``np.unique`` inside the group).  ``min_df``/``max_df`` drop rare /
+    stopword-scale postings at assembly time, BEFORE any list is
+    built, so a 10^12-doc stopword never assembles a doc-id string —
+    at corpus scale pair ``max_df`` with the heavy-hitters screen to
+    budget the index.  Matches SQL ``string_agg(... ORDER BY id)`` +
+    ``HAVING COUNT(DISTINCT id) BETWEEN``."""
+    from .groupscan import scan_sorted_groups
+
+    def carriers(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], sep)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(b[id_col], parent)
+        t = pa.table({token_col: flat, id_col: ids})
+        t = t.filter(pc.not_equal(t[token_col], ""))
+        # block-local dedup: (token, id) repeats within a doc collapse
+        # here; cross-block repeats collapse in the group scan
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    carr = ds.map_batches(carriers, batch_format="pyarrow")
+    lo, hi = min_df, max_df if max_df is not None else np.iinfo(np.int64).max
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
+        if not (lo <= len(ids) <= hi):
+            return pd.DataFrame({token_col: pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64"),
+                                 "postings": pd.Series(dtype="object")})
+        return pd.DataFrame({token_col: [g[token_col].iloc[0]],
+                             "df": [np.int64(len(ids))],
+                             "postings": [",".join(map(str, ids))]})
+
+    empty = pd.DataFrame({token_col: pd.Series(dtype="object"),
+                          "df": pd.Series(dtype="int64"),
+                          "postings": pd.Series(dtype="object")})
+    return scan_sorted_groups(carr, token_col, assemble, empty,
+                              min_group=1)

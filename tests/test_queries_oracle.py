@@ -123,7 +123,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q135_debounce_events", "q136_tail_sum_lineitem",
             "q137_audience_overlap_events", "q138_chi2_events",
             "q139_activity_coverage_events", "q140_auc_events",
-            "q141_longest_run_events", "q142_cluster_sizes_documents"]
+            "q141_longest_run_events", "q142_cluster_sizes_documents",
+            "q143_triangles_events", "q144_pagerank_events",
+            "q145_postings_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
