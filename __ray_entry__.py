@@ -3117,6 +3117,90 @@ def q145_postings_documents(sf_dir: str):
     return df[["token", "df", "postings"]]
 
 
+def q146_rolling_active_events(sf_dir: str):
+    """Trailing-7-day distinct active users per activity day
+    (ops/distinct.rolling_count_distinct) — the window COUNT DISTINCT
+    plain SQL windows cannot express: block-distinct (user, day)
+    carriers fan out to ≤7 occurring window days, one pair-level
+    exchange — range-join COUNT DISTINCT oracle."""
+    from raqc_ray.ops.distinct import rolling_count_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["user_id", "ts"])
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(dtype=np.int64),
+            "d": d["ts"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(rolling_count_distinct(pds, "d", "user_id",
+                                              window=7))
+    for c in ("d", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    return df[["d", "n_distinct"]]
+
+
+def q147_zipf_documents(sf_dir: str):
+    """Zipf power-law fit of the corpus token-frequency distribution
+    (ops/corpus.zipf_fit): regression moments computed from the tiny
+    count-of-counts table via the lgamma tie-run identity — no global
+    sort, no per-token rank ever materializes — regr_slope/intercept
+    over ROW_NUMBER ranks oracle."""
+    from raqc_ray.ops.corpus import zipf_fit
+
+    docs = _read(sf_dir, "documents", ["text"])
+    df = _typed_pandas(zipf_fit(docs, "text"))
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    for c in ("slope", "intercept"):
+        df[c] = df[c].astype("float64")
+    return df[["n_tokens", "slope", "intercept"]]
+
+
+def q148_bfs_events(sf_dir: str):
+    """Hop distance from error-affected users over the co-engagement
+    graph, ≤3 hops (ops/graph.bfs_distances): per round one hash join
+    + one distinct + one anti-join, frontier-sized exchanges,
+    layout-invariant integer distances — recursive-CTE UNION oracle."""
+    from raqc_ray.ops.graph import bfs_distances
+
+    pairs = _coengagement_pairs(sf_dir)
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["event_type"] == "error")
+               & df["user_id"].notna()]
+        return pd.DataFrame({"id": d["user_id"].to_numpy(
+            dtype=np.int64)})
+
+    seeds = ev.map_batches(seed_rows, batch_format="pandas")
+    df = _typed_pandas(bfs_distances(pairs, seeds, "val_a", "val_b",
+                                     max_hops=3))
+    df = df.rename(columns={"id": "user_id"})
+    for c in ("user_id", "dist"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "dist"]]
+
+
+def q149_ks_events(sf_dir: str):
+    """Exact two-sample KS distance of each event type's value
+    distribution vs the pooled rest (ops/kstest.grouped_ks_vs_rest):
+    integer numerator max|c_t*n_r - c_r*n_t| over the full value grid,
+    wide per-block combiner + one grid groupby + carried-offset
+    cumulative scan — window-cumsum HUGEINT oracle."""
+    from raqc_ray.ops.kstest import grouped_ks_vs_rest
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    df = _typed_pandas(grouped_ks_vs_rest(ev, "event_type", "value",
+                                          scale=100))
+    for c in ("n_key", "n_rest", "ks_num"):
+        df[c] = df[c].astype("int64")
+    df["event_type"] = df["event_type"].astype(str)
+    return df[["event_type", "n_key", "n_rest", "ks_num"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -3290,6 +3374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q143_triangles_events": q143_triangles_events,
         "q144_pagerank_events": q144_pagerank_events,
         "q145_postings_documents": q145_postings_documents,
+        "q146_rolling_active_events": q146_rolling_active_events,
+        "q147_zipf_documents": q147_zipf_documents,
+        "q148_bfs_events": q148_bfs_events,
+        "q149_ks_events": q149_ks_events,
     }
 
 
@@ -5370,6 +5458,95 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) AS postings
             FROM toks GROUP BY token
             HAVING COUNT(*) BETWEEN 2 AND 400
+        """,
+        "q146_rolling_active_events": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) AS d
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), days AS (SELECT DISTINCT d FROM ud)
+            SELECT days.d AS d,
+                   CAST(COUNT(DISTINCT ud.user_id) AS BIGINT)
+                       AS n_distinct
+            FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+            GROUP BY days.d
+        """,
+        "q147_zipf_documents": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT tok, COUNT(*) AS c FROM toks
+                WHERE tok <> '' GROUP BY tok
+            ), r AS (
+                SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+                FROM tc
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(regr_slope(ln(CAST(rk AS DOUBLE)),
+                                    ln(CAST(c AS DOUBLE))), 6) AS slope,
+                   ROUND(regr_intercept(ln(CAST(rk AS DOUBLE)),
+                                        ln(CAST(c AS DOUBLE))), 6)
+                       AS intercept
+            FROM r
+        """,
+        "q148_bfs_events": """
+            WITH RECURSIVE e AS (""" + _COENGAGE_PAIRS_SQL + """
+            ), se AS (
+                SELECT val_a AS s, val_b AS t FROM e
+                UNION ALL
+                SELECT val_b AS s, val_a AS t FROM e
+            ), snodes AS (
+                SELECT DISTINCT s AS id FROM se
+                WHERE s IN (SELECT DISTINCT user_id FROM events
+                            WHERE event_type = 'error'
+                              AND user_id IS NOT NULL)
+            ), bfs AS (
+                SELECT id, 0 AS dist FROM snodes
+                UNION
+                SELECT se.t AS id, bfs.dist + 1 AS dist
+                FROM bfs JOIN se ON se.s = bfs.id
+                WHERE bfs.dist < 3
+            )
+            SELECT id AS user_id, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY id
+        """,
+        "q149_ks_events": """
+            WITH v AS (
+                SELECT event_type AS k,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS vi
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), cnt AS (
+                SELECT k, vi, COUNT(*) AS c FROM v GROUP BY k, vi
+            ), keys_t AS (SELECT DISTINCT k FROM v),
+            grid AS (SELECT DISTINCT vi FROM v),
+            fullg AS (
+                SELECT kk.k, g.vi, COALESCE(c.c, 0) AS c
+                FROM keys_t kk CROSS JOIN grid g
+                LEFT JOIN cnt c ON c.k = kk.k AND c.vi = g.vi
+            ), cum AS (
+                SELECT k, vi,
+                       SUM(c) OVER (PARTITION BY k ORDER BY vi) AS ct
+                FROM fullg
+            ), acum AS (
+                SELECT vi, SUM(ac) OVER (ORDER BY vi) AS call FROM (
+                    SELECT vi, SUM(c) AS ac FROM fullg GROUP BY vi)
+            ), tot AS (SELECT k, COUNT(*) AS n FROM v GROUP BY k),
+            ta AS (SELECT COUNT(*) AS na FROM v)
+            SELECT cum.k AS event_type,
+                   CAST(t.n AS BIGINT) AS n_key,
+                   CAST(ta.na - t.n AS BIGINT) AS n_rest,
+                   CAST(MAX(ABS(
+                       CAST(cum.ct AS HUGEINT) * (ta.na - t.n)
+                       - CAST(a.call - cum.ct AS HUGEINT) * t.n
+                   )) AS BIGINT) AS ks_num
+            FROM cum
+            JOIN acum a USING (vi)
+            JOIN tot t ON t.k = cum.k, ta
+            GROUP BY cum.k, t.n, ta.na
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -389,3 +389,64 @@ def source_vocab_drift(ds, key: str, text_col: str,
     out = partials.groupby(["src_a", "src_b"]).aggregate(
         Sum("l1_dist", alias_name="l1_dist"))
     return out.select_columns(["src_a", "src_b", "l1_dist"])
+
+
+def zipf_fit(ds, text_col: str = "text", sep: str = " ",
+             round_to: int = 6):
+    """Least-squares Zipf fit of the corpus token-frequency
+    distribution: regress ``ln(rank)`` on ``ln(count)`` where ``rank``
+    is the 1-based position under ``(count DESC, token ASC)`` — one row
+    ``(n_tokens, slope, intercept)`` (a healthy natural corpus slopes
+    near −1; synthetic / templated / dup-heavy corpora flatten, which
+    makes the fit a cheap corpus-shape audit).
+
+    Scale plan: the vocabulary table comes from
+    :func:`raqc_ray.ops.unnest.token_counts` (per-block partials, one
+    vocab-sized groupby) and is then collapsed to the COUNT-OF-COUNTS
+    table ``(c, f)`` — O(sqrt(total)) rows under any Zipf-ish law, tiny
+    at every scale — so no global sort and no per-token rank
+    materialization ever happens.  That works because within a tie run
+    (all tokens sharing count ``c``) the regressand ``ln c`` is
+    constant, so every regression moment is invariant to the tie order
+    and depends only on the run's rank interval ``(r0, r0+f]``:
+    ``sum ln r = lgamma(r0+f+1) - lgamma(r0+1)`` (exact identity; the
+    SQL oracle sums per-token ``ln(row_number())`` instead, agreeing to
+    float precision — hence ``round_to``).  RAQC analog: none;
+    §2 text-analysis surface."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from .unnest import token_counts
+
+    tc = token_counts(ds, text_col, sep=sep)
+    cof = (tc.groupby("n").aggregate(Count(alias_name="f"))
+           .to_pandas().sort_values("n", ascending=False))
+    c = cof["n"].to_numpy(dtype=np.int64)
+    f = cof["f"].to_numpy(dtype=np.int64)
+    V = int(f.sum())
+    out_cols = ["n_tokens", "slope", "intercept"]
+    import ray.data as rd
+
+    if V < 2 or len(c) < 2:
+        return rd.from_pandas(pd.DataFrame(
+            {"n_tokens": pd.Series([V], dtype="int64"),
+             "slope": pd.Series([np.nan]),
+             "intercept": pd.Series([np.nan])})[out_cols])
+    r0 = np.concatenate(([0], np.cumsum(f)[:-1])).astype(np.float64)
+    lnc = np.log(c.astype(np.float64))
+    # sum of ln(rank) over each run (r0, r0+f] via the lgamma identity
+    # (run count is tiny -- a python loop over RUNS, never tokens)
+    lg = lambda a: np.array([math.lgamma(x) for x in a])
+    s_lnr = lg(r0 + f + 1.0) - lg(r0 + 1.0)
+    sy = float(s_lnr.sum())                      # sum ln r
+    sx = float((f * lnc).sum())                  # sum ln c
+    sxx = float((f * lnc * lnc).sum())           # sum (ln c)^2
+    sxy = float((lnc * s_lnr).sum())             # sum ln c * ln r
+    den = V * sxx - sx * sx
+    slope = (V * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / V
+    return rd.from_pandas(pd.DataFrame(
+        {"n_tokens": pd.Series([V], dtype="int64"),
+         "slope": pd.Series([round(slope, round_to)]),
+         "intercept": pd.Series([round(intercept, round_to)])})[out_cols])

@@ -68,3 +68,63 @@ def grouped_collect_set(ds, key: str, val: str, sep: str = ",",
                              "n_distinct": [np.int64(len(vals))]})
 
     return dedup.groupby(key).map_groups(join_fn, batch_format="pandas")
+
+
+def rolling_count_distinct(ds, bucket_col: str, distinct_col: str,
+                           window: int = 7, out_col: str = "n_distinct"):
+    """Trailing-window exact COUNT DISTINCT per integer bucket —
+    ``COUNT(DISTINCT x)`` over buckets ``[b - window + 1, b]`` for every
+    bucket VALUE present in the input (the classic "7-day active users
+    per day", which plain SQL windows cannot express because
+    ``COUNT(DISTINCT)`` is not a window aggregate).
+
+    Plan: (1) block-local distinct ``(x, bucket)`` carriers (per-block
+    repeats — the overwhelming mass on activity streams — collapse
+    before anything moves); (2) each carrier fans out to the ≤
+    ``window`` bucket values it covers, pre-filtered to buckets that
+    actually occur (the occurring-bucket set is time-range-sized —
+    days/hours, thousands at most — broadcast via ``ray.put``, never a
+    shuffle); (3) :func:`grouped_count_distinct` collapses cross-block
+    duplicate carriers and counts — the only all-to-all moves unique
+    ``(window_bucket, x)`` pairs, ≤ ``window`` × the distinct-carrier
+    count.  RAQC analog: none (SURVEY §2.9 covers flag windows);
+    §2 training-data surface (activity coverage / engagement windows).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    def carriers(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[distinct_col, bucket_col]].drop_duplicates()
+
+    carr = ds.map_batches(carriers, batch_format="pandas").materialize()
+    buckets = np.sort(
+        carr.groupby(bucket_col).aggregate(Count(alias_name="__c"))
+        .to_pandas()[bucket_col].to_numpy(dtype=np.int64))
+    if len(buckets) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            bucket_col: pd.Series(dtype="int64"),
+            out_col: pd.Series(dtype="int64")}))
+    bref = ray.put(buckets)
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(bref)
+        b = df[bucket_col].to_numpy(dtype=np.int64)
+        x = df[distinct_col].to_numpy()
+        # carrier at bucket b covers window buckets in [b, b+window-1];
+        # searchsorted bounds restrict to OCCURRING buckets only
+        lo = np.searchsorted(bs, b, side="left")
+        hi = np.searchsorted(bs, b + window - 1, side="right")
+        reps = (hi - lo).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), reps)
+        # ragged range lo[i]..hi[i] via one cumsum trick
+        flat = np.arange(reps.sum(), dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        offs = flat - np.repeat(starts, reps)
+        wb = bs[np.repeat(lo, reps) + offs]
+        return pd.DataFrame({bucket_col: wb, distinct_col: x[idx]})
+
+    fanned = carr.map_batches(fan_out, batch_format="pandas")
+    return grouped_count_distinct(fanned, bucket_col, distinct_col,
+                                  out_col=out_col)

@@ -290,3 +290,84 @@ def pagerank(pairs, a_col: str = "a", b_col: str = "b",
                              "pr": df["r"].to_numpy(dtype=np.int64)})
 
     return ranks.map_batches(out, batch_format="pandas")
+
+
+def bfs_distances(pairs, seeds, a_col: str = "a", b_col: str = "b",
+                  max_hops: int = 3, num_partitions: int | None = None):
+    """Multi-source BFS hop distance over the symmetrized graph of a
+    distinct undirected pair dataset: one ``(id, dist)`` int64 row per
+    node reachable from ``seeds`` within ``max_hops`` (seeds that are
+    graph nodes get dist 0; seeds absent from the graph are dropped —
+    distance is a property of graph nodes).
+
+    The frontier expansion is the textbook relational plan, fully
+    distributed and layout-invariant (distances are min-int, order
+    free): per round, ONE hash join (frontier x edges on src), ONE
+    distinct groupby on the targets, ONE anti-join against the settled
+    set — each round's exchange is frontier-neighborhood-sized, never
+    graph-sized, and ``max_hops`` bounds the rounds (hygiene audits ask
+    "within k hops of a bad node", not full closure — for full
+    components use :func:`raqc_ray.ops.concomp.connected_components`).
+
+    ``seeds``: a Dataset with an ``id`` column (distinct not required).
+    RAQC analog: none; §2 graph surface with ops/graph.pagerank.
+    """
+    from ray.data.aggregate import Count
+
+    from .join import anti_join, hash_join, semi_join
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[a_col].to_numpy(dtype=np.int64)
+        b = df[b_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"s": np.concatenate([a, b]),
+                             "t": np.concatenate([b, a])})
+
+    pairs = pairs.materialize()
+    import ray.data as rd
+
+    empty = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="int64")})
+    if pairs.count() == 0:
+        return rd.from_pandas(empty)
+    se = pairs.map_batches(sym, batch_format="pandas").materialize()
+    nodes = (se.groupby("s").aggregate(Count(alias_name="__c"))
+             .drop_columns(["__c"]))
+
+    def as_level(dist):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            col = df.columns[0]
+            return pd.DataFrame({
+                "id": df[col].to_numpy(dtype=np.int64),
+                "dist": np.full(len(df), dist, dtype=np.int64)})
+
+        return fn
+
+    # level 0: distinct seed ids that are graph nodes
+    seed_ids = (seeds.groupby("id").aggregate(Count(alias_name="__c"))
+                .drop_columns(["__c"]))
+    frontier = (semi_join(seed_ids, nodes, on="id", right_on="s")
+                .map_batches(as_level(0), batch_format="pandas")
+                .materialize())
+    if frontier.count() == 0:
+        return rd.from_pandas(empty)
+    levels = [frontier]
+    settled = frontier
+    for hop in range(1, max_hops + 1):
+        nbr = hash_join(frontier.select_columns(["id"]), se,
+                        on="id", right_on="s",
+                        num_partitions=num_partitions)
+        cand = (nbr.groupby("t").aggregate(Count(alias_name="__c"))
+                .drop_columns(["__c"]))
+        fresh = anti_join(cand, settled, on="t", right_on="id",
+                          num_partitions=num_partitions)
+        frontier = (fresh.map_batches(as_level(hop),
+                                      batch_format="pandas")
+                    .materialize())
+        if frontier.count() == 0:
+            break
+        levels.append(frontier)
+        settled = settled.union(frontier).materialize()
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -125,7 +125,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q139_activity_coverage_events", "q140_auc_events",
             "q141_longest_run_events", "q142_cluster_sizes_documents",
             "q143_triangles_events", "q144_pagerank_events",
-            "q145_postings_documents"]
+            "q145_postings_documents", "q146_rolling_active_events",
+            "q147_zipf_documents", "q148_bfs_events",
+            "q149_ks_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
