@@ -3201,6 +3201,38 @@ def q149_ks_events(sf_dir: str):
     return df[["event_type", "n_key", "n_rest", "ks_num"]]
 
 
+def q150_ewma_events(sf_dir: str):
+    """Per-user exact-integer EWMA control line over event values
+    (ops/ewma.grouped_int_ewma): y_t = y_{t-1} + floor((v_t-y_{t-1})/5)
+    in int64 cents, one sort + lockstep-vectorized sorted-block scan —
+    recursive-CTE oracle replaying the identical integer recursion."""
+    from raqc_ray.ops.ewma import grouped_int_ewma
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_int_ewma(ev, "user_id", "ts", "event_id",
+                                        "value", num=1, den=5,
+                                        scale=100))
+    for c in ("user_id", "event_id", "ewma"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "event_id", "ewma"]]
+
+
+def q151_welch_events(sf_dir: str):
+    """Welch's t of each event type's value distribution vs the pooled
+    rest (ops/stattests.grouped_welch_vs_rest): exact int64 (n, Σv,
+    Σv²) combiner moments + bit-reproducible float epilogue — HUGEINT
+    moment oracle computing the identical expression."""
+    from raqc_ray.ops.stattests import grouped_welch_vs_rest
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    df = _typed_pandas(grouped_welch_vs_rest(ev, "event_type", "value",
+                                             scale=100))
+    df["event_type"] = df["event_type"].astype(str)
+    df["n_key"] = df["n_key"].astype("int64")
+    df["t_welch"] = df["t_welch"].astype("float64")
+    return df[["event_type", "n_key", "t_welch"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -3378,6 +3410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_postings_documents": q145_postings_documents,
         "q147_zipf_documents": q147_zipf_documents,
         "q148_bfs_events": q148_bfs_events,
+        "q150_ewma_events": q150_ewma_events,
+        "q151_welch_events": q151_welch_events,
     }
 
 
@@ -5547,6 +5581,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN acum a USING (vi)
             JOIN tot t ON t.k = cum.k, ta
             GROUP BY cum.k, t.n, ta.na
+        """,
+        "q150_ewma_events": """
+            WITH RECURSIVE seq AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ), ew AS (
+                SELECT user_id, event_id, rn, vi AS y FROM seq
+                WHERE rn = 1
+                UNION ALL
+                -- exact integer floor division by 5:
+                -- floor(a/5) = (a - ((a % 5 + 5) % 5)) // 5
+                SELECT s.user_id, s.event_id, s.rn,
+                       e.y + (
+                           (s.vi - e.y)
+                           - (((s.vi - e.y) % 5 + 5) % 5)
+                       ) // 5
+                FROM ew e
+                JOIN seq s
+                  ON s.user_id = e.user_id AND s.rn = e.rn + 1
+            )
+            SELECT user_id, event_id, y AS ewma FROM ew
+        """,
+        "q151_welch_events": """
+            WITH v AS (
+                SELECT event_type AS k,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), s AS (
+                SELECT k,
+                       CAST(COUNT(*) AS HUGEINT) AS n1,
+                       CAST(SUM(vi) AS HUGEINT) AS s1,
+                       CAST(SUM(vi * vi) AS HUGEINT) AS q1
+                FROM v GROUP BY k
+            ), tot AS (
+                SELECT SUM(n1) AS n, SUM(s1) AS sa, SUM(q1) AS qa
+                FROM s
+            )
+            SELECT s.k AS event_type,
+                   CAST(s.n1 AS BIGINT) AS n_key,
+                   ROUND(
+                       (CAST(s.s1 * (t.n - s.n1) - (t.sa - s.s1) * s.n1
+                             AS DOUBLE)
+                        / CAST(s.n1 * (t.n - s.n1) AS DOUBLE))
+                       / SQRT(
+                           CAST(s.n1 * s.q1 - s.s1 * s.s1 AS DOUBLE)
+                           / CAST(s.n1 * s.n1 * (s.n1 - 1) AS DOUBLE)
+                           + CAST((t.n - s.n1) * (t.qa - s.q1)
+                                  - (t.sa - s.s1) * (t.sa - s.s1)
+                                  AS DOUBLE)
+                           / CAST((t.n - s.n1) * (t.n - s.n1)
+                                  * (t.n - s.n1 - 1) AS DOUBLE)
+                       ), 9) AS t_welch
+            FROM s, tot t
+            WHERE s.n1 >= 2 AND t.n - s.n1 >= 2
+            ORDER BY event_type
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
