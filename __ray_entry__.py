@@ -3201,6 +3201,35 @@ def q149_ks_events(sf_dir: str):
     return df[["event_type", "n_key", "n_rest", "ks_num"]]
 
 
+def q153_twap_events(sf_dir: str):
+    """Per-user time-weighted average event value (ops/twap
+    .grouped_twap): exact µs x cents integer integral over the sorted
+    timeline, one sort + reduceat sorted-block scan — LEAD-window
+    HUGEINT oracle with mod-emulated floor division."""
+    from raqc_ray.ops.twap import grouped_twap
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_twap(ev, "user_id", "ts", "event_id",
+                                    "value", scale=100))
+    for c in ("user_id", "span_us", "twap"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "span_us", "twap"]]
+
+
+def q152_assortativity_events(sf_dir: str):
+    """Degree assortativity of the user co-engagement graph
+    (ops/graph.degree_assortativity): exact int64 degree moments over
+    directed edges via the triangle-count join front half, one
+    IEEE-rounded division epilogue — HUGEINT moment oracle."""
+    from raqc_ray.ops.graph import degree_assortativity
+
+    pairs = _coengagement_pairs(sf_dir)
+    df = _typed_pandas(degree_assortativity(pairs, "val_a", "val_b"))
+    df["n_edges"] = df["n_edges"].astype("int64")
+    df["assortativity"] = df["assortativity"].astype("float64")
+    return df[["n_edges", "assortativity"]]
+
+
 def q150_ewma_events(sf_dir: str):
     """Per-user exact-integer EWMA control line over event values
     (ops/ewma.grouped_int_ewma): y_t = y_{t-1} + floor((v_t-y_{t-1})/5)
@@ -3412,6 +3441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_bfs_events": q148_bfs_events,
         "q150_ewma_events": q150_ewma_events,
         "q151_welch_events": q151_welch_events,
+        "q152_assortativity_events": q152_assortativity_events,
+        "q153_twap_events": q153_twap_events,
     }
 
 
@@ -5641,6 +5672,57 @@ def oracle_sql() -> dict[str, str]:
             FROM s, tot t
             WHERE s.n1 >= 2 AND t.n - s.n1 >= 2
             ORDER BY event_type
+        """,
+        "q152_assortativity_events": """
+            WITH e AS (""" + _COENGAGE_PAIRS_SQL + """
+            ), se AS (
+                SELECT val_a AS s, val_b AS t FROM e
+                UNION ALL
+                SELECT val_b AS s, val_a AS t FROM e
+            ), deg AS (
+                SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS d
+                FROM se GROUP BY s
+            ), j AS (
+                SELECT da.d AS x, db.d AS y
+                FROM e
+                JOIN deg da ON da.id = e.val_a
+                JOIN deg db ON db.id = e.val_b
+            ), mo AS (
+                SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m,
+                       CAST(SUM(x + y) AS HUGEINT) AS sx,
+                       CAST(SUM(2 * x * y) AS HUGEINT) AS sxy,
+                       CAST(SUM(x * x + y * y) AS HUGEINT) AS sxx
+                FROM j
+            )
+            SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+                   ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                         / CAST(m * sxx - sx * sx AS DOUBLE),
+                         9) AS assortativity
+            FROM mo
+        """,
+        "q153_twap_events": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi,
+                       epoch_us(ts) AS tu,
+                       LEAD(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events
+            ), a AS (
+                SELECT user_id,
+                       SUM(CAST(vi AS HUGEINT) * (nxt - tu)) AS num,
+                       CAST(SUM(nxt - tu) AS HUGEINT) AS span
+                FROM s WHERE nxt IS NOT NULL
+                GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(span AS BIGINT) AS span_us,
+                   -- exact floor division (num may be negative in
+                   -- general): floor(a/b) = (a - ((a%b + b)%b)) // b
+                   CAST((num - ((num % span + span) % span)) // span
+                        AS BIGINT) AS twap
+            FROM a WHERE span > 0
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

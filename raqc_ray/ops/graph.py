@@ -371,3 +371,87 @@ def bfs_distances(pairs, seeds, a_col: str = "a", b_col: str = "b",
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def degree_assortativity(pairs, a_col: str = "a", b_col: str = "b",
+                         round_to: int = 9,
+                         num_partitions: int | None = None):
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected graph given as a DISTINCT pair dataset (``a_col <
+    b_col`` — the package's pair-emitter contract): the Pearson
+    correlation of endpoint degrees over DIRECTED edges, from EXACT
+    integer moments.
+
+    Both directions of each edge contribute, so the x- and y-moments
+    coincide and the statistic reduces to a single-fraction epilogue::
+
+        r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2)
+        M = 2|E|   Sx = sum(da+db)   Sxy = sum(2*da*db)
+        Sxx = sum(da^2 + db^2)            (all exact int64 sums)
+
+    Plan (the `triangle_count` front half): endpoint degrees via
+    per-block partials + ONE hash groupby; two distributed hash joins
+    attach (da, db) to every edge; one global Sum over per-block int64
+    moment partials (Ray accumulates int64 in Python ints — exact);
+    the final division is one IEEE-correctly-rounded float op on the
+    exact integers, so a HUGEINT SQL oracle agrees bit-for-bit.
+
+    Overflow bound: Σ da² must fit int64 — holds while
+    E * max_deg² < 2^63 (raise scale concerns upstream; the oracle
+    uses HUGEINT).  Returns a one-row Dataset ``(n_edges,
+    assortativity)``; the coefficient is NULL for degree-regular
+    graphs (zero variance).
+    """
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    pairs = pairs.materialize()
+    n_edges = pairs.count()
+    import ray.data as rd
+
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "assortativity": pa.array([None], pa.float64()),
+        }))
+    deg = _degrees(pairs, a_col, b_col).materialize()
+
+    def _rn(ia, da):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"id": ia, "deg": da})
+
+        return fn
+
+    deg_a = deg.map_batches(_rn("__ia", "__da"), batch_format="pandas")
+    deg_b = deg.map_batches(_rn("__ib", "__db"), batch_format="pandas")
+    e = hash_join(pairs, deg_a, on=a_col, right_on="__ia",
+                  num_partitions=num_partitions)
+    e = hash_join(e, deg_b, on=b_col, right_on="__ib",
+                  num_partitions=num_partitions)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["__da"].to_numpy(dtype=np.int64)
+        db = df["__db"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "__m": np.array([2 * len(df)], dtype=np.int64),
+            "__sx": np.array([int((da + db).sum())], dtype=np.int64),
+            "__sxy": np.array([int(2 * (da * db).sum())],
+                              dtype=np.int64),
+            "__sxx": np.array([int((da * da + db * db).sum())],
+                              dtype=np.int64),
+        })
+
+    agg = e.map_batches(moments, batch_format="pandas").aggregate(
+        *[Sum(c, alias_name=c) for c in ("__m", "__sx", "__sxy",
+                                         "__sxx")])
+    m, sx = int(agg["__m"]), int(agg["__sx"])
+    sxy, sxx = int(agg["__sxy"]), int(agg["__sxx"])
+    den = m * sxx - sx * sx                      # exact Python ints
+    r = (float(m * sxy - sx * sx) / float(den)) if den else None
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([int(n_edges)], pa.int64()),
+        "assortativity": pa.array(
+            [None if r is None else float(np.round(r, round_to))],
+            pa.float64()),
+    }))

@@ -166,3 +166,152 @@ def test_welch_layout_invariant(ray_session):
     for o in outs[1:]:
         # bit-identical, not approx: the epilogue is reproducible
         pd.testing.assert_frame_equal(outs[0], o)
+
+
+# ------------------------------------------- degree assortativity
+
+
+def _brute_assort(edges):
+    import collections
+
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs = [(deg[a], deg[b]) for a, b in edges]
+    xs += [(y, x) for x, y in xs]
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    den = m * sxx - sx * sx
+    return None if den == 0 else (m * sxy - sx * sx) / den
+
+
+def _edge_ds(edges, blocks=3):
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    return _ds(df, blocks)
+
+
+def test_assortativity_star_is_minus_one(ray_session):
+    from raqc_ray.ops.graph import degree_assortativity
+
+    edges = [(0, i) for i in range(1, 6)]
+    out = degree_assortativity(_edge_ds(edges), "a", "b").to_pandas()
+    assert out["n_edges"].iloc[0] == 5
+    assert out["assortativity"].iloc[0] == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_null(ray_session):
+    from raqc_ray.ops.graph import degree_assortativity
+
+    # 4-cycle: every degree is 2 -> zero variance -> NULL coefficient
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    out = degree_assortativity(_edge_ds(edges), "a", "b").to_pandas()
+    assert out["n_edges"].iloc[0] == 4
+    assert pd.isna(out["assortativity"].iloc[0])
+
+
+def test_assortativity_vs_brute_random(ray_session):
+    from raqc_ray.ops.graph import degree_assortativity
+
+    rng = np.random.default_rng(29)
+    es = set()
+    while len(es) < 300:
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    edges = sorted(es)
+    want = _brute_assort(edges)
+    for blocks in (1, 5):
+        out = (degree_assortativity(_edge_ds(edges, blocks), "a", "b")
+               .to_pandas())
+        assert out["n_edges"].iloc[0] == len(edges)
+        # the op rounds to 9 decimals (oracle-hash discipline)
+        assert out["assortativity"].iloc[0] == pytest.approx(
+            round(want, 9), abs=1.5e-9)
+
+
+# ------------------------------------------------------------ TWAP
+
+
+def _brute_twap(df, scale=100):
+    out = {}
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["t", "i"], kind="mergesort")
+        tu = g["t"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vi = np.floor(g["v"].to_numpy(dtype=np.float64) * scale
+                      + 0.5).astype(np.int64)
+        span = int(tu[-1] - tu[0])
+        if span <= 0:
+            continue
+        num = int(sum(int(v) * int(d)
+                      for v, d in zip(vi[:-1], np.diff(tu))))
+        out[int(k)] = (span, num // span)
+    return out
+
+
+def _twap_frame(seed=31, n=400, n_keys=10):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n),
+        "t": base + rng.integers(0, 3_600_000_000, n).astype(
+            "timedelta64[us]"),
+        "i": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.uniform(0, 300, n), 2),
+    })
+    # inject duplicate timestamps so the (ts, id) tiebreak is exercised
+    df.loc[5, "t"] = df.loc[4, "t"]
+    df.loc[5, "k"] = df.loc[4, "k"]
+    return df
+
+
+def test_twap_vs_brute(ray_session):
+    from raqc_ray.ops.twap import grouped_twap
+
+    df = _twap_frame()
+    want = _brute_twap(df)
+    out = grouped_twap(_ds(df, 4), "k", "t", "i", "v").to_pandas()
+    got = {int(r.k): (int(r.span_us), int(r.twap))
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_twap_layout_invariant_and_singletons(ray_session):
+    from raqc_ray.ops.twap import grouped_twap
+
+    df = _twap_frame(seed=37)
+    # a singleton key and a zero-span pair must both emit nothing
+    extra = pd.DataFrame({
+        "k": [99, 98, 98],
+        "t": [np.datetime64("2026-02-01T00:00:00", "us")] * 3,
+        "i": [10_001, 10_002, 10_003],
+        "v": [1.0, 2.0, 3.0],
+    })
+    df = pd.concat([df, extra], ignore_index=True)
+    outs = []
+    for blocks in (1, 3, 8):
+        o = (grouped_twap(_ds(df, blocks), "k", "t", "i", "v")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+        outs.append(o)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    assert 99 not in set(outs[0]["k"])
+    assert 98 not in set(outs[0]["k"])
+
+
+def test_twap_constant_value_is_value(ray_session):
+    from raqc_ray.ops.twap import grouped_twap
+
+    base = np.datetime64("2026-01-01", "us")
+    df = pd.DataFrame({
+        "k": [1] * 5,
+        "t": base + np.array([0, 10, 99, 500, 501],
+                             dtype="timedelta64[s]"),
+        "i": np.arange(5, dtype=np.int64),
+        "v": [7.25] * 5,
+    })
+    out = grouped_twap(_ds(df, 2), "k", "t", "i", "v").to_pandas()
+    assert out["twap"].tolist() == [725]
+    assert out["span_us"].tolist() == [501_000_000]
