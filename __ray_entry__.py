@@ -3201,6 +3201,23 @@ def q149_ks_events(sf_dir: str):
     return df[["event_type", "n_key", "n_rest", "ks_num"]]
 
 
+def q154_zorder_lineitem(sf_dir: str):
+    """Z-order shard manifest of lineitem clustered on (l_partkey,
+    l_suppkey) at quadtree depth 4 (ops/zorder.zorder_shard_stats):
+    Morton bit-interleave in pure int64, per-block partials + ONE
+    shard groupby — the oracle replays the identical mask-and-shift
+    spread in DuckDB bitwise SQL."""
+    from raqc_ray.ops.zorder import zorder_shard_stats
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    df = _typed_pandas(zorder_shard_stats(li, "l_partkey", "l_suppkey",
+                                          level=4))
+    cols = ["shard", "n_rows", "min_x", "max_x", "min_y", "max_y"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return df[cols]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3443,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q151_welch_events": q151_welch_events,
         "q152_assortativity_events": q152_assortativity_events,
         "q153_twap_events": q153_twap_events,
+        "q154_zorder_lineitem": q154_zorder_lineitem,
     }
 
 
@@ -5723,6 +5741,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST((num - ((num % span + span) % span)) // span
                         AS BIGINT) AS twap
             FROM a WHERE span > 0
+        """,
+        "q154_zorder_lineitem": """
+            WITH b AS (
+                SELECT l_partkey & 65535 AS x,
+                       l_suppkey & 65535 AS y
+                FROM lineitem
+            ), s1 AS (
+                SELECT x, y,
+                       (x | (x << 8)) & 71777214294589695 AS xs,
+                       (y | (y << 8)) & 71777214294589695 AS ys
+                FROM b
+            ), s2 AS (
+                SELECT x, y,
+                       (xs | (xs << 4)) & 1085102592571150095 AS xs,
+                       (ys | (ys << 4)) & 1085102592571150095 AS ys
+                FROM s1
+            ), s3 AS (
+                SELECT x, y,
+                       (xs | (xs << 2)) & 3689348814741910323 AS xs,
+                       (ys | (ys << 2)) & 3689348814741910323 AS ys
+                FROM s2
+            ), s4 AS (
+                SELECT x, y,
+                       (xs | (xs << 1)) & 6148914691236517205 AS xs,
+                       (ys | (ys << 1)) & 6148914691236517205 AS ys
+                FROM s3
+            )
+            SELECT (xs | (ys << 1)) >> 24 AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(x) AS min_x, MAX(x) AS max_x,
+                   MIN(y) AS min_y, MAX(y) AS max_y
+            FROM s4
+            GROUP BY 1
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

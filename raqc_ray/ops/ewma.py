@@ -52,7 +52,9 @@ def grouped_int_ewma(ds, key: str, order_by: str, id_col: str,
     """Dataset ``(key, id_col, out_col)`` — one int64 EWMA value per
     input row, scaled by ``scale``.  ``id_col`` must make the per-key
     order total (it is the tiebreak after ``order_by`` and the output
-    row identity).  ``0 < num < den`` required."""
+    row identity).  ``0 < num < den`` required.  Null-free input
+    contract (the fixture guarantee shared with the window family):
+    callers with nullable ``value_col``/keys filter upstream."""
     if not (0 < num < den):
         raise ValueError("grouped_int_ewma: need 0 < num < den")
 

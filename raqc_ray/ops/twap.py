@@ -47,7 +47,9 @@ def grouped_twap(ds, key: str, ts_col: str, id_col: str,
                  value_col: str, scale: int = 100):
     """Dataset ``(key, span_us, twap)`` — one int64 row per key with
     at least two events and a positive span; ``twap`` is the scaled
-    time-weighted mean, ``span_us`` the integer-microsecond extent."""
+    time-weighted mean, ``span_us`` the integer-microsecond extent.
+    Null-free input contract (fixture guarantee): callers with
+    nullable timestamps/values filter upstream."""
     from ._join_util import arrow_schema
     from .groupscan import scan_sorted_groups
 

@@ -315,3 +315,62 @@ def test_twap_constant_value_is_value(ray_session):
     out = grouped_twap(_ds(df, 2), "k", "t", "i", "v").to_pandas()
     assert out["twap"].tolist() == [725]
     assert out["span_us"].tolist() == [501_000_000]
+
+
+# --------------------------------------------------- Z-order layout
+
+
+def test_zorder_interleave_bitexact():
+    from raqc_ray.ops.zorder import interleave16
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = np.random.default_rng(41)
+    xs = rng.integers(0, 65536, 300)
+    ys = rng.integers(0, 65536, 300)
+    got = interleave16(xs, ys)
+    assert all(int(g) == ref(int(a), int(b))
+               for g, a, b in zip(got, xs, ys))
+
+
+def test_zorder_shard_stats_vs_brute(ray_session):
+    from raqc_ray.ops.zorder import interleave16, zorder_shard_stats
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"x": rng.integers(0, 5000, 2000),
+                       "y": rng.integers(0, 90, 2000)})
+    out = (zorder_shard_stats(_ds(df, 4), "x", "y", level=3)
+           .to_pandas().sort_values("shard").reset_index(drop=True))
+    z = interleave16(df["x"].to_numpy(), df["y"].to_numpy())
+    df["shard"] = z >> np.int64(32 - 6)
+    want = (df.groupby("shard")
+            .agg(n_rows=("x", "size"), min_x=("x", "min"),
+                 max_x=("x", "max"), min_y=("y", "min"),
+                 max_y=("y", "max"))
+            .reset_index().astype("int64")
+            .sort_values("shard").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype("int64"), want)
+
+
+def test_zorder_envelopes_are_quadtree_cells(ray_session):
+    # the pruning guarantee: at depth L every shard's x- and y-range
+    # lives inside ONE aligned 2^(16-L) window in each dimension
+    from raqc_ray.ops.zorder import zorder_shard_stats
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"x": rng.integers(0, 65536, 3000),
+                       "y": rng.integers(0, 65536, 3000)})
+    level = 4
+    out = zorder_shard_stats(_ds(df, 3), "x", "y",
+                             level=level).to_pandas()
+    cell = 16 - level
+    assert (out["min_x"].to_numpy() >> cell
+            == out["max_x"].to_numpy() >> cell).all()
+    assert (out["min_y"].to_numpy() >> cell
+            == out["max_y"].to_numpy() >> cell).all()
+    assert out["n_rows"].sum() == len(df)

@@ -128,7 +128,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q145_postings_documents", "q146_rolling_active_events",
             "q147_zipf_documents", "q148_bfs_events",
             "q149_ks_events", "q150_ewma_events", "q151_welch_events",
-            "q152_assortativity_events", "q153_twap_events"]
+            "q152_assortativity_events", "q153_twap_events",
+            "q154_zorder_lineitem"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
