@@ -3070,6 +3070,53 @@ _COENGAGE_PAIRS_SQL = """
 """
 
 
+_COMINUTE_PAIRS_SQL = """
+    SELECT DISTINCT x.user_id AS val_a, y.user_id AS val_b
+    FROM (SELECT DISTINCT event_type, date_trunc('minute', ts) AS h,
+                 user_id FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND user_id IS NOT NULL) x
+    JOIN (SELECT DISTINCT event_type, date_trunc('minute', ts) AS h,
+                 user_id FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            AND user_id IS NOT NULL) y
+      ON x.event_type = y.event_type AND x.h = y.h
+     AND x.user_id < y.user_id
+"""
+
+
+def _kcore_chain_sql(k: int = 2, rounds: int = 8) -> str:
+    """Fixed-depth chained-CTE simultaneous peel (the q144
+    integer-PageRank oracle discipline): peeling a converged node set
+    is a no-op, so any depth >= the fixture's convergence depth
+    (measured 2 at sf0.01, 0 at sf0.001) replays the engine's
+    early-stopping loop exactly."""
+    parts = ["""
+            WITH ed AS (""" + _COMINUTE_PAIRS_SQL + """
+            ), dir AS (
+                SELECT val_a AS u, val_b AS v FROM ed
+                UNION ALL
+                SELECT val_b AS u, val_a AS v FROM ed
+            ), n0 AS (
+                SELECT DISTINCT u AS id FROM dir
+            )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", n{r} AS (
+                SELECT id FROM (
+                    SELECT e.u AS id, COUNT(*) AS c FROM dir e
+                    WHERE e.u IN (SELECT id FROM n{r - 1})
+                      AND e.v IN (SELECT id FROM n{r - 1})
+                    GROUP BY e.u) WHERE c >= {k})""")
+    parts.append(f"""
+            SELECT e.u AS user_id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM dir e
+            WHERE e.u IN (SELECT id FROM n{rounds})
+              AND e.v IN (SELECT id FROM n{rounds})
+            GROUP BY e.u
+        """)
+    return "".join(parts)
+
+
 def q143_triangles_events(sf_dir: str):
     """Triangle census of the user co-engagement graph
     (ops/graph.triangle_count): degree-ordered wedge join — wedge
@@ -3216,6 +3263,134 @@ def q154_zorder_lineitem(sf_dir: str):
     for c in cols:
         df[c] = df[c].astype("int64")
     return df[cols]
+
+
+def q155_kendall_events(sf_dir: str):
+    """Exact grouped Kendall tau-b numerator of (ts, value) per event
+    type (ops/kendall.grouped_kendall_numerator): concordant minus
+    discordant pair count in pure int64, O(n log n) via the batched
+    doubling-merge inversion counter — the oracle replays the
+    O(n^2) SIGN-product self-join in DuckDB."""
+    from raqc_ray.ops.kendall import grouped_kendall_numerator
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    df = _typed_pandas(grouped_kendall_numerator(ev, "event_type",
+                                                 "ts", "value",
+                                                 scale=100))
+    for c in ("n", "s_num"):
+        df[c] = df[c].astype("int64")
+    return df[["event_type", "n", "s_num"]]
+
+
+def q156_benford_orders(sf_dir: str):
+    """Benford first-significant-digit census of o_totalprice per
+    order priority (ops/benford.benford_digit_census): vectorized
+    integer digit stripping + per-block partials, ONE small groupby —
+    SUBSTR-of-BIGINT oracle."""
+    from raqc_ray.ops.benford import benford_digit_census
+
+    od = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    df = _typed_pandas(benford_digit_census(od, "o_orderpriority",
+                                            "o_totalprice"))
+    for c in ("digit", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["o_orderpriority", "digit", "n"]]
+
+
+def q157_rolling_median_events(sf_dir: str):
+    """Per-user rolling MEDIAN (x2, exact int) of event value cents
+    over a trailing 5-row frame (ops/rollmed.grouped_rolling_median2):
+    one gather matrix + one np.sort per sorted block orders every
+    frame at once — 2*MEDIAN(...) OVER (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) oracle."""
+    from raqc_ray.ops.rollmed import grouped_rolling_median2
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_rolling_median2(ev, "user_id", "ts",
+                                               "event_id", "value",
+                                               window=5, scale=100))
+    for c in ("user_id", "event_id", "med2"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "event_id", "med2"]]
+
+
+def _cominute_pairs(sf_dir: str):
+    """Distinct user-user edges from co-activity in the same
+    (event_type, MINUTE) cell — the sparse sibling of
+    `_coengagement_pairs` (hour cells connect everyone at sf >= 0.01;
+    minute cells leave the shallow periphery a k-core peel actually
+    removes)."""
+    from raqc_ray.ops.cooc import grouped_cooccurrence
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["event_type", "ts", "user_id"])
+        return pd.DataFrame({
+            "cell": d["event_type"].astype(str) + "|"
+            + d["ts"].dt.floor("min").astype(str),
+            "user_id": d["user_id"].astype("int64"),
+        })
+
+    cds = ev.map_batches(cells, batch_format="pandas")
+    pairs = grouped_cooccurrence(cds, "cell", "user_id")
+    return pairs.select_columns(["val_a", "val_b"])
+
+
+def q158_kcore_events(sf_dir: str):
+    """2-core of the minute-level user co-engagement graph
+    (ops/kcore.kcore): simultaneous-peel rounds — per round one
+    partial-count degree groupby + two endpoint semi-joins — until no
+    node is below degree 2; the unique k-core with per-node core
+    degree, chained-CTE peel oracle."""
+    from raqc_ray.ops.kcore import kcore
+
+    pairs = _cominute_pairs(sf_dir)
+    df = _typed_pandas(kcore(pairs, "val_a", "val_b", k=2))
+    df = df.rename(columns={"id": "user_id"})
+    for c in ("user_id", "deg"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "deg"]]
+
+
+def q159_coverage_events(sf_dir: str):
+    """Per-user activity coverage: total union length (and island
+    count) of 5-minute windows opened at each event
+    (ops/intervals.grouped_interval_union): one segment-cummax sweep
+    per sorted block, exact integer microseconds — SQL islands-idiom
+    oracle (MAX OVER preceding -> gap flag -> island group)."""
+    from raqc_ray.ops.intervals import grouped_interval_union
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def iv(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["user_id", "ts"])
+        t = d["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"user_id": d["user_id"].astype("int64"),
+                             "st": t, "en": t + 300_000_000})
+
+    ivds = ev.map_batches(iv, batch_format="pandas")
+    df = _typed_pandas(grouped_interval_union(ivds, "user_id",
+                                              "st", "en"))
+    for c in ("user_id", "covered", "n_islands"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "covered", "n_islands"]]
+
+
+def q160_lagprod_events(sf_dir: str):
+    """Per-user lag-1 product sum of event value cents
+    (ops/lagprod.grouped_lag_products): the exact-integer serial-
+    dependence raw moment, one masked shifted-product segment reduce
+    per sorted block — LAG-window SUM oracle."""
+    from raqc_ray.ops.lagprod import grouped_lag_products
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_lag_products(ev, "user_id", "ts",
+                                            "event_id", "value",
+                                            scale=100))
+    for c in ("user_id", "n_pairs", "s_lag"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "n_pairs", "s_lag"]]
 
 
 def q153_twap_events(sf_dir: str):
@@ -3461,6 +3636,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q152_assortativity_events": q152_assortativity_events,
         "q153_twap_events": q153_twap_events,
         "q154_zorder_lineitem": q154_zorder_lineitem,
+        "q155_kendall_events": q155_kendall_events,
+        "q156_benford_orders": q156_benford_orders,
+        "q157_rolling_median_events": q157_rolling_median_events,
+        "q158_kcore_events": q158_kcore_events,
+        "q159_coverage_events": q159_coverage_events,
+        "q160_lagprod_events": q160_lagprod_events,
     }
 
 
@@ -5773,6 +5954,100 @@ def oracle_sql() -> dict[str, str]:
                    MIN(x) AS min_x, MAX(x) AS max_x,
                    MIN(y) AS min_y, MAX(y) AS max_y
             FROM s4
+            GROUP BY 1
+        """,
+        "q155_kendall_events": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS x,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                       event_id
+                FROM events
+            ), cnt AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM e GROUP BY 1 HAVING COUNT(*) >= 2
+            ), p AS (
+                SELECT a.event_type AS event_type,
+                       CAST(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)
+                                * CAST(SIGN(b.v - a.v) AS BIGINT))
+                            AS BIGINT) AS s_num
+                FROM e a JOIN e b
+                  ON a.event_type = b.event_type
+                 AND a.event_id < b.event_id
+                GROUP BY 1
+            )
+            SELECT cnt.event_type, cnt.n, p.s_num
+            FROM cnt JOIN p USING (event_type)
+        """,
+        "q156_benford_orders": """
+            SELECT o_orderpriority,
+                   CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_totalprice >= 1
+            GROUP BY 1, 2
+        """,
+        "q157_rolling_median_events": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(2 * MEDIAN(v) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS med2
+            FROM e
+        """,
+        "q158_kcore_events": _kcore_chain_sql(k=2, rounds=8),
+        "q159_coverage_events": """
+            WITH iv AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS st,
+                       CAST(epoch_us(ts) AS BIGINT) + 300000000 AS en
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), m AS (
+                SELECT user_id, event_id, st, en,
+                       MAX(en) OVER (
+                           PARTITION BY user_id
+                           ORDER BY st, en, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM iv
+            ), isl AS (
+                SELECT user_id, st, en,
+                       SUM(CASE WHEN prev_max IS NULL OR st > prev_max
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY st, en, event_id) AS island
+                FROM m
+            )
+            SELECT user_id,
+                   CAST(SUM(mx - mn) AS BIGINT) AS covered,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands
+            FROM (SELECT user_id, island, MIN(st) AS mn,
+                         MAX(en) AS mx
+                  FROM isl GROUP BY 1, 2)
+            GROUP BY 1
+        """,
+        "q160_lagprod_events": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), l AS (
+                SELECT user_id, v,
+                       LAG(v) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pv
+                FROM e
+            )
+            SELECT user_id, CAST(COUNT(pv) AS BIGINT) AS n_pairs,
+                   CAST(SUM(v * pv) AS BIGINT) AS s_lag
+            FROM l WHERE pv IS NOT NULL
             GROUP BY 1
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch

@@ -374,3 +374,278 @@ def test_zorder_envelopes_are_quadtree_cells(ray_session):
     assert (out["min_y"].to_numpy() >> cell
             == out["max_y"].to_numpy() >> cell).all()
     assert out["n_rows"].sum() == len(df)
+
+
+# ------------------------------------------- Kendall tau-b numerator
+
+
+def _brute_kendall(x, v):
+    s = 0
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            s += int(np.sign(x[j] - x[i])) * int(np.sign(v[j] - v[i]))
+    return s
+
+
+def test_kendall_vs_brute(ray_session):
+    from raqc_ray.ops.kendall import grouped_kendall_numerator
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, 900),
+        "x": rng.integers(0, 40, 900),           # heavy x ties
+        "v": rng.normal(0, 3, 900).round(2),
+    })
+    out = (grouped_kendall_numerator(_ds(df, 4), "k", "x", "v",
+                                     scale=100)
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        vi = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        want = _brute_kendall(g["x"].to_numpy(np.int64), vi)
+        assert int(out.loc[k, "s_num"]) == want
+        assert int(out.loc[k, "n"]) == len(g)
+
+
+def test_kendall_layout_invariant(ray_session):
+    from raqc_ray.ops.kendall import grouped_kendall_numerator
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 500),
+        "x": rng.integers(0, 1000, 500),
+        "v": rng.normal(0, 5, 500).round(2),
+    })
+    outs = []
+    for blocks in (1, 7):
+        o = (grouped_kendall_numerator(_ds(df, blocks), "k", "x", "v")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+        outs.append(o.astype({"n": "int64", "s_num": "int64"}))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_kendall_monotone_extremes(ray_session):
+    from raqc_ray.ops.kendall import grouped_kendall_numerator
+
+    n = 80
+    df = pd.DataFrame({
+        "k": ["up"] * n + ["down"] * n,
+        "x": list(range(n)) * 2,
+        "v": [float(i) for i in range(n)]
+             + [float(n - i) for i in range(n)],
+    })
+    out = (grouped_kendall_numerator(_ds(df, 3), "k", "x", "v")
+           .to_pandas().set_index("k"))
+    assert int(out.loc["up", "s_num"]) == n * (n - 1) // 2
+    assert int(out.loc["down", "s_num"]) == -n * (n - 1) // 2
+
+
+# --------------------------------------------- Benford digit census
+
+
+def test_benford_vs_brute(ray_session):
+    from raqc_ray.ops.benford import benford_digit_census
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, 3000),
+        "v": np.exp(rng.uniform(0, 12, 3000)),   # wide magnitude span
+    })
+    df.loc[:20, "v"] = 0.3                        # sub-1 rows excluded
+    out = (benford_digit_census(_ds(df, 5), "k", "v")
+           .to_pandas())
+    got = {(int(r.k), int(r.digit)): int(r.n)
+           for r in out.itertuples()}
+    want: dict = {}
+    for k, v in zip(df["k"], df["v"]):
+        iv = int(np.floor(v))
+        if iv < 1:
+            continue
+        want[(int(k), int(str(iv)[0]))] = \
+            want.get((int(k), int(str(iv)[0])), 0) + 1
+    assert got == want
+
+
+# --------------------------------------------- rolling median (x2)
+
+
+def test_rolling_median2_vs_brute(ray_session):
+    from raqc_ray.ops.rollmed import grouped_rolling_median2
+
+    rng = np.random.default_rng(73)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, 700),
+        "t": rng.integers(0, 60, 700),
+        "i": np.arange(700, dtype=np.int64),
+        "v": rng.normal(0, 4, 700).round(2),
+    })
+    out = (grouped_rolling_median2(_ds(df, 4), "k", "t", "i", "v",
+                                   window=5)
+           .to_pandas().set_index("i"))
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["t", "i"], kind="mergesort")
+        vi = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        for pos in range(len(g)):
+            fr = sorted(vi[max(0, pos - 4): pos + 1])
+            want = fr[(len(fr) - 1) // 2] + fr[len(fr) // 2]
+            i = int(g["i"].iloc[pos])
+            assert int(out.loc[i, "med2"]) == want
+
+
+def test_rolling_median2_window1_is_value(ray_session):
+    from raqc_ray.ops.rollmed import grouped_rolling_median2
+
+    df = pd.DataFrame({"k": [1, 1, 2], "t": [1, 2, 1],
+                       "i": [1, 2, 3], "v": [1.5, -2.0, 7.25]})
+    out = (grouped_rolling_median2(_ds(df, 2), "k", "t", "i", "v",
+                                   window=1)
+           .to_pandas().sort_values("i"))
+    assert out["med2"].tolist() == [300, -400, 1450]
+
+
+# ------------------------------------------------- k-core peeling
+
+
+def _brute_kcore(df, k):
+    e = df[df["a"] != df["b"]].copy()
+    while True:
+        ids = np.concatenate([e["a"].to_numpy(), e["b"].to_numpy()])
+        u, c = np.unique(ids, return_counts=True)
+        low = set(u[c < k].tolist())
+        if not low or not len(e):
+            break
+        e = e[~(e["a"].isin(low) | e["b"].isin(low))]
+    return dict(zip(u.tolist(), c.tolist())) if len(e) else {}
+
+
+def test_kcore_vs_brute(ray_session):
+    from raqc_ray.ops.kcore import kcore
+
+    rng = np.random.default_rng(83)
+    raw = pd.DataFrame({"a": rng.integers(0, 60, 300),
+                        "b": rng.integers(0, 60, 300)})
+    # distinct undirected pairs, canonical a < b
+    lo = np.minimum(raw["a"], raw["b"])
+    hi = np.maximum(raw["a"], raw["b"])
+    df = (pd.DataFrame({"a": lo, "b": hi})
+          .drop_duplicates().reset_index(drop=True))
+    for k in (2, 3, 5):
+        out = kcore(_ds(df, 4), "a", "b", k=k).to_pandas()
+        want = _brute_kcore(df, k)
+        got = dict(zip(out["id"].astype(int), out["deg"].astype(int)))
+        assert got == want, (k, got, want)
+
+
+def test_kcore_planted_clique_survives(ray_session):
+    from raqc_ray.ops.kcore import kcore
+
+    # a 6-clique (nodes 100..105) rides on a long path (peels away)
+    clique = [(a, b) for i, a in enumerate(range(100, 106))
+              for b in list(range(100, 106))[i + 1:]]
+    path = [(i, i + 1) for i in range(40)]
+    df = pd.DataFrame(clique + path, columns=["a", "b"])
+    out = kcore(_ds(df, 3), "a", "b", k=3).to_pandas()
+    assert sorted(out["id"].tolist()) == list(range(100, 106))
+    assert (out["deg"] == 5).all()
+
+
+def test_kcore_empty_and_selfloops(ray_session):
+    from raqc_ray.ops.kcore import kcore
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": [1, 3, 4]})
+    out = kcore(_ds(df, 2), "a", "b", k=2).to_pandas()
+    assert len(out) == 0  # self-loop dropped; path chain peels away
+
+
+# --------------------------------------------- interval union sweep
+
+
+def _brute_union(st, en):
+    ivs = sorted(zip(st.tolist(), en.tolist()))
+    k = 0
+    cov = 0
+    cur_s = cur_e = None
+    for a, b in ivs:
+        if cur_e is None or a > cur_e:
+            if cur_e is not None:
+                cov += cur_e - cur_s
+            k += 1
+            cur_s, cur_e = a, b
+        else:
+            cur_e = max(cur_e, b)
+    if cur_e is not None:
+        cov += cur_e - cur_s
+    return cov, k
+
+
+def test_interval_union_vs_brute(ray_session):
+    from raqc_ray.ops.intervals import grouped_interval_union
+
+    rng = np.random.default_rng(89)
+    st = rng.integers(0, 10_000, 800).astype(np.int64)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, 800),
+        "st": st,
+        "en": st + rng.integers(0, 500, 800),
+    })
+    out = (grouped_interval_union(_ds(df, 5), "k", "st", "en")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        cov, isl = _brute_union(g["st"].to_numpy(), g["en"].to_numpy())
+        assert int(out.loc[k, "covered"]) == cov
+        assert int(out.loc[k, "n_islands"]) == isl
+
+
+def test_interval_union_layout_invariant(ray_session):
+    from raqc_ray.ops.intervals import grouped_interval_union
+
+    rng = np.random.default_rng(97)
+    st = rng.integers(0, 5_000, 400).astype(np.int64)
+    df = pd.DataFrame({"k": rng.integers(0, 10, 400), "st": st,
+                       "en": st + rng.integers(0, 300, 400)})
+    frames = []
+    for blocks in (1, 6):
+        o = (grouped_interval_union(_ds(df, blocks), "k", "st", "en")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+        frames.append(o.astype("int64"))
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+# --------------------------------------------- lag-1 product sums
+
+
+def test_lag_products_vs_brute(ray_session):
+    from raqc_ray.ops.lagprod import grouped_lag_products
+
+    rng = np.random.default_rng(101)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, 600),
+        "t": rng.integers(0, 50, 600),
+        "i": np.arange(600, dtype=np.int64),
+        "v": np.round(rng.uniform(-80, 80, 600), 2),
+    })
+    out = (grouped_lag_products(_ds(df, 4), "k", "t", "i", "v")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["t", "i"], kind="mergesort")
+        vi = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        if len(vi) < 2:
+            assert k not in out.index
+            continue
+        assert int(out.loc[k, "n_pairs"]) == len(vi) - 1
+        assert int(out.loc[k, "s_lag"]) == int((vi[1:] * vi[:-1]).sum())
+
+
+def test_lag_products_layout_invariant(ray_session):
+    from raqc_ray.ops.lagprod import grouped_lag_products
+
+    rng = np.random.default_rng(103)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 300),
+                       "t": rng.integers(0, 40, 300),
+                       "i": np.arange(300, dtype=np.int64),
+                       "v": np.round(rng.uniform(0, 50, 300), 2)})
+    frames = []
+    for blocks in (1, 7):
+        o = (grouped_lag_products(_ds(df, blocks), "k", "t", "i", "v")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+        frames.append(o.astype("int64"))
+    pd.testing.assert_frame_equal(frames[0], frames[1])

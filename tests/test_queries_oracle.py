@@ -129,7 +129,10 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q147_zipf_documents", "q148_bfs_events",
             "q149_ks_events", "q150_ewma_events", "q151_welch_events",
             "q152_assortativity_events", "q153_twap_events",
-            "q154_zorder_lineitem"]
+            "q154_zorder_lineitem", "q155_kendall_events",
+            "q156_benford_orders", "q157_rolling_median_events",
+            "q158_kcore_events", "q159_coverage_events",
+            "q160_lagprod_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
