@@ -3393,6 +3393,40 @@ def q160_lagprod_events(sf_dir: str):
     return df[["user_id", "n_pairs", "s_lag"]]
 
 
+def q161_qselect_events(sf_dir: str):
+    """Exact P90 of event value cents per type by DISTRIBUTED
+    SELECTION (ops/qselect.grouped_quantile_select): simultaneous
+    per-group binary search over the cents domain — one streaming
+    count pass per domain bit, O(keys) driver state, zero value
+    shuffle (the wide-domain exact path the histogram plan q47 and
+    the t-digest can't both give) — quantile_disc oracle."""
+    from raqc_ray.ops.qselect import grouped_quantile_select
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    df = grouped_quantile_select(ev, "event_type", "value", q=0.9,
+                                 scale=100)
+    for c in ("n", "qv"):
+        df[c] = df[c].astype("int64")
+    return (df.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n", "qv"]])
+
+
+def q162_compress_documents(sf_dir: str):
+    """Per-document zlib compressibility in basis points
+    (ops/compressibility.compression_signal): the tokenizer-free
+    repetition screen (Gopher-style); per-row DEFLATE is C-speed
+    codec work, outputs exact ints.  No SQL oracle (DuckDB has no
+    DEFLATE) — planted-entropy + recompute + layout gates in
+    pytest."""
+    from raqc_ray.ops.compressibility import compression_signal
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(compression_signal(docs, "doc_id", "text"))
+    for c in ("doc_id", "n_bytes", "n_comp", "ratio_bp"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_bytes", "n_comp", "ratio_bp"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3645,6 +3679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q156_benford_orders": q156_benford_orders,
         "q157_rolling_median_events": q157_rolling_median_events,
         "q160_lagprod_events": q160_lagprod_events,
+        "q161_qselect_events": q161_qselect_events,
+        "q162_compress_documents": q162_compress_documents,
     }
 
 
@@ -6053,8 +6089,20 @@ def oracle_sql() -> dict[str, str]:
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
         """,
+        "q161_qselect_events": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(v, 0.9) AS BIGINT) AS qv
+            FROM e GROUP BY 1
+        """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
         # (q26 moved to the oracled set in round 3: shingle-set Jaccard is
         # hash-invariant, so the DuckDB list-functions form is exact.)
+        # q162: zlib DEFLATE output — no DuckDB equivalent; pytest-gated
+        # (planted entropy, exact recompute, layout invariance).
     }

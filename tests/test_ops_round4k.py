@@ -649,3 +649,78 @@ def test_lag_products_layout_invariant(ray_session):
              .to_pandas().sort_values("k").reset_index(drop=True))
         frames.append(o.astype("int64"))
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+# ------------------------------------------ selection quantile
+
+
+def test_qselect_vs_numpy(ray_session):
+    from raqc_ray.ops.qselect import grouped_quantile_select
+
+    rng = np.random.default_rng(107)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, 900),
+        "v": np.round(rng.normal(0, 400, 900), 2),  # wide domain
+    })
+    for q in (0.1, 0.5, 0.9, 1.0):
+        out = (grouped_quantile_select(_ds(df, 4), "k", "v", q=q)
+               .set_index("k"))
+        for k, g in df.groupby("k"):
+            vi = np.sort(np.floor(g["v"].to_numpy() * 100
+                                  + 0.5).astype(np.int64))
+            want = vi[max(1, int(np.ceil(q * len(vi)))) - 1]
+            assert int(out.loc[k, "qv"]) == want, (q, k)
+            assert int(out.loc[k, "n"]) == len(g)
+
+
+def test_qselect_constant_group(ray_session):
+    from raqc_ray.ops.qselect import grouped_quantile_select
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"],
+                       "v": [7.25] * 5 + [1.0]})
+    out = (grouped_quantile_select(_ds(df, 2), "k", "v", q=0.5)
+           .set_index("k"))
+    assert int(out.loc["a", "qv"]) == 725
+    assert int(out.loc["b", "qv"]) == 100
+
+
+# ------------------------------------------ zlib compressibility
+
+
+def test_compression_signal_entropy_ordering(ray_session):
+    from raqc_ray.ops.compressibility import compression_signal
+
+    rng = np.random.default_rng(109)
+    rand_text = "".join(rng.choice(list("abcdefghij0123456789 "), 4000))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam ham " * 500, rand_text, ""],
+    })
+    out = (compression_signal(_ds(df, 2), "doc_id", "text")
+           .to_pandas().set_index("doc_id"))
+    assert 3 not in out.index            # empty doc excluded
+    assert out.loc[1, "ratio_bp"] < 500  # repeated text: tiny
+    assert out.loc[2, "ratio_bp"] > 3000  # high-entropy: large
+    import zlib
+
+    for d, t in ((1, "spam ham " * 500), (2, rand_text)):
+        raw = t.encode()
+        assert int(out.loc[d, "n_bytes"]) == len(raw)
+        assert int(out.loc[d, "n_comp"]) == len(zlib.compress(raw, 6))
+        assert int(out.loc[d, "ratio_bp"]) == \
+            len(zlib.compress(raw, 6)) * 10000 // len(raw)
+
+
+def test_compression_signal_layout_invariant(ray_session):
+    from raqc_ray.ops.compressibility import compression_signal
+
+    rng = np.random.default_rng(113)
+    texts = ["".join(rng.choice(list("abcde "), rng.integers(5, 300)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+    frames = []
+    for blocks in (1, 5):
+        frames.append(compression_signal(_ds(df, blocks))
+                      .to_pandas().sort_values("doc_id")
+                      .reset_index(drop=True))
+    pd.testing.assert_frame_equal(frames[0], frames[1])

@@ -132,7 +132,7 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q154_zorder_lineitem", "q155_kendall_events",
             "q156_benford_orders", "q157_rolling_median_events",
             "q158_kcore_events", "q159_coverage_events",
-            "q160_lagprod_events"]
+            "q160_lagprod_events", "q161_qselect_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
@@ -151,7 +151,8 @@ ROWS_ONLY_KEYS = ["q16_langid_documents", "q17_minhash_dedup_documents",
                   "q18_simhash_documents", "q19_embdup_embeddings",
                   "q21_ivf_ann_topk", "q24_rolling_fp_documents",
                   "q25_validate_documents", "q73_dedup_corpus_documents",
-                  "q80_heavy_hitters_documents", "q81_kmeans_embeddings"]
+                  "q80_heavy_hitters_documents", "q81_kmeans_embeddings",
+                  "q162_compress_documents"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
