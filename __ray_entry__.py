@@ -3427,6 +3427,23 @@ def q162_compress_documents(sf_dir: str):
     return df[["doc_id", "n_bytes", "n_comp", "ratio_bp"]]
 
 
+def q163_tri_per_node_events(sf_dir: str):
+    """Per-user triangle participation + degree over the hourly
+    co-engagement graph (ops/graph.triangle_counts_per_node): the
+    local-clustering-coefficient input — apex-carrying wedge join,
+    3-way credit explode, one node-scale groupby — triple-self-join
+    oracle."""
+    from raqc_ray.ops.graph import triangle_counts_per_node
+
+    pairs = _coengagement_pairs(sf_dir)
+    df = _typed_pandas(triangle_counts_per_node(pairs, "val_a",
+                                                "val_b"))
+    df = df.rename(columns={"id": "user_id"})
+    for c in ("user_id", "n_tri", "deg"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "n_tri", "deg"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3681,6 +3698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_lagprod_events": q160_lagprod_events,
         "q161_qselect_events": q161_qselect_events,
         "q162_compress_documents": q162_compress_documents,
+        "q163_tri_per_node_events": q163_tri_per_node_events,
     }
 
 
@@ -6088,6 +6106,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q163_tri_per_node_events": """
+            WITH ed AS (""" + _COENGAGE_PAIRS_SQL + """
+            ), tri AS (
+                SELECT e1.val_a AS x, e1.val_b AS y, e2.val_b AS z
+                FROM ed e1
+                JOIN ed e2 ON e2.val_a = e1.val_b
+                JOIN ed e3 ON e3.val_a = e1.val_a
+                          AND e3.val_b = e2.val_b
+            ), credit AS (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ), pernode AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+                FROM credit GROUP BY 1
+            ), deg AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT val_a AS id FROM ed
+                      UNION ALL SELECT val_b FROM ed)
+                GROUP BY 1
+            )
+            SELECT p.id AS user_id, p.n_tri, d.deg
+            FROM pernode p JOIN deg d USING (id)
         """,
         "q161_qselect_events": """
             WITH e AS (

@@ -70,34 +70,20 @@ def _degrees(pairs, a_col: str, b_col: str):
             .groupby("id").aggregate(Sum("deg", alias_name="deg")))
 
 
-def triangle_count(pairs, a_col: str = "a", b_col: str = "b",
-                   num_partitions: int | None = None):
-    """Total number of triangles in the undirected graph given as a
-    DISTINCT pair dataset (``a_col < b_col`` per row — the contract of
-    every pair emitter in this package).  Returns a one-row Dataset
-    ``(n_wedges, n_triangles)`` (both int64; the wedge count is the
-    checked-candidate volume — the op's cost certificate)."""
-    from ray.data.aggregate import Sum
-
-    from .groupscan import scan_sorted_groups
+def _oriented_edges(pairs, a_col: str, b_col: str,
+                    num_partitions: int | None = None):
+    """(oriented, deg): each undirected edge oriented from its
+    (degree, id)-smaller to -larger endpoint — the Suri-Vassilvitskii
+    orientation that caps out-neighborhoods at O(sqrt(E)).  Returns
+    the materialized oriented edge Dataset (src, dst, ddeg) and the
+    materialized (id, deg) table."""
     from .join import hash_join
 
-    # pin the (possibly expensive) upstream: degrees and the oriented
-    # join are two consumers of the same lineage
-    pairs = pairs.materialize()
-    if pairs.count() == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table({
-            "n_wedges": pa.array([0], pa.int64()),
-            "n_triangles": pa.array([0], pa.int64()),
-        }))
     deg = _degrees(pairs, a_col, b_col).materialize()
-    # orient by (deg, id): src = smaller endpoint in that total order
-    # (distinct right-side names per join — the native join keeps the
+    # distinct right-side names per join — the native join keeps the
     # right key column, so reusing "id"/"deg" twice would collide;
     # rename via map_batches: Dataset.rename_columns assumes Arrow
-    # blocks, but groupby-aggregate emits pandas blocks)
+    # blocks, but groupby-aggregate emits pandas blocks
     def _rn(ia, da):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             return df.rename(columns={"id": ia, "deg": da})
@@ -127,6 +113,33 @@ def triangle_count(pairs, a_col: str = "a", b_col: str = "b",
         })
 
     oriented = e.map_batches(orient, batch_format="pandas").materialize()
+    return oriented, deg
+
+
+def triangle_count(pairs, a_col: str = "a", b_col: str = "b",
+                   num_partitions: int | None = None):
+    """Total number of triangles in the undirected graph given as a
+    DISTINCT pair dataset (``a_col < b_col`` per row — the contract of
+    every pair emitter in this package).  Returns a one-row Dataset
+    ``(n_wedges, n_triangles)`` (both int64; the wedge count is the
+    checked-candidate volume — the op's cost certificate)."""
+    from ray.data.aggregate import Sum
+
+    from .groupscan import scan_sorted_groups
+    from .join import hash_join
+
+    # pin the (possibly expensive) upstream: degrees and the oriented
+    # join are two consumers of the same lineage
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "n_wedges": pa.array([0], pa.int64()),
+            "n_triangles": pa.array([0], pa.int64()),
+        }))
+    oriented, deg = _oriented_edges(pairs, a_col, b_col,
+                                    num_partitions)
 
     def wedges_group(g: pd.DataFrame) -> pd.DataFrame:
         o = np.lexsort((g["dst"].to_numpy(dtype=np.int64),
@@ -174,6 +187,98 @@ def triangle_count(pairs, a_col: str = "a", b_col: str = "b",
         "n_wedges": pa.array([int(n_wedges)], pa.int64()),
         "n_triangles": pa.array([int(n_tri)], pa.int64()),
     }))
+
+
+def triangle_counts_per_node(pairs, a_col: str = "a", b_col: str = "b",
+                             num_partitions: int | None = None):
+    """Per-node triangle participation — ``(id, n_tri, deg)`` for
+    every node in >= 1 triangle — the input of the local clustering
+    coefficient ``2*n_tri / (deg*(deg-1))`` (Watts-Strogatz 1998).
+
+    Same degree-ordered wedge plan as :func:`triangle_count`
+    (shared :func:`_oriented_edges` front half), but wedges CARRY
+    their apex, so each closed triangle credits its three vertices:
+    one vectorized 3-way explode per block + per-block partial counts
+    + ONE node-scale groupby, then a hash join attaches degrees.
+    Exact ints throughout."""
+    from ray.data.aggregate import Sum
+
+    from .groupscan import scan_sorted_groups
+    from .join import hash_join
+
+    import ray.data as rd
+
+    empty_out = pa.table({"id": pa.array([], pa.int64()),
+                          "n_tri": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(empty_out)
+    oriented, deg = _oriented_edges(pairs, a_col, b_col,
+                                    num_partitions)
+
+    def wedges_group(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["dst"].to_numpy(dtype=np.int64),
+                        g["ddeg"].to_numpy(dtype=np.int64)))
+        vs = g["dst"].to_numpy(dtype=np.int64)[o]
+        i, j = np.triu_indices(len(vs), 1)
+        return pd.DataFrame({
+            "apex": np.full(len(i), int(g["src"].iloc[0]),
+                            dtype=np.int64),
+            "wx": vs[i], "wy": vs[j]})
+
+    def wedges_block(df: pd.DataFrame, starts: np.ndarray,
+                     ends: np.ndarray) -> pd.DataFrame:
+        xs, ys, aps = [], [], []
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        ddeg = df["ddeg"].to_numpy(dtype=np.int64)
+        src = df["src"].to_numpy(dtype=np.int64)
+        for s, e_ in zip(starts.tolist(), ends.tolist()):
+            o = np.lexsort((dst[s:e_], ddeg[s:e_]))
+            vs = dst[s:e_][o]
+            i, j = np.triu_indices(len(vs), 1)
+            xs.append(vs[i])
+            ys.append(vs[j])
+            aps.append(np.full(len(i), src[s], dtype=np.int64))
+        if not xs:
+            return pd.DataFrame({"apex": pd.Series(dtype="int64"),
+                                 "wx": pd.Series(dtype="int64"),
+                                 "wy": pd.Series(dtype="int64")})
+        return pd.DataFrame({"apex": np.concatenate(aps),
+                             "wx": np.concatenate(xs),
+                             "wy": np.concatenate(ys)})
+
+    empty = pd.DataFrame({"apex": pd.Series(dtype="int64"),
+                          "wx": pd.Series(dtype="int64"),
+                          "wy": pd.Series(dtype="int64")})
+    w = scan_sorted_groups(oriented.select_columns(["src", "dst",
+                                                    "ddeg"]),
+                           "src", wedges_group, empty, min_group=2,
+                           block_fn=wedges_block).materialize()
+    if w.count() == 0:
+        return rd.from_arrow(empty_out)
+    closed = hash_join(w, oriented.select_columns(["src", "dst"]),
+                       on=("wx", "wy"), right_on=("src", "dst"),
+                       num_partitions=num_partitions)
+
+    def credit(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["apex"].to_numpy(dtype=np.int64),
+                              df["wx"].to_numpy(dtype=np.int64),
+                              df["wy"].to_numpy(dtype=np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pd.DataFrame({"id": u, "n_tri": c.astype(np.int64)})
+
+    per = (closed.map_batches(credit, batch_format="pandas")
+           .groupby("id").aggregate(Sum("n_tri", alias_name="n_tri")))
+
+    def _rn_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id": "__id"})
+
+    joined = hash_join(per,
+                       deg.map_batches(_rn_deg, batch_format="pandas"),
+                       on="id", right_on="__id",
+                       num_partitions=num_partitions)
+    return joined.select_columns(["id", "n_tri", "deg"])
 
 
 def pagerank(pairs, a_col: str = "a", b_col: str = "b",

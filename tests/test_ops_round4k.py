@@ -724,3 +724,53 @@ def test_compression_signal_layout_invariant(ray_session):
                       .to_pandas().sort_values("doc_id")
                       .reset_index(drop=True))
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+# ------------------------------------------ per-node triangles
+
+
+def _brute_tri_per_node(edges):
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                cnt[v] = cnt.get(v, 0) + 1
+    return cnt, {v: len(s) for v, s in adj.items()}
+
+
+def test_triangle_counts_per_node_vs_brute(ray_session):
+    from raqc_ray.ops.graph import triangle_counts_per_node
+
+    rng = np.random.default_rng(127)
+    es = set()
+    while len(es) < 200:
+        a, b = rng.integers(0, 40, 2)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    edges = sorted(es)
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    out = (triangle_counts_per_node(_ds(df, 4), "a", "b")
+           .to_pandas().set_index("id"))
+    want, degs = _brute_tri_per_node(edges)
+    assert sorted(out.index.tolist()) == sorted(want)
+    for v, c in want.items():
+        assert int(out.loc[v, "n_tri"]) == c
+        assert int(out.loc[v, "deg"]) == degs[v]
+
+
+def test_triangle_counts_per_node_clique(ray_session):
+    from raqc_ray.ops.graph import triangle_counts_per_node
+
+    # K5: every node sits in C(4,2)=6 triangles with degree 4
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    out = triangle_counts_per_node(_ds(df, 2), "a", "b").to_pandas()
+    assert len(out) == 5
+    assert (out["n_tri"] == 6).all()
+    assert (out["deg"] == 4).all()
