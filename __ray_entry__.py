@@ -3444,6 +3444,24 @@ def q163_tri_per_node_events(sf_dir: str):
     return df[["user_id", "n_tri", "deg"]]
 
 
+def q164_containment_documents(sf_dir: str):
+    """Asymmetric near-dup: shingle CONTAINMENT pairs >= 0.70
+    (ops/containment.shingle_containment_pairs): exact inverted-index
+    candidates (df-pruned 2..50 stop-shingles), one cooccurrence pair
+    scan, integer basis-point scores — the quote-inclusion detector
+    Jaccard LSH misses; full list-functions oracle."""
+    from raqc_ray.ops.containment import shingle_containment_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(shingle_containment_pairs(docs, "doc_id",
+                                                 "text", k_shingle=3,
+                                                 threshold_bp=7000,
+                                                 max_df=50))
+    for c in ("doc_a", "doc_b", "inter", "containment_bp"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_a", "doc_b", "inter", "containment_bp"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3699,6 +3717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q161_qselect_events": q161_qselect_events,
         "q162_compress_documents": q162_compress_documents,
         "q163_tri_per_node_events": q163_tri_per_node_events,
+        "q164_containment_documents": q164_containment_documents,
     }
 
 
@@ -6106,6 +6125,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q164_containment_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN
+                           list_distinct([t[i] || chr(1) || t[i+1] || chr(1)
+                                          || t[i+2]
+                                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, chr(1))] END AS shingles
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), dfree AS (
+                SELECT s FROM ex GROUP BY s
+                HAVING COUNT(*) BETWEEN 2 AND 50
+            ), kept AS (
+                SELECT ex.doc_id, ex.s FROM ex JOIN dfree USING (s)
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS i
+                FROM kept a JOIN kept b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i2.doc_a, i2.doc_b, CAST(i2.i AS BIGINT) AS inter,
+                   CAST((10000 * i2.i) // LEAST(sa.n, sb.n) AS BIGINT)
+                       AS containment_bp
+            FROM inter i2
+            JOIN sizes sa ON sa.doc_id = i2.doc_a
+            JOIN sizes sb ON sb.doc_id = i2.doc_b
+            WHERE (10000 * i2.i) // LEAST(sa.n, sb.n) >= 7000
         """,
         "q163_tri_per_node_events": """
             WITH ed AS (""" + _COENGAGE_PAIRS_SQL + """

@@ -774,3 +774,72 @@ def test_triangle_counts_per_node_clique(ray_session):
     assert len(out) == 5
     assert (out["n_tri"] == 6).all()
     assert (out["deg"] == 4).all()
+
+
+# ---------------------------------------- shingle containment
+
+
+def test_containment_planted_inclusion(ray_session):
+    from raqc_ray.ops.containment import shingle_containment_pairs
+
+    rng = np.random.default_rng(131)
+    vocab = [f"w{i}" for i in range(400)]
+    long_doc = " ".join(rng.choice(vocab, 300))
+    short_doc = " ".join(long_doc.split()[40:80])  # verbatim excerpt
+    other = " ".join(rng.choice(vocab, 250))
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [long_doc, short_doc, other]})
+    out = (shingle_containment_pairs(_ds(df, 2), threshold_bp=9000,
+                                     max_df=10)
+           .to_pandas())
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in got                    # excerpt fully contained
+    row = out.set_index(["doc_a", "doc_b"]).loc[(1, 2)]
+    assert int(row["containment_bp"]) >= 9000
+
+
+def test_containment_vs_brute(ray_session):
+    from raqc_ray.ops.containment import shingle_containment_pairs
+    from raqc_ray.ops.dedup import _shingle_hashes, _token_hash
+
+    rng = np.random.default_rng(137)
+    base = [f"t{i}" for i in
+            rng.integers(0, 60, 200)]      # shared base sequence
+    texts = []
+    for _ in range(25):                    # overlapping windows of it
+        a = int(rng.integers(0, 150))
+        b = a + int(rng.integers(5, 50))
+        texts.append(" ".join(base[a:b]))
+    df = pd.DataFrame({"doc_id": np.arange(25), "text": texts})
+    max_df, thr = 8, 5000
+    out = (shingle_containment_pairs(_ds(df, 3), threshold_bp=thr,
+                                     max_df=max_df)
+           .to_pandas())
+    if "doc_a" not in out.columns:         # empty result schema
+        out = pd.DataFrame(columns=["doc_a", "doc_b", "inter",
+                                    "containment_bp"])
+    got = {(int(a), int(b)): (int(i), int(c)) for a, b, i, c in
+           zip(out["doc_a"], out["doc_b"], out["inter"],
+               out["containment_bp"])}
+    # brute force with the same hash shingles + df pruning
+    shs = {}
+    for d, t in zip(df["doc_id"], df["text"]):
+        th = np.fromiter((_token_hash(x) for x in t.split()),
+                         dtype=np.uint64, count=len(t.split()))
+        shs[int(d)] = set(_shingle_hashes(th, 3).tolist())
+    from collections import Counter
+
+    dfc = Counter(s for v in shs.values() for s in v)
+    keep = {s for s, c in dfc.items() if 2 <= c <= max_df}
+    want = {}
+    ids = sorted(shs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len((shs[a] & shs[b]) & keep)
+            if inter == 0:
+                continue
+            bp = 10000 * inter // min(len(shs[a]), len(shs[b]))
+            if bp >= thr:
+                want[(a, b)] = (inter, bp)
+    assert got == want
