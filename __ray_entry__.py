@@ -3462,6 +3462,22 @@ def q164_containment_documents(sf_dir: str):
     return df[["doc_a", "doc_b", "inter", "containment_bp"]]
 
 
+def q165_drawdown_events(sf_dir: str):
+    """Per-user maximum drawdown of event value cents
+    (ops/drawdown.grouped_max_drawdown): peak-to-trough deficit over
+    the sorted timeline, one segment-cummax pass — MAX(runmax - v)
+    window oracle."""
+    from raqc_ray.ops.drawdown import grouped_max_drawdown
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_max_drawdown(ev, "user_id", "ts",
+                                            "event_id", "value",
+                                            scale=100))
+    for c in ("user_id", "n", "max_dd"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "n", "max_dd"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3718,6 +3734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q162_compress_documents": q162_compress_documents,
         "q163_tri_per_node_events": q163_tri_per_node_events,
         "q164_containment_documents": q164_containment_documents,
+        "q165_drawdown_events": q165_drawdown_events,
     }
 
 
@@ -6125,6 +6142,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q165_drawdown_events": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), r AS (
+                SELECT user_id, v,
+                       MAX(v) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS peak
+                FROM e
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(peak - v) AS BIGINT) AS max_dd
+            FROM r GROUP BY 1
         """,
         "q164_containment_documents": """
             WITH toks AS (

@@ -843,3 +843,37 @@ def test_containment_vs_brute(ray_session):
             if bp >= thr:
                 want[(a, b)] = (inter, bp)
     assert got == want
+
+
+# ----------------------------------------------- max drawdown
+
+
+def test_drawdown_vs_brute(ray_session):
+    from raqc_ray.ops.drawdown import grouped_max_drawdown
+
+    rng = np.random.default_rng(139)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, 600),
+        "t": rng.integers(0, 50, 600),
+        "i": np.arange(600, dtype=np.int64),
+        "v": np.round(rng.normal(0, 30, 600).cumsum() / 10, 2),
+    })
+    out = (grouped_max_drawdown(_ds(df, 4), "k", "t", "i", "v")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["t", "i"], kind="mergesort")
+        vi = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        want = int((np.maximum.accumulate(vi) - vi).max())
+        assert int(out.loc[k, "max_dd"]) == want
+        assert int(out.loc[k, "n"]) == len(g)
+
+
+def test_drawdown_monotone_is_zero(ray_session):
+    from raqc_ray.ops.drawdown import grouped_max_drawdown
+
+    df = pd.DataFrame({"k": [1] * 6, "t": range(6),
+                       "i": np.arange(6, dtype=np.int64),
+                       "v": [1.0, 2.0, 2.0, 3.5, 7.0, 7.25]})
+    out = grouped_max_drawdown(_ds(df, 2), "k", "t", "i", "v") \
+        .to_pandas()
+    assert out["max_dd"].tolist() == [0]
