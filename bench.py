@@ -208,6 +208,9 @@ def run_bench() -> dict:
         # r1/r2 BENCH artifacts; compare totals minus these)
         "q31_asof_events_orders",
         "q33_topk_orders_per_cust",
+        # round 4: the batched-inversion Kendall numerator (new key —
+        # absent from r1-r3 artifacts; compare totals minus this)
+        "q155_kendall_events",
     ]
     qtimes: dict[str, float] = {"validate_pair_images": round(t_validate, 3)}
     qs = entrymod.queries()
