@@ -3478,6 +3478,51 @@ def q165_drawdown_events(sf_dir: str):
     return df[["user_id", "n", "max_dd"]]
 
 
+def q166_merge_customer(sf_dir: str):
+    """CDC MERGE application (ops/merge.apply_changes): a
+    deterministic change set (deletes for custkey%10==0, updates for
+    %10 in 1-3, inserts keyed +10^6 for %10==7) applied to the
+    customer base — one distributed anti join + union, duplicate-key
+    change sets rejected loudly; NOT-EXISTS + UNION ALL oracle."""
+    from raqc_ray.ops.merge import apply_changes
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name",
+                                      "c_acctbal"])
+
+    def to_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "c_name": df["c_name"].astype(str),
+            "bal_c": np.floor(
+                df["c_acctbal"].to_numpy(dtype=np.float64) * 100 + 0.5
+            ).astype(np.int64),
+        })
+
+    base = cust.map_batches(to_base, batch_format="pandas")
+
+    def to_delta(df: pd.DataFrame) -> pd.DataFrame:
+        b = to_base(df)
+        k = b["c_custkey"].to_numpy()
+        upd = b[(k % 10 >= 1) & (k % 10 <= 3)].copy()
+        upd["c_name"] = "upd-" + upd["c_custkey"].astype(str)
+        upd["bal_c"] = upd["bal_c"] + 777
+        upd["op"] = "U"
+        dele = b[k % 10 == 0].copy()
+        dele["op"] = "D"
+        ins = b[k % 10 == 7].copy()
+        ins["c_name"] = "ins-" + ins["c_custkey"].astype(str)
+        ins["bal_c"] = ins["c_custkey"].astype("int64")
+        ins["c_custkey"] = ins["c_custkey"] + 1_000_000
+        ins["op"] = "I"
+        return pd.concat([upd, dele, ins], ignore_index=True)
+
+    delta = cust.map_batches(to_delta, batch_format="pandas")
+    df = _typed_pandas(apply_changes(base, delta, on="c_custkey"))
+    df["c_custkey"] = df["c_custkey"].astype("int64")
+    df["bal_c"] = df["bal_c"].astype("int64")
+    return df[["c_custkey", "c_name", "bal_c"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3735,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q163_tri_per_node_events": q163_tri_per_node_events,
         "q164_containment_documents": q164_containment_documents,
         "q165_drawdown_events": q165_drawdown_events,
+        "q166_merge_customer": q166_merge_customer,
     }
 
 
@@ -6142,6 +6188,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q166_merge_customer": """
+            WITH base AS (
+                SELECT c_custkey, c_name,
+                       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS bal_c
+                FROM customer
+            ), delta AS (
+                SELECT c_custkey,
+                       'upd-' || CAST(c_custkey AS VARCHAR) AS c_name,
+                       bal_c + 777 AS bal_c, 'U' AS op
+                FROM base WHERE c_custkey % 10 BETWEEN 1 AND 3
+                UNION ALL
+                SELECT c_custkey, c_name, bal_c, 'D'
+                FROM base WHERE c_custkey % 10 = 0
+                UNION ALL
+                SELECT c_custkey + 1000000,
+                       'ins-' || CAST(c_custkey AS VARCHAR),
+                       c_custkey, 'I'
+                FROM base WHERE c_custkey % 10 = 7
+            ), kept AS (
+                SELECT b.* FROM base b
+                WHERE NOT EXISTS (SELECT 1 FROM delta d
+                                  WHERE d.c_custkey = b.c_custkey)
+            )
+            SELECT c_custkey, c_name, CAST(bal_c AS BIGINT) AS bal_c
+            FROM kept
+            UNION ALL
+            SELECT c_custkey, c_name, CAST(bal_c AS BIGINT) AS bal_c
+            FROM delta WHERE op <> 'D'
         """,
         "q165_drawdown_events": """
             WITH e AS (

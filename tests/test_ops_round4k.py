@@ -877,3 +877,30 @@ def test_drawdown_monotone_is_zero(ray_session):
     out = grouped_max_drawdown(_ds(df, 2), "k", "t", "i", "v") \
         .to_pandas()
     assert out["max_dd"].tolist() == [0]
+
+
+# ------------------------------------------------- CDC merge
+
+
+def test_apply_changes_basic(ray_session):
+    from raqc_ray.ops.merge import apply_changes
+
+    base = pd.DataFrame({"k": [1, 2, 3, 4],
+                         "v": [10, 20, 30, 40]})
+    delta = pd.DataFrame({"k": [2, 4, 9],
+                          "v": [99, 0, 90],
+                          "op": ["U", "D", "I"]})
+    out = (apply_changes(_ds(base, 2), _ds(delta, 2), on="k")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 9]
+    assert out["v"].tolist() == [10, 99, 30, 90]
+
+
+def test_apply_changes_duplicate_key_raises(ray_session):
+    from raqc_ray.ops.merge import apply_changes
+
+    base = pd.DataFrame({"k": [1], "v": [1]})
+    delta = pd.DataFrame({"k": [2, 2], "v": [5, 6],
+                          "op": ["I", "U"]})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        apply_changes(_ds(base, 1), _ds(delta, 1), on="k")
