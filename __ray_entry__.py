@@ -3523,6 +3523,45 @@ def q166_merge_customer(sf_dir: str):
     return df[["c_custkey", "c_name", "bal_c"]]
 
 
+def q167_dcstats_documents(sf_dir: str):
+    """END-TO-END image-stage gate through the driver oracle: each
+    document becomes a deterministic two-tone 32x16 PPM (left half
+    gray g1 = doc_id%200+20, right half g2 = (doc_id*7)%200+20,
+    block-aligned), the REAL decode -> luma block-mean path
+    (ops/dcstats.DcStatsStage, exact ppm branch) reduces it to
+    integer envelope stats, and the oracle recomputes the closed
+    form in SQL — bytes, codec, actor pool and stats all inside the
+    correctness gate."""
+    import ray.data as rd
+
+    from raqc_ray.codecs import encode_ppm
+    from raqc_ray.ops.dcstats import dc_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d in df["doc_id"].astype("int64"):
+            g1 = int(d) % 200 + 20
+            g2 = (int(d) * 7) % 200 + 20
+            arr = np.empty((16, 32, 3), dtype=np.uint8)
+            arr[:, :16, :] = g1
+            arr[:, 16:, :] = g2
+            ids.append(str(int(d)))
+            blobs.append(encode_ppm(arr))
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": "ppm"})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(dc_stats(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("n_blocks", "sum_c", "min_c", "max_c"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_blocks", "sum_c", "min_c", "max_c"]]
+            .reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3781,6 +3820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q164_containment_documents": q164_containment_documents,
         "q165_drawdown_events": q165_drawdown_events,
         "q166_merge_customer": q166_merge_customer,
+        "q167_dcstats_documents": q167_dcstats_documents,
     }
 
 
@@ -6188,6 +6228,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q167_dcstats_documents": """
+            -- closed form of the two-tone render: 2x4 blocks of 8x8,
+            -- left two block-columns g1, right two g2; luma of a gray
+            -- pixel (r=g=b=v) is v exactly (0.299+0.587+0.114 = 1),
+            -- so block mean cents = 100*g
+            WITH g AS (
+                SELECT doc_id,
+                       doc_id % 200 + 20 AS g1,
+                       (doc_id * 7) % 200 + 20 AS g2
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(8 AS BIGINT) AS n_blocks,
+                   CAST(400 * (g1 + g2) AS BIGINT) AS sum_c,
+                   CAST(100 * LEAST(g1, g2) AS BIGINT) AS min_c,
+                   CAST(100 * GREATEST(g1, g2) AS BIGINT) AS max_c
+            FROM g
         """,
         "q166_merge_customer": """
             WITH base AS (
