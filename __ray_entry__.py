@@ -3689,19 +3689,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q144_pagerank_events": q144_pagerank_events,
         "q146_rolling_active_events": q146_rolling_active_events,
         "q149_ks_events": q149_ks_events,
-        "q39_hash_sample_documents": q39_hash_sample_documents,
         "q125_skyline_orders": q125_skyline_orders,
-        "q128_degree_hist_documents": q128_degree_hist_documents,
         "q130_spearman_lineitem": q130_spearman_lineitem,
         "q140_auc_events": q140_auc_events,
         # round-4 late-batch signature ops promoted into the window
-        # (q45/q48/q49/q50 demoted: stable since round 3, green in
-        # CORRECTNESS_r03, still fully pytest-gated below)
+        # (q39/q45/q48/q49/q50/q128 demoted: stable since round 3,
+        # green in CORRECTNESS_r03, still fully pytest-gated below)
         "q154_zorder_lineitem": q154_zorder_lineitem,
         "q155_kendall_events": q155_kendall_events,
         "q158_kcore_events": q158_kcore_events,
         "q159_coverage_events": q159_coverage_events,
+        "q164_containment_documents": q164_containment_documents,
+        "q167_dcstats_documents": q167_dcstats_documents,
         # ---- past the driver's 50-key window (pytest-gated only) ----
+        "q39_hash_sample_documents": q39_hash_sample_documents,
+        "q128_degree_hist_documents": q128_degree_hist_documents,
         "q45_token_counts_documents": q45_token_counts_documents,
         "q48_rollup_revenue": q48_rollup_revenue,
         "q49_json_props_events": q49_json_props_events,
@@ -3817,10 +3819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q161_qselect_events": q161_qselect_events,
         "q162_compress_documents": q162_compress_documents,
         "q163_tri_per_node_events": q163_tri_per_node_events,
-        "q164_containment_documents": q164_containment_documents,
         "q165_drawdown_events": q165_drawdown_events,
         "q166_merge_customer": q166_merge_customer,
-        "q167_dcstats_documents": q167_dcstats_documents,
     }
 
 
