@@ -3562,6 +3562,21 @@ def q167_dcstats_documents(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q168_charclass_documents(sf_dir: str):
+    """Per-language character-class census
+    (ops/charclass.charclass_census): exact codepoint-class counts
+    (chars / digits / spaces / ASCII letters) via vectorized
+    str.count kernels + per-block partials — the script-consistency
+    screen; regexp_replace length-difference oracle."""
+    from raqc_ray.ops.charclass import charclass_census
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    df = _typed_pandas(charclass_census(docs, "lang", "text"))
+    for c in ("n_chars", "n_digit", "n_space", "n_alpha"):
+        df[c] = df[c].astype("int64")
+    return df[["lang", "n_chars", "n_digit", "n_space", "n_alpha"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3821,6 +3836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q163_tri_per_node_events": q163_tri_per_node_events,
         "q165_drawdown_events": q165_drawdown_events,
         "q166_merge_customer": q166_merge_customer,
+        "q168_charclass_documents": q168_charclass_documents,
     }
 
 
@@ -6228,6 +6244,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q168_charclass_documents": """
+            SELECT lang,
+                   CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                       AS n_chars,
+                   CAST(SUM(length(COALESCE(text, ''))
+                        - length(regexp_replace(COALESCE(text, ''),
+                                                '[0-9]', '', 'g')))
+                        AS BIGINT) AS n_digit,
+                   CAST(SUM(length(COALESCE(text, ''))
+                        - length(regexp_replace(COALESCE(text, ''),
+                                                ' ', '', 'g')))
+                        AS BIGINT) AS n_space,
+                   CAST(SUM(length(COALESCE(text, ''))
+                        - length(regexp_replace(COALESCE(text, ''),
+                                                '[A-Za-z]', '', 'g')))
+                        AS BIGINT) AS n_alpha
+            FROM documents GROUP BY 1
         """,
         "q167_dcstats_documents": """
             -- closed form of the two-tone render: 2x4 blocks of 8x8,

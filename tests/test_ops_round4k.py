@@ -904,3 +904,29 @@ def test_apply_changes_duplicate_key_raises(ray_session):
                           "op": ["I", "U"]})
     with pytest.raises(ValueError, match="duplicate keys"):
         apply_changes(_ds(base, 1), _ds(delta, 1), on="k")
+
+
+# -------------------------------------------- charclass census
+
+
+def test_charclass_vs_brute(ray_session):
+    import re
+
+    from raqc_ray.ops.charclass import charclass_census
+
+    df = pd.DataFrame({
+        "k": ["en", "en", "de", "zz"],
+        "text": ["Hello World 42!", "a1 b2  c3", "Straße 99", None],
+    })
+    out = (charclass_census(_ds(df, 2), "k", "text")
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        txt = "".join(g["text"].fillna(""))
+        assert int(out.loc[k, "n_chars"]) == sum(
+            len(t or "") for t in g["text"])
+        assert int(out.loc[k, "n_digit"]) == len(re.findall(r"[0-9]",
+                                                            txt))
+        assert int(out.loc[k, "n_space"]) == txt.count(" ")
+        assert int(out.loc[k, "n_alpha"]) == len(
+            re.findall(r"[A-Za-z]", txt))
+    assert int(out.loc["zz", "n_chars"]) == 0
