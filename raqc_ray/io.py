@@ -73,6 +73,16 @@ def read_table(paths, columns=None, include_paths: bool = False,
         kwargs = {}
         if num_blocks is not None:
             kwargs["override_num_blocks"] = num_blocks
+        # row-oriented interchange formats (ingest adapters): these
+        # cannot prune columns at the read the way parquet/lance do —
+        # select immediately after so nothing wider than needed flows
+        # downstream (the reader contract S1/S4 shares)
+        if isinstance(paths, str) and paths.endswith((".jsonl", ".json")):
+            ds = rd.read_json(paths, **kwargs)
+            return ds.select_columns(list(columns)) if columns else ds
+        if isinstance(paths, str) and paths.endswith(".csv"):
+            ds = rd.read_csv(paths, **kwargs)
+            return ds.select_columns(list(columns)) if columns else ds
         return rd.read_parquet(paths, columns=list(columns) if columns else None,
                                include_paths=include_paths, **kwargs)
 
