@@ -930,3 +930,70 @@ def test_charclass_vs_brute(ray_session):
         assert int(out.loc[k, "n_alpha"]) == len(
             re.findall(r"[A-Za-z]", txt))
     assert int(out.loc["zz", "n_chars"]) == 0
+
+
+# ---------------------------- hot-key skew gates (shared groupscan
+# boundary re-dispatch must stay exact for every new scan-family op)
+
+
+def _hot_frame(seed, n=600):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": np.where(rng.uniform(size=n) < 0.55,
+                      0, rng.integers(1, 7, n)),
+        "t": rng.integers(0, 50, n),
+        "i": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.uniform(-40, 40, n), 2),
+    })
+
+
+def test_rolling_median2_hot_key(ray_session):
+    from raqc_ray.ops.rollmed import grouped_rolling_median2
+
+    df = _hot_frame(151)
+    out = (grouped_rolling_median2(_ds(df, 6), "k", "t", "i", "v",
+                                   window=5)
+           .to_pandas().set_index("i"))
+    g = df[df["k"] == 0].sort_values(["t", "i"], kind="mergesort")
+    vi = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for pos in (0, 3, len(g) - 1):
+        fr = sorted(vi[max(0, pos - 4): pos + 1])
+        want = fr[(len(fr) - 1) // 2] + fr[len(fr) // 2]
+        assert int(out.loc[int(g["i"].iloc[pos]), "med2"]) == want
+
+
+def test_drawdown_hot_key(ray_session):
+    from raqc_ray.ops.drawdown import grouped_max_drawdown
+
+    df = _hot_frame(157)
+    out = (grouped_max_drawdown(_ds(df, 6), "k", "t", "i", "v")
+           .to_pandas().set_index("k"))
+    g = df[df["k"] == 0].sort_values(["t", "i"], kind="mergesort")
+    vi = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    assert int(out.loc[0, "max_dd"]) == \
+        int((np.maximum.accumulate(vi) - vi).max())
+
+
+def test_lag_products_hot_key(ray_session):
+    from raqc_ray.ops.lagprod import grouped_lag_products
+
+    df = _hot_frame(163)
+    out = (grouped_lag_products(_ds(df, 6), "k", "t", "i", "v")
+           .to_pandas().set_index("k"))
+    g = df[df["k"] == 0].sort_values(["t", "i"], kind="mergesort")
+    vi = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    assert int(out.loc[0, "s_lag"]) == int((vi[1:] * vi[:-1]).sum())
+
+
+def test_interval_union_hot_key(ray_session):
+    from raqc_ray.ops.intervals import grouped_interval_union
+
+    df = _hot_frame(167)
+    df["st"] = (df["t"] * 10).astype(np.int64)
+    df["en"] = df["st"] + 25
+    out = (grouped_interval_union(_ds(df, 6), "k", "st", "en")
+           .to_pandas().set_index("k"))
+    g = df[df["k"] == 0]
+    cov, isl = _brute_union(g["st"].to_numpy(), g["en"].to_numpy())
+    assert int(out.loc[0, "covered"]) == cov
+    assert int(out.loc[0, "n_islands"]) == isl
