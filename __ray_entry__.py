@@ -3577,6 +3577,27 @@ def q168_charclass_documents(sf_dir: str):
     return df[["lang", "n_chars", "n_digit", "n_space", "n_alpha"]]
 
 
+def q169_coactivity_events(sf_dir: str):
+    """True sliding-window co-activity edges, 10-minute window
+    (ops/temporal.temporal_coactivity_pairs): searchsorted window
+    ends + ranges-concatenation pair gather per type group — the
+    exact temporal-graph builder the (type, hour) cell approximation
+    under/over-links; |Δt| self-join oracle."""
+    from raqc_ray.ops.temporal import temporal_coactivity_pairs
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=["event_type", "ts", "user_id"])
+
+    ev = ev.map_batches(clean, batch_format="pandas")
+    df = _typed_pandas(temporal_coactivity_pairs(
+        ev, "event_type", "ts", "user_id", window_us=600_000_000))
+    for c in ("val_a", "val_b", "n"):
+        df[c] = df[c].astype("int64")
+    return df[["val_a", "val_b", "n"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3837,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q165_drawdown_events": q165_drawdown_events,
         "q166_merge_customer": q166_merge_customer,
         "q168_charclass_documents": q168_charclass_documents,
+        "q169_coactivity_events": q169_coactivity_events,
     }
 
 
@@ -6244,6 +6266,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q169_coactivity_events": """
+            SELECT LEAST(a.user_id, b.user_id) AS val_a,
+                   GREATEST(a.user_id, b.user_id) AS val_b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events a JOIN events b
+              ON a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+             AND a.user_id <> b.user_id
+            WHERE a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+              AND a.ts IS NOT NULL AND b.ts IS NOT NULL
+            GROUP BY 1, 2
         """,
         "q168_charclass_documents": """
             SELECT lang,

@@ -997,3 +997,46 @@ def test_interval_union_hot_key(ray_session):
     cov, isl = _brute_union(g["st"].to_numpy(), g["en"].to_numpy())
     assert int(out.loc[0, "covered"]) == cov
     assert int(out.loc[0, "n_islands"]) == isl
+
+
+# ------------------------------------------ temporal co-activity
+
+
+def test_coactivity_vs_brute(ray_session):
+    from raqc_ray.ops.temporal import temporal_coactivity_pairs
+
+    rng = np.random.default_rng(173)
+    df = pd.DataFrame({
+        "g": rng.choice(list("ab"), 300),
+        "t": rng.integers(0, 2000, 300).astype(np.int64),
+        "u": rng.integers(0, 12, 300).astype(np.int64),
+    })
+    W = 50
+    out = (temporal_coactivity_pairs(_ds(df, 4), "g", "t", "u",
+                                     window_us=W)
+           .to_pandas())
+    got = {(int(a), int(b)): int(n) for a, b, n in
+           zip(out["val_a"], out["val_b"], out["n"])}
+    want: dict = {}
+    for _, g in df.groupby("g"):
+        t = g["t"].to_numpy()
+        u = g["u"].to_numpy()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if abs(int(t[j]) - int(t[i])) <= W and u[i] != u[j]:
+                    k = (min(int(u[i]), int(u[j])),
+                         max(int(u[i]), int(u[j])))
+                    want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_coactivity_fanout_guard(ray_session):
+    from raqc_ray.ops.temporal import temporal_coactivity_pairs
+
+    df = pd.DataFrame({"g": ["x"] * 50,
+                       "t": np.zeros(50, dtype=np.int64),
+                       "u": np.arange(50, dtype=np.int64)})
+    with pytest.raises((ValueError, Exception)):
+        temporal_coactivity_pairs(_ds(df, 2), "g", "t", "u",
+                                  window_us=10, max_fanout=5) \
+            .to_pandas()
