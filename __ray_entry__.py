@@ -3598,6 +3598,30 @@ def q169_coactivity_events(sf_dir: str):
     return df[["val_a", "val_b", "n"]]
 
 
+def q170_retention_events(sf_dir: str):
+    """Week-over-week user retention census
+    (ops/retention.period_retention): distinct (week, user) rows +
+    one self hash-join on (user, week+1), period-scale stitching
+    joins — n_prev / n_cur / n_common per consecutive week pair;
+    DISTINCT + shifted self-join oracle."""
+    from raqc_ray.ops.retention import period_retention
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def weeks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["ts", "user_id"])
+        wk = (d["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+              // 604_800_000_000)
+        return pd.DataFrame({"wk": wk,
+                             "user_id": d["user_id"].astype("int64")})
+
+    wds = ev.map_batches(weeks, batch_format="pandas")
+    df = _typed_pandas(period_retention(wds, "wk", "user_id"))
+    for c in ("period", "n_prev", "n_cur", "n_common"):
+        df[c] = df[c].astype("int64")
+    return df[["period", "n_prev", "n_cur", "n_common"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3859,6 +3883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q166_merge_customer": q166_merge_customer,
         "q168_charclass_documents": q168_charclass_documents,
         "q169_coactivity_events": q169_coactivity_events,
+        "q170_retention_events": q170_retention_events,
     }
 
 
@@ -6266,6 +6291,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q170_retention_events": """
+            WITH wu AS (
+                SELECT DISTINCT
+                       CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                           AS wk,
+                       user_id
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), tot AS (
+                SELECT wk, CAST(COUNT(*) AS BIGINT) AS n
+                FROM wu GROUP BY 1
+            ), com AS (
+                SELECT a.wk AS wk, CAST(COUNT(*) AS BIGINT) AS c
+                FROM wu a JOIN wu b
+                  ON b.user_id = a.user_id AND b.wk = a.wk + 1
+                GROUP BY 1
+            )
+            SELECT t1.wk AS period, t1.n AS n_prev, t2.n AS n_cur,
+                   COALESCE(com.c, 0) AS n_common
+            FROM tot t1
+            JOIN tot t2 ON t2.wk = t1.wk + 1
+            LEFT JOIN com ON com.wk = t1.wk
         """,
         "q169_coactivity_events": """
             SELECT LEAST(a.user_id, b.user_id) AS val_a,

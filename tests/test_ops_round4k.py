@@ -1040,3 +1040,38 @@ def test_coactivity_fanout_guard(ray_session):
         temporal_coactivity_pairs(_ds(df, 2), "g", "t", "u",
                                   window_us=10, max_fanout=5) \
             .to_pandas()
+
+
+# --------------------------------------------- period retention
+
+
+def test_retention_vs_brute(ray_session):
+    from raqc_ray.ops.retention import period_retention
+
+    rng = np.random.default_rng(179)
+    df = pd.DataFrame({
+        "wk": rng.integers(0, 6, 800).astype(np.int64),
+        "u": rng.integers(0, 40, 800).astype(np.int64),
+    })
+    out = (period_retention(_ds(df, 4), "wk", "u")
+           .to_pandas().set_index("period"))
+    sets = {w: set(g["u"]) for w, g in df.groupby("wk")}
+    for w in sorted(sets):
+        if w + 1 not in sets:
+            assert w not in out.index
+            continue
+        r = out.loc[w]
+        assert int(r["n_prev"]) == len(sets[w])
+        assert int(r["n_cur"]) == len(sets[w + 1])
+        assert int(r["n_common"]) == len(sets[w] & sets[w + 1])
+
+
+def test_retention_zero_overlap(ray_session):
+    from raqc_ray.ops.retention import period_retention
+
+    df = pd.DataFrame({"wk": [0, 0, 1, 1],
+                       "u": [1, 2, 3, 4]})
+    out = period_retention(_ds(df, 2), "wk", "u").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_common"] == 0
+    assert out.iloc[0]["n_prev"] == 2 and out.iloc[0]["n_cur"] == 2
