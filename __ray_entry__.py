@@ -3622,6 +3622,94 @@ def q170_retention_events(sf_dir: str):
     return df[["period", "n_prev", "n_cur", "n_common"]]
 
 
+def q171_exposure_documents(sf_dir: str):
+    """END-TO-END exposure/contrast stage gate through the driver
+    oracle (ops/exposure.ExposureStage): each document becomes a
+    deterministic two-tone 32x16 render (left half g1 = doc_id%200+20,
+    right half g2 = (doc_id*7)%229+10, ppm for even ids / png for odd
+    — BOTH lossless codec paths inside the gate), the REAL decode →
+    luma-cents path reduces it to exact int64 pixel stats (sum,
+    sum-of-squares contrast numerator, clipping census at 20/235),
+    and the oracle recomputes the closed form in SQL."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.exposure import exposure_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            g1 = d % 200 + 20
+            g2 = (d * 7) % 229 + 10
+            arr = np.empty((16, 32, 3), dtype=np.uint8)
+            arr[:, :16, :] = g1
+            arr[:, 16:, :] = g2
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(exposure_stats(imgs, lo_c=2000, hi_c=23500,
+                                      batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("n_px", "sum_c", "sumsq_c", "n_lo", "n_hi"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_px", "sum_c", "sumsq_c", "n_lo", "n_hi"]]
+            .reset_index(drop=True))
+
+
+def q172_letterbox_documents(sf_dir: str):
+    """END-TO-END letterbox/pillarbox border stage gate through the
+    driver oracle (ops/border.BorderStage): each document becomes a
+    deterministic 24x32 render with planted black bars (top=d%5,
+    bottom=(d*3)%5, left=(d*7)%6, right=(d*11)%6) around a
+    checkerboard content rectangle (values >= 40, non-uniform in every
+    row AND column so detection stops exactly at the planted widths),
+    the REAL decode → corner-anchored run-length detection measures
+    the bars, and the oracle restates the planted closed form in
+    SQL."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.border import border_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    H, W = 24, 32
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        yy, xx = np.mgrid[0:H, 0:W]
+        parity = ((yy + xx) % 2).astype(np.uint8)
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            t, b = d % 5, (d * 3) % 5
+            le, r = (d * 7) % 6, (d * 11) % 6
+            v1 = 40 + d % 150
+            arr = np.zeros((H, W, 3), dtype=np.uint8)
+            content = (v1 + 50 * parity).astype(np.uint8)
+            arr[t:H - b, le:W - r, :] = (
+                content[t:H - b, le:W - r, None])
+            fmt = "png" if d % 2 == 0 else "ppm"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(border_stats(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("h", "w", "top", "bottom", "left", "right"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "h", "w", "top", "bottom", "left", "right"]]
+            .reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3741,8 +3829,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_sessions_events": q32_sessions_events,
         "q33_topk_orders_per_cust": q33_topk_orders_per_cust,
         "q34_interval_join_events": q34_interval_join_events,
-        "q35_semijoin_customers": q35_semijoin_customers,
-        "q36_antijoin_customers": q36_antijoin_customers,
         "q37_running_events": q37_running_events,
         "q38_audio_features": q38_audio_features,
         "q143_triangles_events": q143_triangles_events,
@@ -3761,7 +3847,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_coverage_events": q159_coverage_events,
         "q164_containment_documents": q164_containment_documents,
         "q167_dcstats_documents": q167_dcstats_documents,
+        # round-4 session-f image-stage gates (exposure + letterbox);
+        # q35/q36 semijoin/antijoin demoted (stable green since r2,
+        # q28 keeps a join in the window; both stay pytest-gated)
+        "q171_exposure_documents": q171_exposure_documents,
+        "q172_letterbox_documents": q172_letterbox_documents,
         # ---- past the driver's 50-key window (pytest-gated only) ----
+        "q35_semijoin_customers": q35_semijoin_customers,
+        "q36_antijoin_customers": q36_antijoin_customers,
         "q39_hash_sample_documents": q39_hash_sample_documents,
         "q128_degree_hist_documents": q128_degree_hist_documents,
         "q45_token_counts_documents": q45_token_counts_documents,
@@ -6345,6 +6438,46 @@ def oracle_sql() -> dict[str, str]:
                                                 '[A-Za-z]', '', 'g')))
                         AS BIGINT) AS n_alpha
             FROM documents GROUP BY 1
+        """,
+        "q171_exposure_documents": """
+            -- closed form of the two-tone render: 32x16, left half
+            -- g1, right half g2 (256 px each); luma of a gray pixel
+            -- (r=g=b=v) is v exactly, so luma cents = 100*v and the
+            -- squared-cents sum is 10000*v*v per pixel.  Clipping
+            -- census at lo_c=2000 (v <= 20) / hi_c=23500 (v >= 235).
+            WITH g AS (
+                SELECT doc_id,
+                       doc_id % 200 + 20 AS g1,
+                       (doc_id * 7) % 229 + 10 AS g2
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(512 AS BIGINT) AS n_px,
+                   CAST(25600 * (g1 + g2) AS BIGINT) AS sum_c,
+                   CAST(2560000 * (g1 * g1 + g2 * g2) AS BIGINT)
+                       AS sumsq_c,
+                   CAST(256 * ((CASE WHEN g1 <= 20 THEN 1 ELSE 0 END)
+                             + (CASE WHEN g2 <= 20 THEN 1 ELSE 0 END))
+                        AS BIGINT) AS n_lo,
+                   CAST(256 * ((CASE WHEN g1 >= 235 THEN 1 ELSE 0 END)
+                             + (CASE WHEN g2 >= 235 THEN 1 ELSE 0 END))
+                        AS BIGINT) AS n_hi
+            FROM g
+        """,
+        "q172_letterbox_documents": """
+            -- closed form of the bordered render: black bars of the
+            -- planted widths around a checkerboard content rectangle
+            -- whose every row and column mixes two values >= 40, so
+            -- corner-anchored run-length detection stops exactly at
+            -- the planted widths on all four sides.
+            SELECT doc_id,
+                   CAST(24 AS BIGINT) AS h,
+                   CAST(32 AS BIGINT) AS w,
+                   CAST(doc_id % 5 AS BIGINT) AS top,
+                   CAST((doc_id * 3) % 5 AS BIGINT) AS bottom,
+                   CAST((doc_id * 7) % 6 AS BIGINT) AS "left",
+                   CAST((doc_id * 11) % 6 AS BIGINT) AS "right"
+            FROM documents
         """,
         "q167_dcstats_documents": """
             -- closed form of the two-tone render: 2x4 blocks of 8x8,
