@@ -3710,6 +3710,90 @@ def q172_letterbox_documents(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q173_color_documents(sf_dir: str):
+    """END-TO-END color-census stage gate through the driver oracle
+    (ops/color.ColorCensusStage): each document becomes a
+    deterministic 16x32 render whose left half is gray g1 = doc_id%200
+    +20 and whose right half is the color (r2,g2,b2) = ((d*7)%256,
+    (d*11)%256, (d*13)%256) — ppm for even ids / png for odd — the
+    REAL decode → color-census path emits exact int64 per-channel
+    sums, gray-pixel count, distinct-palette size and saturation sum,
+    and the oracle restates the closed form in SQL (including the
+    accidental-gray and accidental-palette-collision branches)."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.color import color_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            g1 = d % 200 + 20
+            r2, g2, b2 = (d * 7) % 256, (d * 11) % 256, (d * 13) % 256
+            arr = np.empty((16, 32, 3), dtype=np.uint8)
+            arr[:, :16, :] = g1
+            arr[:, 16:, 0] = r2
+            arr[:, 16:, 1] = g2
+            arr[:, 16:, 2] = b2
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(color_census(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    cols = ["n_px", "sum_r", "sum_g", "sum_b", "n_gray", "n_colors",
+            "sat_sum"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return df[["doc_id"] + cols].reset_index(drop=True)
+
+
+def q174_sharpness_documents(sf_dir: str):
+    """END-TO-END Laplacian sharpness stage gate through the driver
+    oracle (ops/sharpness.SharpnessStage): each document becomes a
+    deterministic two-tone 16x32 render (left g1 = d%200+20, right
+    g2 = (d*7)%229+10) whose ONLY edge is the center seam, so the
+    4-neighbor Laplacian over the luma-cents grid has the closed form
+    lap_sum_c = 2*14*100*|g1-g2| and the edge census is all-or-nothing
+    at the threshold (both branches hit across doc_ids); ppm/png
+    branches alternate."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.sharpness import sharpness_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            g1 = d % 200 + 20
+            g2 = (d * 7) % 229 + 10
+            arr = np.empty((16, 32, 3), dtype=np.uint8)
+            arr[:, :16, :] = g1
+            arr[:, 16:, :] = g2
+            fmt = "png" if d % 2 == 0 else "ppm"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(sharpness_stats(imgs, thr_c=500, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("n_int", "lap_sum_c", "n_edge"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_int", "lap_sum_c", "n_edge"]]
+            .reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -3822,7 +3906,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_multijoin_revenue_priority": q55_multijoin_revenue_priority,
         "q57_profile_documents": q57_profile_documents,
         "q26_ngram_jaccard_documents": q26_ngram_jaccard_documents,
-        "q27_embdup_exact": q27_embdup_exact,
         "q28_hashjoin_revenue": q28_hashjoin_revenue,
         "q30_hamming_pairs": q30_hamming_pairs,
         "q31_asof_events_orders": q31_asof_events_orders,
@@ -3852,7 +3935,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q28 keeps a join in the window; both stay pytest-gated)
         "q171_exposure_documents": q171_exposure_documents,
         "q172_letterbox_documents": q172_letterbox_documents,
+        # session-f image-stage gates #2 (color census + sharpness);
+        # one free slot used, q27 exact-cosine demoted (documented
+        # O(n²) audit op, stable green since r2, stays pytest-gated)
+        "q173_color_documents": q173_color_documents,
+        "q174_sharpness_documents": q174_sharpness_documents,
         # ---- past the driver's 50-key window (pytest-gated only) ----
+        "q27_embdup_exact": q27_embdup_exact,
         "q35_semijoin_customers": q35_semijoin_customers,
         "q36_antijoin_customers": q36_antijoin_customers,
         "q39_hash_sample_documents": q39_hash_sample_documents,
@@ -6478,6 +6567,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 7) % 6 AS BIGINT) AS "left",
                    CAST((doc_id * 11) % 6 AS BIGINT) AS "right"
             FROM documents
+        """,
+        "q173_color_documents": """
+            -- closed form of the half-gray/half-color render: 16x32,
+            -- left 256 px gray g1, right 256 px color (r2,g2,b2).
+            -- Gray census counts the right half too when the planted
+            -- color is accidentally achromatic; the palette is 2
+            -- unless both halves collide into one triple.
+            WITH g AS (
+                SELECT doc_id,
+                       doc_id % 200 + 20 AS g1,
+                       (doc_id * 7) % 256 AS r2,
+                       (doc_id * 11) % 256 AS g2,
+                       (doc_id * 13) % 256 AS b2
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(512 AS BIGINT) AS n_px,
+                   CAST(256 * (g1 + r2) AS BIGINT) AS sum_r,
+                   CAST(256 * (g1 + g2) AS BIGINT) AS sum_g,
+                   CAST(256 * (g1 + b2) AS BIGINT) AS sum_b,
+                   CAST(256 + 256 * (CASE WHEN r2 = g2 AND g2 = b2
+                                     THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_gray,
+                   CAST(CASE WHEN r2 = g1 AND g2 = g1 AND b2 = g1
+                        THEN 1 ELSE 2 END AS BIGINT) AS n_colors,
+                   CAST(256 * (GREATEST(r2, g2, b2)
+                               - LEAST(r2, g2, b2))
+                        AS BIGINT) AS sat_sum
+            FROM g
+        """,
+        "q174_sharpness_documents": """
+            -- closed form of the two-tone render: the only edge is
+            -- the center seam, so over the 14x30 interior of the
+            -- luma-cents grid the 4-neighbor Laplacian is
+            -- 100*|g1-g2| at exactly the two seam columns x 14
+            -- interior rows; the edge census is all-or-nothing at
+            -- thr_c = 500.
+            WITH g AS (
+                SELECT doc_id,
+                       doc_id % 200 + 20 AS g1,
+                       (doc_id * 7) % 229 + 10 AS g2
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(420 AS BIGINT) AS n_int,
+                   CAST(2800 * ABS(g1 - g2) AS BIGINT) AS lap_sum_c,
+                   CAST(CASE WHEN 100 * ABS(g1 - g2) > 500
+                        THEN 28 ELSE 0 END AS BIGINT) AS n_edge
+            FROM g
         """,
         "q167_dcstats_documents": """
             -- closed form of the two-tone render: 2x4 blocks of 8x8,

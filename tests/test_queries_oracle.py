@@ -137,7 +137,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q165_drawdown_events", "q166_merge_customer",
             "q167_dcstats_documents", "q168_charclass_documents",
             "q169_coactivity_events", "q170_retention_events",
-            "q171_exposure_documents", "q172_letterbox_documents"]
+            "q171_exposure_documents", "q172_letterbox_documents",
+            "q173_color_documents", "q174_sharpness_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
