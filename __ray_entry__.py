@@ -3794,6 +3794,43 @@ def q174_sharpness_documents(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q175_pngaudit_documents(sf_dir: str):
+    """END-TO-END PNG structural-audit gate through the driver oracle
+    (ops/pngaudit.PngAuditStage): each document becomes a
+    variable-size gray render (w = 8 + d%9, h = 8 + (d*3)%9) whose
+    IDAT CRC is deterministically bit-flipped for d%7 == 0, the REAL
+    chunk walk + CRC32 verification counts the corruption without
+    decoding pixels, and the oracle restates the planted closed form
+    in SQL."""
+    from raqc_ray.codecs import encode_png
+    from raqc_ray.ops.pngaudit import png_audit
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            w, h = 8 + d % 9, 8 + (d * 3) % 9
+            arr = np.full((h, w, 3), d % 200 + 20, dtype=np.uint8)
+            data = bytearray(encode_png(arr))
+            if d % 7 == 0:
+                data[-13] ^= 0x5A  # last byte of the IDAT CRC
+            ids.append(str(d))
+            blobs.append(bytes(data))
+        return pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(png_audit(imgs, batch_size=256))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    cols = ["w", "h", "bit_depth", "color_type", "n_chunks",
+            "crc_fail"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return df[["doc_id"] + cols].reset_index(drop=True)
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4066,6 +4103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q168_charclass_documents": q168_charclass_documents,
         "q169_coactivity_events": q169_coactivity_events,
         "q170_retention_events": q170_retention_events,
+        "q175_pngaudit_documents": q175_pngaudit_documents,
     }
 
 
@@ -6473,6 +6511,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * pv) AS BIGINT) AS s_lag
             FROM l WHERE pv IS NOT NULL
             GROUP BY 1
+        """,
+        "q175_pngaudit_documents": """
+            -- closed form of the planted container: every render is
+            -- a 3-chunk 8-bit RGB PNG (IHDR, one IDAT, IEND) at the
+            -- planted dimensions; the IDAT CRC is bit-flipped for
+            -- doc_id % 7 = 0, so the corruption census is exactly
+            -- that indicator.
+            SELECT doc_id,
+                   CAST(8 + doc_id % 9 AS BIGINT) AS w,
+                   CAST(8 + (doc_id * 3) % 9 AS BIGINT) AS h,
+                   CAST(8 AS BIGINT) AS bit_depth,
+                   CAST(2 AS BIGINT) AS color_type,
+                   CAST(3 AS BIGINT) AS n_chunks,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS crc_fail
+            FROM documents
         """,
         "q170_retention_events": """
             WITH wu AS (
