@@ -3831,6 +3831,85 @@ def q175_pngaudit_documents(sf_dir: str):
     return df[["doc_id"] + cols].reset_index(drop=True)
 
 
+def q176_lumahist_documents(sf_dir: str):
+    """END-TO-END corpus luma-histogram gate through the driver
+    oracle (ops/lumahist): two-tone renders (left g1 = d%200+20,
+    right g2 = (d*7)%229+10, ppm/png alternating) decode into exact
+    per-image nonzero bins, combine per block, and reduce through the
+    constant-size 256-key groupby; the oracle rebuilds the histogram
+    with a UNION ALL of the two planted tones."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.lumahist import luma_histogram
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            arr = np.empty((16, 32, 3), dtype=np.uint8)
+            arr[:, :16, :] = d % 200 + 20
+            arr[:, 16:, :] = (d * 7) % 229 + 10
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(luma_histogram(imgs, batch_size=128))
+    df["bin"] = df["bin"].astype("int64")
+    df["n_px"] = df["n_px"].astype("int64")
+    return df[["bin", "n_px"]].reset_index(drop=True)
+
+
+def q177_tilediff_documents(sf_dir: str):
+    """END-TO-END cross-epoch tile change localization gate through
+    the driver oracle (ops/tilediff): epoch A renders two-tone
+    (g1 = d%200+20, g2 = (d*7)%229+10), epoch B re-renders with the
+    right half moved to g2b = (d*5)%229+10; the 4x4 tile grid over
+    16x32 puts 8 tiles in each half, so the change census is exactly
+    8 tiles when 100*|g2b-g2| exceeds thr_c=500 (both branches hit
+    across doc_ids) and max_dc is exactly 100*|g2b-g2|."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.tilediff import tile_changes, tile_means
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render_epoch(which: str):
+        def render(df: pd.DataFrame) -> pd.DataFrame:
+            ids, blobs, fmts = [], [], []
+            for d in df["doc_id"].astype("int64"):
+                d = int(d)
+                g1 = d % 200 + 20
+                g2 = ((d * 7) % 229 + 10 if which == "a"
+                      else (d * 5) % 229 + 10)
+                arr = np.empty((16, 32, 3), dtype=np.uint8)
+                arr[:, :16, :] = g1
+                arr[:, 16:, :] = g2
+                fmt = "ppm" if d % 2 == 0 else "png"
+                ids.append(str(d))
+                blobs.append(encode_image(arr, fmt))
+                fmts.append(fmt)
+            return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                                 "fmt": fmts})
+        return render
+
+    ta = tile_means(docs.map_batches(render_epoch("a"),
+                                     batch_format="pandas"),
+                    gy=4, gx=4, batch_size=128)
+    tb = tile_means(docs.map_batches(render_epoch("b"),
+                                     batch_format="pandas"),
+                    gy=4, gx=4, batch_size=128)
+    df = _typed_pandas(tile_changes(ta, tb, thr_c=500))
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("n_tiles", "n_changed", "max_dc"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_tiles", "n_changed", "max_dc"]]
+            .reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4104,6 +4183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q169_coactivity_events": q169_coactivity_events,
         "q170_retention_events": q170_retention_events,
         "q175_pngaudit_documents": q175_pngaudit_documents,
+        "q176_lumahist_documents": q176_lumahist_documents,
+        "q177_tilediff_documents": q177_tilediff_documents,
     }
 
 
@@ -6527,6 +6608,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
                         AS BIGINT) AS crc_fail
             FROM documents
+        """,
+        "q176_lumahist_documents": """
+            -- corpus histogram of the two planted tones: every doc
+            -- contributes 256 px at each tone's luma value
+            WITH tones AS (
+                SELECT doc_id % 200 + 20 AS b FROM documents
+                UNION ALL
+                SELECT (doc_id * 7) % 229 + 10 FROM documents
+            )
+            SELECT CAST(b AS BIGINT) AS bin,
+                   CAST(256 * COUNT(*) AS BIGINT) AS n_px
+            FROM tones GROUP BY 1
+        """,
+        "q177_tilediff_documents": """
+            -- closed form of the planted epoch pair: the 8 left
+            -- tiles never move; the 8 right tiles all move by
+            -- exactly 100*|g2b - g2a| cents of mean luma
+            WITH g AS (
+                SELECT doc_id,
+                       100 * ABS(((doc_id * 5) % 229 + 10)
+                                 - ((doc_id * 7) % 229 + 10)) AS dc
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(16 AS BIGINT) AS n_tiles,
+                   CAST(CASE WHEN dc > 500 THEN 8 ELSE 0 END
+                        AS BIGINT) AS n_changed,
+                   CAST(dc AS BIGINT) AS max_dc
+            FROM g
         """,
         "q170_retention_events": """
             WITH wu AS (

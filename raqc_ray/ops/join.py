@@ -17,11 +17,15 @@ from __future__ import annotations
 
 
 def hash_join(left_ds, right_ds, on, right_on=None, how: str = "inner",
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              left_suffix: str | None = None,
+              right_suffix: str | None = None):
     """Distributed hash join of two Datasets.
 
     ``on`` may be a string or tuple of key columns.  ``how`` is one of
-    inner / left_outer / right_outer / full_outer.
+    inner / left_outer / right_outer / full_outer.  Colliding non-key
+    column names must be disambiguated via ``left_suffix`` /
+    ``right_suffix`` (passed through to the native join).
     """
     from ._join_util import drop_empty_blocks
 
@@ -43,6 +47,8 @@ def hash_join(left_ds, right_ds, on, right_on=None, how: str = "inner",
         num_partitions=num_partitions,
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
     )
 
 
