@@ -3910,6 +3910,56 @@ def q177_tilediff_documents(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q178_triage_exposure_documents(sf_dir: str):
+    """END-TO-END two-tier quarantine composition through the driver
+    oracle (ops/quarantine + ops/pngaudit + ops/exposure): two-tone
+    PNG renders with the IDAT CRC bit-flipped for d%7 == 0 are
+    triaged by the chunk-walk audit (no decode), the condemned ids
+    drop via the broadcast quarantine filter (payload bytes never
+    shuffle), and ONLY the survivors pay the full decode into exact
+    exposure stats; the oracle restates the q171 closed form
+    restricted to the clean ids."""
+    from raqc_ray.codecs import encode_png
+    from raqc_ray.ops.exposure import exposure_stats
+    from raqc_ray.ops.pngaudit import png_audit
+    from raqc_ray.ops.quarantine import drop_quarantined
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            arr = np.empty((16, 32, 3), dtype=np.uint8)
+            arr[:, :16, :] = d % 200 + 20
+            arr[:, 16:, :] = (d * 7) % 229 + 10
+            data = bytearray(encode_png(arr))
+            if d % 7 == 0:
+                data[-13] ^= 0x5A  # rot the IDAT CRC
+            ids.append(str(d))
+            blobs.append(bytes(data))
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": ["png"] * len(ids)})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+
+    def condemned(df: pd.DataFrame) -> pd.DataFrame:
+        bad = df[(~df["ok"]) | (df["crc_fail"] > 0)]
+        return bad[["image_id"]]
+
+    bad_ids = (png_audit(imgs, batch_size=256)
+               .map_batches(condemned, batch_format="pandas"))
+    survivors = drop_quarantined(imgs, bad_ids)
+    df = _typed_pandas(exposure_stats(survivors, lo_c=2000,
+                                      hi_c=23500, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("n_px", "sum_c", "sumsq_c", "n_lo", "n_hi"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_px", "sum_c", "sumsq_c", "n_lo", "n_hi"]]
+            .reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4185,6 +4235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q175_pngaudit_documents": q175_pngaudit_documents,
         "q176_lumahist_documents": q176_lumahist_documents,
         "q177_tilediff_documents": q177_tilediff_documents,
+        "q178_triage_exposure_documents": q178_triage_exposure_documents,
     }
 
 
@@ -6636,6 +6687,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN dc > 500 THEN 8 ELSE 0 END
                         AS BIGINT) AS n_changed,
                    CAST(dc AS BIGINT) AS max_dc
+            FROM g
+        """,
+        "q178_triage_exposure_documents": """
+            -- q171's closed form restricted to the triage survivors
+            -- (planted CRC rot condemns doc_id % 7 = 0)
+            WITH g AS (
+                SELECT doc_id,
+                       doc_id % 200 + 20 AS g1,
+                       (doc_id * 7) % 229 + 10 AS g2
+                FROM documents
+                WHERE doc_id % 7 <> 0
+            )
+            SELECT doc_id,
+                   CAST(512 AS BIGINT) AS n_px,
+                   CAST(25600 * (g1 + g2) AS BIGINT) AS sum_c,
+                   CAST(2560000 * (g1 * g1 + g2 * g2) AS BIGINT)
+                       AS sumsq_c,
+                   CAST(256 * ((CASE WHEN g1 <= 20 THEN 1 ELSE 0 END)
+                             + (CASE WHEN g2 <= 20 THEN 1 ELSE 0 END))
+                        AS BIGINT) AS n_lo,
+                   CAST(256 * ((CASE WHEN g1 >= 235 THEN 1 ELSE 0 END)
+                             + (CASE WHEN g2 >= 235 THEN 1 ELSE 0 END))
+                        AS BIGINT) AS n_hi
             FROM g
         """,
         "q170_retention_events": """
