@@ -3960,6 +3960,49 @@ def q178_triage_exposure_documents(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q179_movwind_documents(sf_dir: str):
+    """END-TO-END gate for the SIGNATURE RAQC operator — the
+    pixel-level moving-window neighbor filter (ops/movwind, SURVEY
+    §2.8 W1 at its original granularity): each document renders a
+    16x32 background-100 canvas with a planted hot rectangle
+    (a = 3+d%4 by b = 3+(d*3)%4 at rows 4.., cols 2..) plus s = d%3
+    isolated hot speckles far from the block; with k=3 and threshold
+    4/9 every rectangle pixel survives the debounce (corner boxsum 4
+    of area 9 is the exact tie) and every speckle dies, so n_flag =
+    a*b + s and n_kept = a*b in closed form; ppm/png alternate."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.movwind import mov_wind_flags
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            a, b, s = 3 + d % 4, 3 + (d * 3) % 4, d % 3
+            arr = np.full((16, 32, 3), 100, dtype=np.uint8)
+            arr[4:4 + a, 2:2 + b, :] = 250
+            for j in range(s):
+                arr[1, 20 + 4 * j, :] = 250
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(mov_wind_flags(imgs, k=3, num=4, den=9,
+                                      lo_c=2000, hi_c=23500,
+                                      batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("n_px", "n_flag", "n_kept"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_px", "n_flag", "n_kept"]]
+            .reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4067,9 +4110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_kmeans_embeddings": q81_kmeans_embeddings,
         "q20_ann_topk": q20_ann_topk,
         "q85_exact_heavy_hitters_documents": q85_exact_heavy_hitters_documents,
-        "q22_topk_orders": q22_topk_orders,
         "q23_window_events_hourly": q23_window_events_hourly,
-        "q55_multijoin_revenue_priority": q55_multijoin_revenue_priority,
         "q57_profile_documents": q57_profile_documents,
         "q26_ngram_jaccard_documents": q26_ngram_jaccard_documents,
         "q28_hashjoin_revenue": q28_hashjoin_revenue,
@@ -4106,7 +4147,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # O(n²) audit op, stable green since r2, stays pytest-gated)
         "q173_color_documents": q173_color_documents,
         "q174_sharpness_documents": q174_sharpness_documents,
+        # session-f signature-operator gate (pixel-level moving-window
+        # neighbor filter); q22 global top-k demoted (stable green
+        # since r1, q33 keeps grouped top-k in-window)
+        "q179_movwind_documents": q179_movwind_documents,
         # ---- past the driver's 50-key window (pytest-gated only) ----
+        "q22_topk_orders": q22_topk_orders,
+        "q55_multijoin_revenue_priority": q55_multijoin_revenue_priority,
         "q27_embdup_exact": q27_embdup_exact,
         "q35_semijoin_customers": q35_semijoin_customers,
         "q36_antijoin_customers": q36_antijoin_customers,
@@ -6687,6 +6734,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN dc > 500 THEN 8 ELSE 0 END
                         AS BIGINT) AS n_changed,
                    CAST(dc AS BIGINT) AS max_dc
+            FROM g
+        """,
+        "q179_movwind_documents": """
+            -- closed form of the planted flag field: the a x b hot
+            -- rectangle fully survives the 3x3 4/9 debounce (its
+            -- corners hit the exact 4/9 tie), every isolated speckle
+            -- dies (1/9 < 4/9)
+            WITH g AS (
+                SELECT doc_id, 3 + doc_id % 4 AS a,
+                       3 + (doc_id * 3) % 4 AS b, doc_id % 3 AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(512 AS BIGINT) AS n_px,
+                   CAST(a * b + s AS BIGINT) AS n_flag,
+                   CAST(a * b AS BIGINT) AS n_kept
             FROM g
         """,
         "q178_triage_exposure_documents": """

@@ -211,6 +211,9 @@ def run_bench() -> dict:
         # round 4: the batched-inversion Kendall numerator (new key —
         # absent from r1-r3 artifacts; compare totals minus this)
         "q155_kendall_events",
+        # round 4f: cross-epoch tile change localization — decode x2,
+        # tile reduceat, native hash join, groupby (new key)
+        "q177_tilediff_documents",
     ]
     qtimes: dict[str, float] = {"validate_pair_images": round(t_validate, 3)}
     qs = entrymod.queries()

@@ -141,7 +141,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q173_color_documents", "q174_sharpness_documents",
             "q175_pngaudit_documents", "q176_lumahist_documents",
             "q177_tilediff_documents",
-            "q178_triage_exposure_documents"]
+            "q178_triage_exposure_documents",
+            "q179_movwind_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
