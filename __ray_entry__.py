@@ -4003,6 +4003,119 @@ def q179_movwind_documents(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q180_scenecut_documents(sf_dir: str):
+    """END-TO-END RVID scene-cut census gate through the driver
+    oracle (ops/scenecut.SceneCutStage): each document becomes an
+    RVID of F = 3 + d%4 uniform-gray 8x8 frames with v_j =
+    (d*(j+1)) % 236 + 10 (ppm/png alternating per frame), so every
+    frame's exact mean-luma cents is 100*v_j and the consecutive
+    jumps have the modular closed form the oracle restates with a
+    VALUES lateral."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.multimodal import encode_rvid
+    from raqc_ray.ops.scenecut import scene_cuts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            frames = []
+            for j in range(3 + d % 4):
+                v = (d * (j + 1)) % 236 + 10
+                arr = np.full((8, 8, 3), v, dtype=np.uint8)
+                frames.append(encode_image(
+                    arr, "ppm" if (d + j) % 2 == 0 else "png"))
+            ids.append(str(d))
+            blobs.append(encode_rvid(frames))
+        return pd.DataFrame({"item_id": ids, "bytes": blobs})
+
+    vids = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(scene_cuts(vids, thr_c=500, batch_size=64))
+    df = df[df["ok"]]
+    df["doc_id"] = df["item_id"].astype("int64")
+    for c in ("n_frames", "n_cuts", "n_frozen", "max_jump"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_frames", "n_cuts", "n_frozen",
+                "max_jump"]].reset_index(drop=True))
+
+
+def q181_histdrift_documents(sf_dir: str):
+    """END-TO-END exact histogram-drift gate through the driver
+    oracle (ops/histdrift.histogram_l1 over two ops/lumahist corpus
+    histograms): epoch A renders two-tone (g1 = d%200+20,
+    g2 = (d*7)%229+10), epoch B moves the right half to
+    g2b = (d*5)%229+10; both corpus histograms reduce distributively
+    and the exact normalized-L1 numerator/denominator (decimal
+    strings — exact beyond int64) match the oracle's HUGEINT closed
+    form."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.histdrift import histogram_l1
+    from raqc_ray.ops.lumahist import luma_histogram
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render_epoch(which: str):
+        def render(df: pd.DataFrame) -> pd.DataFrame:
+            ids, blobs, fmts = [], [], []
+            for d in df["doc_id"].astype("int64"):
+                d = int(d)
+                g1 = d % 200 + 20
+                g2 = ((d * 7) % 229 + 10 if which == "a"
+                      else (d * 5) % 229 + 10)
+                arr = np.empty((16, 32, 3), dtype=np.uint8)
+                arr[:, :16, :] = g1
+                arr[:, 16:, :] = g2
+                fmt = "ppm" if d % 2 == 0 else "png"
+                ids.append(str(d))
+                blobs.append(encode_image(arr, fmt))
+                fmts.append(fmt)
+            return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                                 "fmt": fmts})
+        return render
+
+    ha = luma_histogram(docs.map_batches(render_epoch("a"),
+                                         batch_format="pandas"),
+                        batch_size=128)
+    hb = luma_histogram(docs.map_batches(render_epoch("b"),
+                                         batch_format="pandas"),
+                        batch_size=128)
+    return histogram_l1(ha, hb)
+
+
+def q182_jpegquality_documents(sf_dir: str):
+    """END-TO-END JPEG quality-forensics gate through the driver
+    oracle (ops/jpegquality.JpegQualityStage): each document renders
+    deterministic 16x16 noise encoded by the REAL JPEG encoder at
+    quality 50 + d%46; the header-only DQT walk recovers the exact
+    factor via the per-actor candidate dictionary (the quality→table
+    map is injective — unit-gated), so the oracle is the trivial
+    closed form."""
+    from raqc_ray.jpeg import encode_jpeg
+    from raqc_ray.ops.jpegquality import jpeg_quality
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            rng = np.random.default_rng(d)
+            arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            ids.append(str(d))
+            blobs.append(encode_jpeg(arr, quality=50 + d % 46))
+        return pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(jpeg_quality(imgs, batch_size=256))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("q_est", "n_dqt"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "q_est", "n_dqt"]].reset_index(drop=True)
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4283,6 +4396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q176_lumahist_documents": q176_lumahist_documents,
         "q177_tilediff_documents": q177_tilediff_documents,
         "q178_triage_exposure_documents": q178_triage_exposure_documents,
+        "q180_scenecut_documents": q180_scenecut_documents,
+        "q181_histdrift_documents": q181_histdrift_documents,
+        "q182_jpegquality_documents": q182_jpegquality_documents,
     }
 
 
@@ -6735,6 +6851,70 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_changed,
                    CAST(dc AS BIGINT) AS max_dc
             FROM g
+        """,
+        "q182_jpegquality_documents": """
+            -- the DQT walk recovers the planted quality exactly
+            -- (quality -> table is injective for the encoder's
+            -- Annex-K base tables; both DQT tables present)
+            SELECT doc_id,
+                   CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
+                   CAST(2 AS BIGINT) AS n_dqt
+            FROM documents
+        """,
+        "q180_scenecut_documents": """
+            -- closed form of the planted frame sequence: frame j has
+            -- exact mean-luma cents 100*((doc_id*(j+1)) % 236 + 10),
+            -- so jump j is 100*|(d*(j+2))%236 - (d*(j+1))%236| for
+            -- j = 0 .. F-2, F = 3 + d%4
+            WITH js AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4))
+                        AS t(j)),
+            f AS (
+                SELECT d.doc_id, t.j,
+                       100 * ABS(CAST((d.doc_id * (t.j + 2)) % 236
+                                      AS BIGINT)
+                                 - CAST((d.doc_id * (t.j + 1)) % 236
+                                        AS BIGINT)) AS jump
+                FROM documents d, js t
+                WHERE t.j <= 1 + d.doc_id % 4
+            )
+            SELECT doc_id,
+                   CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+                   CAST(SUM(CASE WHEN jump > 500 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cuts,
+                   CAST(SUM(CASE WHEN jump = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_frozen,
+                   CAST(MAX(jump) AS BIGINT) AS max_jump
+            FROM f GROUP BY 1
+        """,
+        "q181_histdrift_documents": """
+            -- exact normalized-L1 between the two epochs' corpus
+            -- luma histograms, in HUGEINT; the engine emits the
+            -- numerator/denominator as decimal strings
+            WITH ha AS (
+                SELECT b, CAST(256 * COUNT(*) AS HUGEINT) AS n FROM (
+                    SELECT doc_id % 200 + 20 AS b FROM documents
+                    UNION ALL
+                    SELECT (doc_id * 7) % 229 + 10 FROM documents
+                ) GROUP BY 1
+            ), hb AS (
+                SELECT b, CAST(256 * COUNT(*) AS HUGEINT) AS n FROM (
+                    SELECT doc_id % 200 + 20 AS b FROM documents
+                    UNION ALL
+                    SELECT (doc_id * 5) % 229 + 10 FROM documents
+                ) GROUP BY 1
+            ), tot AS (
+                SELECT (SELECT SUM(n) FROM ha) AS na_t,
+                       (SELECT SUM(n) FROM hb) AS nb_t
+            ), j AS (
+                SELECT COALESCE(ha.n, 0) AS na, COALESCE(hb.n, 0) AS nb
+                FROM ha FULL OUTER JOIN hb ON ha.b = hb.b
+            )
+            SELECT CAST(t.na_t AS BIGINT) AS na_total,
+                   CAST(t.nb_t AS BIGINT) AS nb_total,
+                   CAST(SUM(ABS(j.na * t.nb_t - j.nb * t.na_t))
+                        AS VARCHAR) AS l1_num,
+                   CAST(t.na_t * t.nb_t AS VARCHAR) AS l1_den
+            FROM j, tot t GROUP BY t.na_t, t.nb_t
         """,
         "q179_movwind_documents": """
             -- closed form of the planted flag field: the a x b hot

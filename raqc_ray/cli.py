@@ -61,6 +61,9 @@ def main(argv=None) -> int:
     v.add_argument("--epoch", default="e1")
     v.add_argument("--out", required=True)
     v.add_argument("--checkpoint", default="", help="resume root (optional)")
+    v.add_argument("--exposure-permille", type=int, default=None,
+                   help="enable the ExposureCheck: flag images whose "
+                        "clipped-pixel fraction exceeds this permille")
     v.add_argument("--plots", action="store_true",
                    help="render hist2d + flag-map images (S8) under --out")
 
@@ -86,6 +89,11 @@ def main(argv=None) -> int:
             from .pipelines import validate_epoch, validate_epoch_checkpointed
 
             cfg = default_image_config(args.epoch, captions_path=args.captions)
+            if args.exposure_permille is not None:
+                from .config import ExposureCheck
+
+                cfg.checks.append(ExposureCheck(
+                    max_clip_permille=args.exposure_permille))
             parts = _collect_parts(args.input)
             if args.checkpoint:
                 res = validate_epoch_checkpointed(parts, cfg, args.checkpoint)

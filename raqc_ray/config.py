@@ -109,6 +109,27 @@ class DecodeCheck(CheckSpec):
 
 
 @dataclass(frozen=True)
+class ExposureCheck(CheckSpec):
+    """Per-image exposure quality from the SAME pixels the DecodeCheck
+    already pays to decode (no second decode): an image is a violation
+    when its clipped-pixel fraction — exact luma cents ``<= lo_c`` or
+    ``>= hi_c`` (`ops/exposure.pixel_stats_of`) — exceeds
+    ``max_clip_permille``, by the exact rational test
+    ``(n_lo + n_hi) * 1000 > max_clip_permille * n_px``.  Requires a
+    DecodeCheck in the same config.  RAQC analog: conditional masks
+    over the pixel statistic itself (SURVEY §2.2 M4 at pixel
+    granularity; `ops/exposure` is the standalone census sibling)."""
+
+    lo_c: int = 2000
+    hi_c: int = 23500
+    max_clip_permille: int = 100
+
+    @property
+    def name(self) -> str:
+        return "exposure"
+
+
+@dataclass(frozen=True)
 class StatsCheck(CheckSpec):
     """Per-partition null count / min / max / mean per column (A6)."""
 
@@ -322,6 +343,7 @@ class RunConfig:
                     RangeCheck,
                     CaptionCheck,
                     DecodeCheck,
+                    ExposureCheck,
                     StatsCheck,
                     CardinalityCheck,
                     QuantileCheck,

@@ -41,6 +41,7 @@ from ..config import (
     CaptionCheck,
     CardinalityCheck,
     DecodeCheck,
+    ExposureCheck,
     Hist2DCheck,
     NullityCheck,
     QuantileCheck,
@@ -48,6 +49,7 @@ from ..config import (
     RunConfig,
     StatsCheck,
 )
+from ..ops.exposure import pixel_stats_of
 from ..sketches import HyperLogLog, TDigest
 from ..sketches.hll import hash64
 
@@ -120,6 +122,7 @@ class ValidatorStage:
         self.range_ = cfg.get(RangeCheck)
         self.caption = cfg.get(CaptionCheck)
         self.decode = cfg.get(DecodeCheck)
+        self.exposure = cfg.get(ExposureCheck)
         self.stats = cfg.get(StatsCheck)
         self.card = cfg.get(CardinalityCheck)
         self.quant = cfg.get(QuantileCheck)
@@ -228,6 +231,19 @@ class ValidatorStage:
                     out.violation(pids[i], self.epoch, "decode", ids[i], "h",
                                   f"declared h={hs[i]} decoded h={dh}", d.severity)
                 pixel_mean[i] = float(img.mean())
+                if self.exposure is not None:
+                    # same decoded pixels, no second decode (the fused
+                    # triage discipline of ops/quarantine, in-stage)
+                    e = self.exposure
+                    n_px, _, _, n_lo, n_hi = pixel_stats_of(
+                        img, e.lo_c, e.hi_c)
+                    if (n_lo + n_hi) * 1000 > e.max_clip_permille * n_px:
+                        out.violation(
+                            pids[i], self.epoch, "exposure", ids[i],
+                            "bytes",
+                            f"clipped {n_lo + n_hi}/{n_px} px "
+                            f"(> {e.max_clip_permille}‰)",
+                            e.severity)
 
         # --- stat partials per partition in this batch ---
         uniq_pids = np.unique(pids)

@@ -74,3 +74,46 @@ def test_tile_changes_planted_halves():
     assert int(out.loc["x", "max_dc"]) == 3000
     assert int(out.loc["y", "n_changed"]) == 0
     assert int(out.loc["y", "max_dc"]) == 300
+
+
+def test_lumahist_layout_invariance():
+    # the corpus histogram must not depend on block layout
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(48):
+        g1, g2 = int(rng.integers(0, 256)), int(rng.integers(0, 256))
+        rows.append({"image_id": str(i),
+                     "bytes": encode_image(_two_tone(g1, g2), "ppm"),
+                     "fmt": "ppm"})
+    df = pd.DataFrame(rows)
+    a = (luma_histogram(rd.from_pandas(df)).to_pandas()
+         .sort_values("bin").reset_index(drop=True))
+    b = (luma_histogram(rd.from_pandas(df).repartition(7))
+         .to_pandas().sort_values("bin").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["n_px"].sum()) == 48 * 512
+
+
+def test_tile_changes_layout_invariance():
+    rng = np.random.default_rng(12)
+    rows_a, rows_b = [], []
+    for i in range(40):
+        g1, g2 = int(rng.integers(0, 200)), int(rng.integers(0, 200))
+        d = int(rng.integers(0, 60))
+        rows_a.append({"image_id": str(i),
+                       "bytes": encode_image(_two_tone(g1, g2), "ppm"),
+                       "fmt": "ppm"})
+        rows_b.append({"image_id": str(i),
+                       "bytes": encode_image(
+                           _two_tone(g1, min(g2 + d, 255)), "png"),
+                       "fmt": "png"})
+    da, db = pd.DataFrame(rows_a), pd.DataFrame(rows_b)
+
+    def run(na, nb):
+        return (tile_changes(
+            tile_means(rd.from_pandas(da).repartition(na)),
+            tile_means(rd.from_pandas(db).repartition(nb)),
+            thr_c=500).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(run(1, 1), run(9, 3))
