@@ -4116,6 +4116,23 @@ def q182_jpegquality_documents(sf_dir: str):
     return df[["doc_id", "q_est", "n_dqt"]].reset_index(drop=True)
 
 
+def q183_embcov_embeddings(sf_dir: str):
+    """Exact quantized covariance matrix over the embedding corpus
+    (ops/embcov.covariance_matrix): ONE int64 Gram matmul per block,
+    constant-size (i, j) partial shuffle (dim*(dim+3)/2 + 1 keys —
+    nothing row-count-sized moves), exact integer covariance
+    numerators n*sum_qq - s_i*s_j, bit-identical across layouts —
+    double-unnest self-join SQL oracle."""
+    from raqc_ray.ops.embcov import covariance_matrix
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    df = _typed_pandas(covariance_matrix(emb, "embedding", dim=64))
+    for c in ("i", "j", "n", "sum_qq", "cov_num"):
+        df[c] = df[c].astype("int64")
+    return (df[["i", "j", "n", "sum_qq", "cov_num"]]
+            .sort_values(["i", "j"]).reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4399,6 +4416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q180_scenecut_documents": q180_scenecut_documents,
         "q181_histdrift_documents": q181_histdrift_documents,
         "q182_jpegquality_documents": q182_jpegquality_documents,
+        "q183_embcov_embeddings": q183_embcov_embeddings,
     }
 
 
@@ -6860,6 +6878,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
             FROM documents
+        """,
+        "q183_embcov_embeddings": """
+            -- exact quantized covariance numerators via double-unnest
+            -- self-join; SUM over BIGINT products is HUGEINT-exact
+            WITH q AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 10000) AS BIGINT) AS qv
+                FROM embeddings
+            ), s AS (
+                SELECT i, SUM(qv) AS sv FROM q GROUP BY i
+            ), nn AS (
+                SELECT COUNT(*) AS c FROM embeddings
+            ), m AS (
+                SELECT a.i AS i, b.i AS j, SUM(a.qv * b.qv) AS sum_qq
+                FROM q a JOIN q b
+                  ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2
+            )
+            SELECT CAST(m.i AS BIGINT) AS i,
+                   CAST(m.j AS BIGINT) AS j,
+                   CAST(nn.c AS BIGINT) AS n,
+                   CAST(m.sum_qq AS BIGINT) AS sum_qq,
+                   CAST(nn.c * m.sum_qq - sa.sv * sb.sv AS BIGINT)
+                       AS cov_num
+            FROM m
+            JOIN s sa ON sa.i = m.i
+            JOIN s sb ON sb.i = m.j
+            CROSS JOIN nn
         """,
         "q180_scenecut_documents": """
             -- closed form of the planted frame sequence: frame j has

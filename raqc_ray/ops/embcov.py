@@ -1,0 +1,90 @@
+"""Exact quantized covariance / second-moment (Gram) matrix over an
+embedding column — the distributed dense-linear-algebra accumulation
+every representation-quality audit needs (feature collapse detection,
+whitening statistics, PCA input) expressed Ray-Data-first.
+
+Plan (the `grouped_centroid` quantized-exact discipline extended to
+second moments): each block computes the int64 Gram partial
+``Q.T @ Q`` of its quantized vectors ``q = floor(e * scale)`` plus the
+per-position sums and the row count — ONE numpy matmul per block, no
+per-row Python.  Partials are emitted as long ``(i, j, s)`` rows
+(``i <= j``; constant ``dim*(dim+3)/2 + 1`` rows per block — nothing
+row-count-sized ever shuffles), reduced by a native ``groupby.Sum``
+(Python-int accumulation → exact and order-independent), and finished
+on the driver into exact integer covariance numerators::
+
+    cov_num[i, j] = n * sum_qq[i, j] - s[i] * s[j]
+
+so ``cov[i, j] = cov_num / (n^2 * scale^2)`` (population) is
+bit-identical across block layouts.  All outputs are exact int64.
+
+Overflow headroom (documented like `ops/rollup`): with ``scale=1e4``
+and ``|e| <= 3``, ``|q| <= 3e4``, so ``n * sum_qq <= n^2 * 9e8`` —
+int64-safe to n ≈ 3e6 rows per corpus; at larger n lower ``scale``
+(the oracle scales identically) or shard the corpus.
+
+Sentinel encoding of the sums inside the same reduce: position sums
+ride as ``(i, 0, s_i)`` rows and the count as ``(0, 0, n)`` (real
+positions are 1-based, SQL ``generate_subscripts`` convention), so
+ONE shuffle of ≤ dim*(dim+3)/2 + 1 keys carries everything.
+
+Gates: closed-form unit test on a tiny known matrix + layout
+invariance (`test_ops_round4t`), and the full DuckDB double-unnest
+self-join oracle `q183_embcov_embeddings`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _emb_matrix
+
+
+def covariance_matrix(ds, emb_col: str, dim: int, scale: int = 10_000):
+    """Dataset of ``(i, j, n, sum_qq, cov_num)`` rows for the upper
+    triangle ``1 <= i <= j <= dim`` (1-based positions); all int64,
+    exact, layout-deterministic."""
+    iu0, iu1 = np.triu_indices(dim)
+    ii = (iu0 + 1).astype(np.int64)
+    jj = (iu1 + 1).astype(np.int64)
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        emb = _emb_matrix(b[emb_col], dim)
+        q = np.floor(emb * scale).astype(np.int64)
+        gram = q.T @ q  # (dim, dim) int64, one matmul per block
+        s = q.sum(axis=0, dtype=np.int64)
+        i = np.concatenate([ii, np.arange(1, dim + 1, dtype=np.int64),
+                            np.zeros(1, dtype=np.int64)])
+        j = np.concatenate([jj, np.zeros(dim, dtype=np.int64),
+                            np.zeros(1, dtype=np.int64)])
+        v = np.concatenate([gram[iu0, iu1], s,
+                            np.asarray([q.shape[0]], dtype=np.int64)])
+        return pd.DataFrame({"i": i, "j": j, "s": v})
+
+    from ray.data.aggregate import Sum
+
+    summed = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["i", "j"])
+              .aggregate(Sum("s", alias_name="s")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # driver-side: <= dim*(dim+3)/2 + 1 rows by construction
+        i = df["i"].to_numpy(dtype=np.int64)
+        j = df["j"].to_numpy(dtype=np.int64)
+        s = df["s"].to_numpy(dtype=np.int64)
+        n = int(s[(i == 0) & (j == 0)][0])
+        sums = {int(a): int(b)
+                for a, b in zip(i[(j == 0) & (i > 0)],
+                                s[(j == 0) & (i > 0)])}
+        tri = (j > 0)
+        it, jt, st = i[tri], j[tri], s[tri]
+        cov = np.asarray([n * int(sq) - sums[int(a)] * sums[int(b)]
+                          for a, b, sq in zip(it, jt, st)],
+                         dtype=np.int64)
+        return pd.DataFrame({"i": it, "j": jt,
+                             "n": np.int64(n), "sum_qq": st,
+                             "cov_num": cov})
+
+    return summed.repartition(1).map_batches(finish, batch_format="pandas")

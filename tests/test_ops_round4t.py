@@ -1,0 +1,53 @@
+"""Gates for the exact quantized covariance matrix (ops/embcov):
+closed-form tiny matrix, numpy cross-check, block-layout invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raqc_ray.ops.embcov import covariance_matrix
+
+
+def _ds(mat, n_blocks=1):
+    df = pd.DataFrame({"embedding": [list(map(float, r)) for r in mat]})
+    ds = rd.from_pandas(df)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def test_embcov_closed_form(ray_session):
+    # rows (1,2), (3,4): scale=10 -> q = [[10,20],[30,40]]
+    out = (covariance_matrix(_ds([[1, 2], [3, 4]]), "embedding",
+                             dim=2, scale=10)
+           .to_pandas().set_index(["i", "j"]).sort_index())
+    assert out.loc[(1, 1), "sum_qq"] == 10 * 10 + 30 * 30  # 1000
+    assert out.loc[(1, 2), "sum_qq"] == 10 * 20 + 30 * 40  # 1400
+    assert out.loc[(2, 2), "sum_qq"] == 20 * 20 + 40 * 40  # 2000
+    # cov_num = n*sum_qq - s_i*s_j; s = [40, 60], n = 2
+    assert out.loc[(1, 1), "cov_num"] == 2 * 1000 - 40 * 40
+    assert out.loc[(1, 2), "cov_num"] == 2 * 1400 - 40 * 60
+    assert out.loc[(2, 2), "cov_num"] == 2 * 2000 - 60 * 60
+    assert (out["n"] == 2).all()
+    assert len(out) == 3  # upper triangle only
+
+
+def test_embcov_matches_numpy_and_layout(ray_session):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(60, 8)) * 2.5
+    q = np.floor(mat * 10_000).astype(np.int64)
+    gram = q.T @ q
+    s = q.sum(axis=0)
+    n = len(mat)
+
+    def run(blocks):
+        return (covariance_matrix(_ds(mat, blocks), "embedding",
+                                  dim=8).to_pandas()
+                .sort_values(["i", "j"]).reset_index(drop=True))
+
+    a = run(1)
+    assert len(a) == 8 * 9 // 2
+    for _, r in a.iterrows():
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        assert int(r["sum_qq"]) == int(gram[i, j])
+        assert int(r["cov_num"]) == n * int(gram[i, j]) - int(s[i]) * int(s[j])
+    pd.testing.assert_frame_equal(a, run(7))  # layout invariance
