@@ -4133,6 +4133,19 @@ def q183_embcov_embeddings(sf_dir: str):
             .sort_values(["i", "j"]).reset_index(drop=True))
 
 
+def q184_normdedup_documents(sf_dir: str):
+    """Exact dedup after C4-style canonicalization (ops/dedup
+    .normalized_dedup): vectorized Arrow RE2 normalization (lower →
+    strip punct → collapse spaces → trim) per block, then the q12
+    native Min/Count groupby on the md5 of the NORMALIZED text — the
+    dedup that catches case/spacing/punctuation variants.  RE2-parity
+    DuckDB regexp_replace oracle."""
+    from raqc_ray.ops.dedup import normalized_dedup
+
+    return normalized_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4417,6 +4430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q181_histdrift_documents": q181_histdrift_documents,
         "q182_jpegquality_documents": q182_jpegquality_documents,
         "q183_embcov_embeddings": q183_embcov_embeddings,
+        "q184_normdedup_documents": q184_normdedup_documents,
     }
 
 
@@ -6878,6 +6892,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
             FROM documents
+        """,
+        "q184_normdedup_documents": """
+            -- same RE2 normalization as the engine's Arrow kernels
+            SELECT md5(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                       ' +', ' ', 'g'))) AS fp,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1
         """,
         "q183_embcov_embeddings": """
             -- exact quantized covariance numerators via double-unnest

@@ -405,6 +405,43 @@ def exact_dedup(docs_ds):
     )
 
 
+def normalized_dedup(docs_ds, text_col: str = "text"):
+    """Exact dedup AFTER C4/CCNet-style canonicalization — the form
+    dedup actually runs in training-data pipelines (curly quotes,
+    case, spacing and punctuation variants of the same document must
+    collapse to one key).
+
+    Normalization (vectorized Arrow RE2 kernels — the same regex
+    engine DuckDB's ``regexp_replace`` uses, so the SQL oracle is
+    byte-identical): lowercase → strip every ``[^a-z0-9 ]`` run to a
+    space → collapse space runs → trim.  The normalized text never
+    leaves the block: only (fp, doc_id) rows shuffle into the same
+    native Min/Count groupby as `exact_dedup`.
+
+    Returns (fp, doc_id, n): one row per distinct normalized text with
+    the smallest doc_id and the member count."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    def norm_fp(b: pa.Table) -> pd.DataFrame:
+        t = pc.fill_null(b[text_col].cast(pa.string()), "")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, "[^a-z0-9 ]+", " ")
+        t = pc.replace_substring_regex(t, " +", " ")
+        t = pc.utf8_trim_whitespace(t)
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in t.to_pylist()]
+        return pd.DataFrame({
+            "fp": fps,
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)})
+
+    return (docs_ds.map_batches(norm_fp, batch_format="pyarrow")
+            .groupby("fp")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n")))
+
+
 # ------------------------------------------------- embedding near-dup (LSH)
 
 

@@ -51,3 +51,23 @@ def test_embcov_matches_numpy_and_layout(ray_session):
         assert int(r["sum_qq"]) == int(gram[i, j])
         assert int(r["cov_num"]) == n * int(gram[i, j]) - int(s[i]) * int(s[j])
     pd.testing.assert_frame_equal(a, run(7))  # layout invariance
+
+
+def test_normalized_dedup_collapses_variants(ray_session):
+    from raqc_ray.ops.dedup import normalized_dedup
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),          # same after normalization
+        (3, "HELLO --- WORLD"),      # same
+        (4, "hello worlds"),         # different
+        (5, None),                   # -> ""
+        (6, "?!"),                   # -> "" (same as 5)
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = (normalized_dedup(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 3
+    assert out.loc[0, "doc_id"] == 1 and out.loc[0, "n"] == 3
+    assert out.loc[1, "doc_id"] == 4 and out.loc[1, "n"] == 1
+    assert out.loc[2, "doc_id"] == 5 and out.loc[2, "n"] == 2
