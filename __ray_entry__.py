@@ -4146,6 +4146,20 @@ def q184_normdedup_documents(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q185_repetition_documents(sf_dir: str):
+    """Gopher-rules bigram repetition census (ops/repetition
+    .bigram_repetition): exact per-document n_tokens / n_bigrams /
+    top-bigram count, ONE Arrow RE2 split + numpy lexsort run-length
+    per block (no per-row Python) — LEAD-window bigram SQL oracle."""
+    from raqc_ray.ops.repetition import bigram_repetition
+
+    df = _typed_pandas(bigram_repetition(
+        _read(sf_dir, "documents", ["doc_id", "text"])))
+    for c in ("doc_id", "n_tokens", "n_bigrams", "top_bigram_n"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "n_tokens", "n_bigrams", "top_bigram_n"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4431,6 +4445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q182_jpegquality_documents": q182_jpegquality_documents,
         "q183_embcov_embeddings": q183_embcov_embeddings,
         "q184_normdedup_documents": q184_normdedup_documents,
+        "q185_repetition_documents": q185_repetition_documents,
     }
 
 
@@ -6892,6 +6907,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
             FROM documents
+        """,
+        "q185_repetition_documents": r"""
+            -- \S+ tokens; bigrams via LEAD within doc; tokens cannot
+            -- contain the ' ' join char, so string-joined bigrams
+            -- count identically to the engine's integer codes
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS tok,
+                       generate_subscripts(
+                           regexp_extract_all(text, '\S+'), 1) AS i
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       tok || ' ' || LEAD(tok) OVER
+                           (PARTITION BY doc_id ORDER BY i) AS bg
+                FROM t
+                QUALIFY LEAD(tok) OVER
+                    (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+            ), c AS (
+                SELECT doc_id, bg, COUNT(*) AS nn
+                FROM b GROUP BY 1, 2
+            ), tc AS (
+                SELECT doc_id, COUNT(*) AS n_tokens FROM t GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(tc.n_tokens, 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(COALESCE(
+                       (SELECT SUM(nn) FROM c WHERE c.doc_id = d.doc_id),
+                       0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(
+                       (SELECT MAX(nn) FROM c WHERE c.doc_id = d.doc_id),
+                       0) AS BIGINT) AS top_bigram_n
+            FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
         """,
         "q184_normdedup_documents": """
             -- same RE2 normalization as the engine's Arrow kernels

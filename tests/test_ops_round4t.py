@@ -71,3 +71,25 @@ def test_normalized_dedup_collapses_variants(ray_session):
     assert out.loc[0, "doc_id"] == 1 and out.loc[0, "n"] == 3
     assert out.loc[1, "doc_id"] == 4 and out.loc[1, "n"] == 1
     assert out.loc[2, "doc_id"] == 5 and out.loc[2, "n"] == 2
+
+
+def test_bigram_repetition_closed_form(ray_session):
+    from raqc_ray.ops.repetition import bigram_repetition
+
+    rows = [
+        (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> top 3
+        (2, "x y z"),              # xy,yz -> top 1
+        (3, "w"),                  # no bigrams
+        (4, ""),                   # empty
+        (5, None),                 # null
+        (6, "  pad  pad  "),       # edge whitespace; pad-pad once
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = (bigram_repetition(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1].tolist() == [6, 5, 3]
+    assert out.loc[2].tolist() == [3, 2, 1]
+    assert out.loc[3].tolist() == [1, 0, 0]
+    assert out.loc[4].tolist() == [0, 0, 0]
+    assert out.loc[5].tolist() == [0, 0, 0]
+    assert out.loc[6].tolist() == [2, 1, 1]

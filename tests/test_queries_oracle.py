@@ -144,7 +144,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q178_triage_exposure_documents",
             "q179_movwind_documents", "q180_scenecut_documents",
             "q181_histdrift_documents", "q182_jpegquality_documents",
-            "q183_embcov_embeddings", "q184_normdedup_documents"]
+            "q183_embcov_embeddings", "q184_normdedup_documents",
+            "q185_repetition_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
