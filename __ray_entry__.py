@@ -4160,6 +4160,50 @@ def q185_repetition_documents(sf_dir: str):
     return df[["doc_id", "n_tokens", "n_bigrams", "top_bigram_n"]]
 
 
+def q186_stripes_documents(sf_dir: str):
+    """END-TO-END sensor-stripe census (ops/stripes.StripeStage):
+    each document renders a deterministic 16x32 noise frame with
+    planted dead rows (doc_id%5 constant scanlines), a stuck-buffer
+    repeat block (doc_id%3+1 identical consecutive rows) or — every
+    7th doc — a fully flat frame, pushed through the REAL decode
+    path; the oracle is the trivial closed form."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.stripes import stripe_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            if d % 7 == 0:
+                arr = np.full((16, 32, 3), d % 200 + 20,
+                              dtype=np.uint8)
+            else:
+                rng = np.random.default_rng(d)
+                arr = rng.integers(0, 256, (16, 32, 3),
+                                   dtype=np.uint8)
+                for r in range(d % 5):           # dead scanlines
+                    arr[r, :, :] = (d * 3 + r) % 256
+                arr[9:9 + d % 3, :, :] = arr[8, :, :]  # stuck buffer
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(stripe_census(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("h", "w", "n_const_rows", "n_const_cols",
+              "max_row_run"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "h", "w", "n_const_rows", "n_const_cols",
+               "max_row_run"]].reset_index(drop=True)
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4446,6 +4490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q183_embcov_embeddings": q183_embcov_embeddings,
         "q184_normdedup_documents": q184_normdedup_documents,
         "q185_repetition_documents": q185_repetition_documents,
+        "q186_stripes_documents": q186_stripes_documents,
     }
 
 
@@ -6906,6 +6951,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
+            FROM documents
+        """,
+        "q186_stripes_documents": """
+            -- closed form of the planted defects: every 7th doc is a
+            -- flat frame (all rows/cols constant, one full-height
+            -- run); otherwise doc_id%5 dead scanlines (mutually
+            -- distinct values -> no runs) and a doc_id%3+1-row
+            -- stuck-buffer repeat block of a noise row
+            SELECT doc_id,
+                   CAST(16 AS BIGINT) AS h,
+                   CAST(32 AS BIGINT) AS w,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 16
+                             ELSE doc_id % 5 END AS BIGINT)
+                       AS n_const_rows,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 32
+                             ELSE 0 END AS BIGINT) AS n_const_cols,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 16
+                             ELSE doc_id % 3 + 1 END AS BIGINT)
+                       AS max_row_run
             FROM documents
         """,
         "q185_repetition_documents": r"""

@@ -93,3 +93,42 @@ def test_bigram_repetition_closed_form(ray_session):
     assert out.loc[4].tolist() == [0, 0, 0]
     assert out.loc[5].tolist() == [0, 0, 0]
     assert out.loc[6].tolist() == [2, 1, 1]
+
+
+def test_stripe_stats_closed_form():
+    from raqc_ray.ops.stripes import stripe_stats_of
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    assert stripe_stats_of(arr) == (10, 12, 0, 0, 1)
+
+    arr2 = arr.copy()
+    arr2[2, :, :] = 77            # dead scanline
+    arr2[3, :, :] = 78            # second, different value
+    arr2[6:9] = arr2[5]           # stuck buffer: rows 5..8 identical
+    h, w, ncr, ncc, run = stripe_stats_of(arr2)
+    assert (ncr, ncc, run) == (2, 0, 4)
+
+    flat = np.full((4, 6, 3), 9, dtype=np.uint8)
+    assert stripe_stats_of(flat) == (4, 6, 4, 6, 4)
+
+    col = arr.copy()
+    col[:, 7, :] = 200            # dead column
+    assert stripe_stats_of(col)[3] == 1
+
+
+def test_stripe_stage_roundtrip(ray_session):
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.stripes import stripe_census
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    arr[1, :, :] = 50
+    rows = [{"image_id": "a", "bytes": encode_image(arr, "png"),
+             "fmt": "png"},
+            {"image_id": "bad", "bytes": b"JUNK", "fmt": "png"}]
+    out = (stripe_census(rd.from_pandas(pd.DataFrame(rows)))
+           .to_pandas().set_index("image_id"))
+    assert int(out.loc["a", "n_const_rows"]) == 1
+    assert bool(out.loc["a", "ok"])
+    assert not bool(out.loc["bad", "ok"])
