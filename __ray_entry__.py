@@ -4204,6 +4204,25 @@ def q186_stripes_documents(sf_dir: str):
                "max_row_run"]].reset_index(drop=True)
 
 
+def q187_pca_embeddings(sf_dir: str):
+    """Top-4 PCA / representation-collapse audit (ops/embcov
+    .pca_top): data-sized work is the q183 exact-integer covariance
+    (one matmul per block, constant-size shuffle); the dim x dim
+    eigendecomposition runs on the driver, bit-identical across
+    layouts because its input is exact.  No SQL oracle
+    (eigendecomposition) — planted-direction + layout-invariance
+    pytest gates."""
+    from raqc_ray.ops.embcov import pca_top
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    df = pca_top(emb, "embedding", dim=64, k=4)
+    for c in ("comp", "pos"):
+        df[c] = df[c].astype("int64")
+    for c in ("loading", "eigval", "evr"):
+        df[c] = df[c].astype("float64")
+    return df[["comp", "pos", "loading", "eigval", "evr"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4491,6 +4510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q184_normdedup_documents": q184_normdedup_documents,
         "q185_repetition_documents": q185_repetition_documents,
         "q186_stripes_documents": q186_stripes_documents,
+        "q187_pca_embeddings": q187_pca_embeddings,
     }
 
 

@@ -88,3 +88,49 @@ def covariance_matrix(ds, emb_col: str, dim: int, scale: int = 10_000):
                              "cov_num": cov})
 
     return summed.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def pca_top(ds, emb_col: str, dim: int, k: int = 4,
+            scale: int = 10_000) -> pd.DataFrame:
+    """Top-k PCA of the embedding corpus — the representation-collapse
+    audit (a healthy embedding space spreads variance; a collapsed one
+    concentrates it in a few directions).
+
+    Distribution shape: ALL the data-sized work is
+    `covariance_matrix` (one matmul per block, constant-size
+    shuffle); the eigendecomposition runs on the driver over the
+    dim x dim matrix — dim² floats, independent of corpus size.
+    Because the covariance numerators are exact integers, the input
+    matrix (and therefore `eigh`, a deterministic LAPACK call on it)
+    is bit-identical across block layouts.
+
+    Returns a pandas DataFrame of k*dim long rows
+    ``(comp, pos, loading, eigval, evr)``: 1-based component rank by
+    descending eigenvalue, 1-based position, the eigenvector loading
+    (sign-fixed: the largest-|loading| coordinate is positive),
+    eigenvalue in embedding units², and the explained-variance ratio
+    ``eigval / trace``."""
+    cov_rows = covariance_matrix(ds, emb_col, dim, scale=scale
+                                 ).to_pandas()
+    n = int(cov_rows["n"].iloc[0])
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    i = cov_rows["i"].to_numpy(dtype=np.int64) - 1
+    j = cov_rows["j"].to_numpy(dtype=np.int64) - 1
+    v = cov_rows["cov_num"].to_numpy(dtype=np.float64) / (
+        float(n) * float(n) * float(scale) * float(scale))
+    cov[i, j] = v
+    cov[j, i] = v
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    trace = float(np.trace(cov))
+    out = []
+    for rank, idx in enumerate(order, start=1):
+        vec = vecs[:, idx]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        for pos in range(dim):
+            out.append((rank, pos + 1, float(vec[pos]),
+                        float(w[idx]),
+                        float(w[idx]) / trace if trace else 0.0))
+    return pd.DataFrame(out, columns=["comp", "pos", "loading",
+                                      "eigval", "evr"])

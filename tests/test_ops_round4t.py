@@ -132,3 +132,31 @@ def test_stripe_stage_roundtrip(ray_session):
     assert int(out.loc["a", "n_const_rows"]) == 1
     assert bool(out.loc["a", "ok"])
     assert not bool(out.loc["bad", "ok"])
+
+
+def test_pca_top_recovers_planted_direction(ray_session):
+    from raqc_ray.ops.embcov import pca_top
+
+    rng = np.random.default_rng(21)
+    d = 6
+    direction = np.zeros(d)
+    direction[2] = 1.0  # variance concentrated on axis 3
+    mat = (rng.normal(size=(300, 1)) * 5.0 @ direction[None, :]
+           + rng.normal(size=(300, d)) * 0.05)
+
+    def run(blocks):
+        df = pd.DataFrame(
+            {"embedding": [list(map(float, r)) for r in mat]})
+        ds = rd.from_pandas(df)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        return pca_top(ds, "embedding", dim=d, k=2)
+
+    out = run(1)
+    top = out[out["comp"] == 1].sort_values("pos")
+    # the planted axis dominates the first component
+    assert abs(top["loading"].to_numpy()[2]) > 0.99
+    assert top["evr"].iloc[0] > 0.95
+    # exact-integer input -> bit-identical across layouts
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), run(5).reset_index(drop=True))

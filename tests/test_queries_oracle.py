@@ -165,7 +165,7 @@ ROWS_ONLY_KEYS = ["q16_langid_documents", "q17_minhash_dedup_documents",
                   "q21_ivf_ann_topk", "q24_rolling_fp_documents",
                   "q25_validate_documents", "q73_dedup_corpus_documents",
                   "q80_heavy_hitters_documents", "q81_kmeans_embeddings",
-                  "q162_compress_documents"]
+                  "q162_compress_documents", "q187_pca_embeddings"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
