@@ -4223,6 +4223,22 @@ def q187_pca_embeddings(sf_dir: str):
     return df[["comp", "pos", "loading", "eigval", "evr"]]
 
 
+def q188_pcont_lineitem(sf_dir: str):
+    """Exact grouped percentile_cont as integer numerators
+    (ops/quantile_exact.grouped_quantile_cont_num): per-supplier p25 /
+    p90 of l_quantity with the continuous-interpolation rule done in
+    exact int64 (num = v[q]*100 + (v[q+1]-v[q])*r) — distributed
+    value-histogram plan, list-indexing SQL oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_quantile_cont_num
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    df = _typed_pandas(grouped_quantile_cont_num(
+        li, "l_suppkey", "l_quantity"))
+    for c in ("l_suppkey", "n", "p25_100_num", "p90_100_num"):
+        df[c] = df[c].astype("int64")
+    return df[["l_suppkey", "n", "p25_100_num", "p90_100_num"]]
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4511,6 +4527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q185_repetition_documents": q185_repetition_documents,
         "q186_stripes_documents": q186_stripes_documents,
         "q187_pca_embeddings": q187_pca_embeddings,
+        "q188_pcont_lineitem": q188_pcont_lineitem,
     }
 
 
@@ -6972,6 +6989,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
             FROM documents
+        """,
+        "q188_pcont_lineitem": """
+            -- percentile_cont via exact integer numerators: position
+            -- (n-1)*p = q*100 + r over the per-key sorted value list;
+            -- num = v[q+1]*100 + (v[q+2]-v[q+1])*r (1-based lists)
+            WITH a AS (
+                SELECT l_suppkey,
+                       list(CAST(l_quantity AS BIGINT)
+                            ORDER BY l_quantity) AS arr,
+                       COUNT(*) AS n
+                FROM lineitem GROUP BY 1
+            ), k AS (
+                SELECT l_suppkey, arr, n,
+                       ((n - 1) * 25) // 100 AS q25,
+                       ((n - 1) * 25) % 100 AS r25,
+                       ((n - 1) * 90) // 100 AS q90,
+                       ((n - 1) * 90) % 100 AS r90
+                FROM a
+            )
+            SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(arr[CAST(q25 AS BIGINT) + 1] * 100
+                        + (COALESCE(arr[CAST(q25 AS BIGINT) + 2],
+                                    arr[CAST(q25 AS BIGINT) + 1])
+                           - arr[CAST(q25 AS BIGINT) + 1]) * r25
+                        AS BIGINT) AS p25_100_num,
+                   CAST(arr[CAST(q90 AS BIGINT) + 1] * 100
+                        + (COALESCE(arr[CAST(q90 AS BIGINT) + 2],
+                                    arr[CAST(q90 AS BIGINT) + 1])
+                           - arr[CAST(q90 AS BIGINT) + 1]) * r90
+                        AS BIGINT) AS p90_100_num
+            FROM k
         """,
         "q186_stripes_documents": """
             -- closed form of the planted defects: every 7th doc is a

@@ -267,3 +267,58 @@ def grouped_weighted_median(ds, key: str, value_col: str,
                              out_col: [v[idx]]})
 
     return hist.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def grouped_quantile_cont_num(ds, key: str, value_col: str,
+                              ps=((25, 100), (90, 100)),
+                              prefix: str = "p"):
+    """Exact grouped ``percentile_cont`` as integer NUMERATORS — the
+    continuous-interpolation quantile with no float anywhere, for
+    integer-valued measures.
+
+    ``percentile_cont(p)`` sits at continuous 0-based position
+    ``(n-1)*p``; with ``p = pn/pden`` write ``(n-1)*pn = q*pden + r``,
+    then::
+
+        result = v[q] + (v[q+1] - v[q]) * r / pden
+        num    = v[q]*pden + (v[q+1] - v[q])*r      (exact int64)
+
+    so each output column holds ``num`` with the constant denominator
+    ``pden`` — bit-identical across layouts and to the SQL
+    list-indexing oracle.  Same distributed plan as
+    :func:`grouped_quantile_disc`: per-block value counts, ONE hash
+    groupby, per-key pick over histogram rows (distinct values × keys,
+    never the input stream).
+
+    Columns: ``(key, n, {prefix}{pn}_{pden}_num ...)``."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"{prefix}{pn}_{pden}_num" for pn, pden in ps]
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({key: df[key]})
+        d[value_col] = df[value_col].to_numpy(dtype=np.int64)
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False,
+                         as_index=False).sum()
+
+    partial = ds.map_batches(block_counts, batch_format="pandas")
+    hist = partial.groupby([key, value_col]).aggregate(
+        Sum("__c", alias_name="__c"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy(dtype=np.int64)
+        c = s["__c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        row = {key: [g[key].iloc[0]], "n": [np.int64(n)]}
+        for (pn, pden), col in zip(ps, cols):
+            q, r = divmod((n - 1) * pn, pden)
+            lo = int(v[int(np.searchsorted(cum, q + 1))])
+            hi = (int(v[int(np.searchsorted(cum, q + 2))])
+                  if q + 2 <= n else lo)
+            row[col] = [np.int64(lo * pden + (hi - lo) * r)]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")

@@ -160,3 +160,32 @@ def test_pca_top_recovers_planted_direction(ray_session):
     # exact-integer input -> bit-identical across layouts
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), run(5).reset_index(drop=True))
+
+
+def test_grouped_quantile_cont_num(ray_session):
+    from raqc_ray.ops.quantile_exact import grouped_quantile_cont_num
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for k in range(5):
+        for v in rng.integers(0, 40, size=10 + k):
+            rows.append((k, int(v)))
+    rows.append((9, 7))  # single-row group: both quantiles = value
+    df = pd.DataFrame(rows, columns=["k", "v"])
+
+    out = (grouped_quantile_cont_num(
+        rd.from_pandas(df).repartition(4), "k", "v")
+        .to_pandas().set_index("k").sort_index())
+
+    for k, g in df.groupby("k"):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        for pn, col in ((25, "p25_100_num"), (90, "p90_100_num")):
+            q, r = divmod((n - 1) * pn, 100)
+            hi = v[q + 1] if q + 1 < n else v[q]
+            expected = int(v[q]) * 100 + (int(hi) - int(v[q])) * r
+            assert int(out.loc[k, col]) == expected, (k, col)
+            # cross-check vs numpy's linear interpolation
+            assert abs(expected / 100
+                       - float(np.percentile(v, pn))) < 1e-9
+        assert int(out.loc[k, "n"]) == n
