@@ -4239,6 +4239,50 @@ def q188_pcont_lineitem(sf_dir: str):
     return df[["l_suppkey", "n", "p25_100_num", "p90_100_num"]]
 
 
+def q189_psnr_documents(sf_dir: str):
+    """END-TO-END cross-epoch pixel-conformance census (ops/psnr
+    .pair_psnr_census) — the north-star per-row invariant (PSNR >=
+    40 dB) as a standalone operator: two deterministic two-tone epoch
+    renders hash-joined on image_id, both REAL-decoded per row, exact
+    integer SSE and the float-free 40 dB gate sse*10^4 <= 255²*n —
+    closed-form SQL oracle (sse = 768*(g2a-g2b)²) with both gate
+    branches hit."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.psnr import pair_psnr_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render_epoch(which: str):
+        def render(df: pd.DataFrame) -> pd.DataFrame:
+            ids, blobs, fmts = [], [], []
+            for d in df["doc_id"].astype("int64"):
+                d = int(d)
+                g1 = d % 200 + 20
+                g2 = ((d * 7) % 229 + 10 if which == "a"
+                      else (d * 5) % 229 + 10)
+                arr = np.empty((16, 32, 3), dtype=np.uint8)
+                arr[:, :16, :] = g1
+                arr[:, 16:, :] = g2
+                fmt = "ppm" if d % 2 == 0 else "png"
+                ids.append(str(d))
+                blobs.append(encode_image(arr, fmt))
+                fmts.append(fmt)
+            return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                                 "fmt": fmts})
+        return render
+
+    ea = docs.map_batches(render_epoch("a"), batch_format="pandas")
+    eb = docs.map_batches(render_epoch("b"), batch_format="pandas")
+    df = _typed_pandas(pair_psnr_census(ea, eb, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("n_samp", "sse"):
+        df[c] = df[c].astype("int64")
+    df["pass40"] = df["pass40"].astype("bool")
+    return (df[["doc_id", "n_samp", "sse", "pass40"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4528,6 +4572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q186_stripes_documents": q186_stripes_documents,
         "q187_pca_embeddings": q187_pca_embeddings,
         "q188_pcont_lineitem": q188_pcont_lineitem,
+        "q189_psnr_documents": q189_psnr_documents,
     }
 
 
@@ -6989,6 +7034,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
             FROM documents
+        """,
+        "q189_psnr_documents": """
+            -- closed form of the two-tone epoch pair: only the right
+            -- half (256 px x 3 ch = 768 samples) differs, so
+            -- sse = 768*(g2a-g2b)²; the exact 40 dB gate is
+            -- sse*10000 <= 65025*1536
+            WITH g AS (
+                SELECT doc_id,
+                       (doc_id * 7) % 229 + 10 AS ga,
+                       (doc_id * 5) % 229 + 10 AS gb
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(1536 AS BIGINT) AS n_samp,
+                   CAST(768 * (ga - gb) * (ga - gb) AS BIGINT) AS sse,
+                   (768 * (ga - gb) * (ga - gb) * 10000
+                    <= 65025 * 1536) AS pass40
+            FROM g
         """,
         "q188_pcont_lineitem": """
             -- percentile_cont via exact integer numerators: position
