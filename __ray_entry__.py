@@ -4283,6 +4283,23 @@ def q189_psnr_documents(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q190_groupcov_embeddings(sf_dir: str):
+    """Per-label exact covariance matrices (ops/embcov
+    .grouped_covariance_matrix): the per-class representation audit —
+    one Gram matmul per (block, label), constant-size keyed shuffle,
+    per-key finish over histogram-sized rows — GROUP BY label
+    double-unnest SQL oracle."""
+    from raqc_ray.ops.embcov import grouped_covariance_matrix
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    df = _typed_pandas(grouped_covariance_matrix(
+        emb, "label", "embedding", dim=64))
+    for c in ("label", "i", "j", "n", "sum_qq", "cov_num"):
+        df[c] = df[c].astype("int64")
+    return (df[["label", "i", "j", "n", "sum_qq", "cov_num"]]
+            .sort_values(["label", "i", "j"]).reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4573,6 +4590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q187_pca_embeddings": q187_pca_embeddings,
         "q188_pcont_lineitem": q188_pcont_lineitem,
         "q189_psnr_documents": q189_psnr_documents,
+        "q190_groupcov_embeddings": q190_groupcov_embeddings,
     }
 
 
@@ -7034,6 +7052,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
             FROM documents
+        """,
+        "q190_groupcov_embeddings": """
+            -- per-label exact covariance numerators
+            WITH q AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 10000) AS BIGINT) AS qv
+                FROM embeddings
+            ), s AS (
+                SELECT label, i, SUM(qv) AS sv FROM q GROUP BY 1, 2
+            ), nn AS (
+                SELECT label, COUNT(*) AS c FROM embeddings GROUP BY 1
+            ), m AS (
+                SELECT a.label, a.i AS i, b.i AS j,
+                       SUM(a.qv * b.qv) AS sum_qq
+                FROM q a JOIN q b
+                  ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2, 3
+            )
+            SELECT CAST(m.label AS BIGINT) AS label,
+                   CAST(m.i AS BIGINT) AS i,
+                   CAST(m.j AS BIGINT) AS j,
+                   CAST(nn.c AS BIGINT) AS n,
+                   CAST(m.sum_qq AS BIGINT) AS sum_qq,
+                   CAST(nn.c * m.sum_qq - sa.sv * sb.sv AS BIGINT)
+                       AS cov_num
+            FROM m
+            JOIN s sa ON sa.label = m.label AND sa.i = m.i
+            JOIN s sb ON sb.label = m.label AND sb.i = m.j
+            JOIN nn ON nn.label = m.label
         """,
         "q189_psnr_documents": """
             -- closed form of the two-tone epoch pair: only the right

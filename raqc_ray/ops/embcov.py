@@ -90,6 +90,71 @@ def covariance_matrix(ds, emb_col: str, dim: int, scale: int = 10_000):
     return summed.repartition(1).map_batches(finish, batch_format="pandas")
 
 
+def grouped_covariance_matrix(ds, key: str, emb_col: str, dim: int,
+                              scale: int = 10_000):
+    """Per-key exact covariance matrix — the per-class variant of
+    :func:`covariance_matrix` (does class X's representation collapse
+    while class Y's spreads?).  Same plan with the key carried through:
+    per block, one Gram matmul PER KEY PRESENT (keys per block, not
+    rows), long ``(key, i, j, s)`` partials with the sums/count
+    sentinel rows, native groupby-Sum over (key, i, j), and a per-key
+    finish over histogram-sized rows (dim*(dim+3)/2 + dim + 1 per
+    key — the `quantile_exact` map_groups regime, never the input).
+
+    Returns ``(key, i, j, n, sum_qq, cov_num)`` rows, exact int64."""
+    iu0, iu1 = np.triu_indices(dim)
+    ii = (iu0 + 1).astype(np.int64)
+    jj = (iu1 + 1).astype(np.int64)
+    pos = np.arange(1, dim + 1, dtype=np.int64)
+    block_i = np.concatenate([ii, pos, np.zeros(1, dtype=np.int64)])
+    block_j = np.concatenate([jj, np.zeros(dim + 1, dtype=np.int64)])
+    rows_per_key = len(block_i)
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        emb = _emb_matrix(b[emb_col], dim)
+        q = np.floor(emb * scale).astype(np.int64)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        frames = []
+        for g, kv in enumerate(uk):
+            qg = q[inv == g]
+            gram = qg.T @ qg
+            v = np.concatenate([gram[iu0, iu1],
+                                qg.sum(axis=0, dtype=np.int64),
+                                np.asarray([qg.shape[0]],
+                                           dtype=np.int64)])
+            frames.append(pd.DataFrame({
+                key: np.repeat(np.asarray([kv]), rows_per_key),
+                "i": block_i, "j": block_j, "s": v}))
+        return pd.concat(frames, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    summed = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby([key, "i", "j"])
+              .aggregate(Sum("s", alias_name="s")))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        i = g["i"].to_numpy(dtype=np.int64)
+        j = g["j"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        n = int(s[(i == 0) & (j == 0)][0])
+        sums = {int(a): int(b)
+                for a, b in zip(i[(j == 0) & (i > 0)],
+                                s[(j == 0) & (i > 0)])}
+        tri = (j > 0)
+        it, jt, st = i[tri], j[tri], s[tri]
+        cov = np.asarray([n * int(sq) - sums[int(a)] * sums[int(b)]
+                          for a, b, sq in zip(it, jt, st)],
+                         dtype=np.int64)
+        return pd.DataFrame({key: g[key].iloc[0],
+                             "i": it, "j": jt,
+                             "n": np.int64(n), "sum_qq": st,
+                             "cov_num": cov})
+
+    return summed.groupby(key).map_groups(finish, batch_format="pandas")
+
+
 def pca_top(ds, emb_col: str, dim: int, k: int = 4,
             scale: int = 10_000) -> pd.DataFrame:
     """Top-k PCA of the embedding corpus — the representation-collapse

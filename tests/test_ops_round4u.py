@@ -50,3 +50,29 @@ def test_pair_psnr_census_gate_and_degradation(ray_session):
     # exact gate matches the float PSNR on both sides of 40
     assert out.loc["z", "psnr_db"] > 40 > out.loc["y", "psnr_db"]
     assert not bool(out.loc["w", "ok"])
+
+
+def test_grouped_covariance_matches_global(ray_session):
+    from raqc_ray.ops.embcov import (covariance_matrix,
+                                     grouped_covariance_matrix)
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(50, 4)) * 2.0
+    labels = rng.integers(0, 3, size=50)
+    df = pd.DataFrame({
+        "label": labels,
+        "embedding": [list(map(float, r)) for r in mat]})
+
+    out = (grouped_covariance_matrix(
+        rd.from_pandas(df).repartition(5), "label", "embedding",
+        dim=4).to_pandas()
+        .sort_values(["label", "i", "j"]).reset_index(drop=True))
+
+    for lb in range(3):
+        sub = df[df["label"] == lb][["embedding"]]
+        exp = (covariance_matrix(rd.from_pandas(sub), "embedding",
+                                 dim=4).to_pandas()
+               .sort_values(["i", "j"]).reset_index(drop=True))
+        got = (out[out["label"] == lb]
+               .drop(columns=["label"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
