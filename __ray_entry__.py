@@ -4300,6 +4300,49 @@ def q190_groupcov_embeddings(sf_dir: str):
             .sort_values(["label", "i", "j"]).reset_index(drop=True))
 
 
+def q191_chanstats_documents(sf_dir: str):
+    """END-TO-END channel-statistics census (ops/chanstats
+    .ChannelStatsStage): deterministic two-tone renders with
+    per-channel offsets (+0/+1/+2; every 11th doc a TRUE-grayscale
+    frame) through the REAL decode path — exact per-channel moments,
+    cross products, LSB counts and the gray-pixel count vs the
+    closed form."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.chanstats import channel_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            g1 = d % 200 + 20
+            g2 = (d * 7) % 229 + 10
+            s = 0 if d % 11 == 0 else 1
+            arr = np.empty((16, 32, 3), dtype=np.uint8)
+            for ch in range(3):
+                arr[:, :16, ch] = g1 + ch * s
+                arr[:, 16:, ch] = g2 + ch * s
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(channel_stats(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    cols = ["n_px", "sum_r", "sum_g", "sum_b", "sum_rr", "sum_gg",
+            "sum_bb", "sum_rg", "sum_rb", "sum_gb", "lsb_r",
+            "lsb_g", "lsb_b", "n_gray"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id"] + cols]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4591,6 +4634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q188_pcont_lineitem": q188_pcont_lineitem,
         "q189_psnr_documents": q189_psnr_documents,
         "q190_groupcov_embeddings": q190_groupcov_embeddings,
+        "q191_chanstats_documents": q191_chanstats_documents,
     }
 
 
@@ -7052,6 +7096,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 + doc_id % 46 AS BIGINT) AS q_est,
                    CAST(2 AS BIGINT) AS n_dqt
             FROM documents
+        """,
+        "q191_chanstats_documents": """
+            -- closed form of the offset two-tone render: channel ch
+            -- is g+ch*s on each half (s=0 every 11th doc -> true
+            -- grayscale), 256 px per half
+            WITH g AS (
+                SELECT doc_id,
+                       doc_id % 200 + 20 AS g1,
+                       (doc_id * 7) % 229 + 10 AS g2,
+                       CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END
+                           AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(512 AS BIGINT) AS n_px,
+                   CAST(256 * (g1 + g2) AS BIGINT) AS sum_r,
+                   CAST(256 * (g1 + s + g2 + s) AS BIGINT) AS sum_g,
+                   CAST(256 * (g1 + 2*s + g2 + 2*s) AS BIGINT)
+                       AS sum_b,
+                   CAST(256 * (g1*g1 + g2*g2) AS BIGINT) AS sum_rr,
+                   CAST(256 * ((g1+s)*(g1+s) + (g2+s)*(g2+s))
+                        AS BIGINT) AS sum_gg,
+                   CAST(256 * ((g1+2*s)*(g1+2*s) + (g2+2*s)*(g2+2*s))
+                        AS BIGINT) AS sum_bb,
+                   CAST(256 * (g1*(g1+s) + g2*(g2+s)) AS BIGINT)
+                       AS sum_rg,
+                   CAST(256 * (g1*(g1+2*s) + g2*(g2+2*s)) AS BIGINT)
+                       AS sum_rb,
+                   CAST(256 * ((g1+s)*(g1+2*s) + (g2+s)*(g2+2*s))
+                        AS BIGINT) AS sum_gb,
+                   CAST(256 * (g1 % 2 + g2 % 2) AS BIGINT) AS lsb_r,
+                   CAST(256 * ((g1+s) % 2 + (g2+s) % 2) AS BIGINT)
+                       AS lsb_g,
+                   CAST(256 * ((g1+2*s) % 2 + (g2+2*s) % 2)
+                        AS BIGINT) AS lsb_b,
+                   CAST(CASE WHEN s = 0 THEN 512 ELSE 0 END
+                        AS BIGINT) AS n_gray
+            FROM g
         """,
         "q190_groupcov_embeddings": """
             -- per-label exact covariance numerators

@@ -76,3 +76,31 @@ def test_grouped_covariance_matches_global(ray_session):
         got = (out[out["label"] == lb]
                .drop(columns=["label"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_channel_stats_closed_form(ray_session):
+    from raqc_ray.ops.chanstats import channel_stats, channel_stats_of
+
+    # planted 2x2: one gray pixel, odd/even LSB mix
+    arr = np.zeros((1, 2, 3), dtype=np.uint8)
+    arr[0, 0] = (3, 3, 3)     # gray, all LSB=1
+    arr[0, 1] = (4, 5, 6)     # not gray, LSBs 0,1,0
+    stats = channel_stats_of(arr)
+    assert stats == (2,
+                     7, 8, 9,                  # sums
+                     25, 34, 45,               # squares
+                     3 * 3 + 4 * 5, 9 + 24, 9 + 30,  # cross
+                     1, 2, 1,                  # lsb
+                     1)                        # n_gray
+
+    rows = [{"image_id": "a",
+             "bytes": __import__("raqc_ray.codecs",
+                                 fromlist=["encode_image"]
+                                 ).encode_image(arr, "png"),
+             "fmt": "png"},
+            {"image_id": "bad", "bytes": b"NOPE", "fmt": "png"}]
+    out = (channel_stats(rd.from_pandas(pd.DataFrame(rows)))
+           .to_pandas().set_index("image_id"))
+    assert int(out.loc["a", "sum_gb"]) == 9 + 30
+    assert int(out.loc["a", "n_gray"]) == 1
+    assert not bool(out.loc["bad", "ok"])
