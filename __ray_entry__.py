@@ -4127,8 +4127,9 @@ def q183_embcov_embeddings(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["embedding"])
     df = _typed_pandas(covariance_matrix(emb, "embedding", dim=64))
-    for c in ("i", "j", "n", "sum_qq", "cov_num"):
+    for c in ("i", "j", "n", "sum_qq"):
         df[c] = df[c].astype("int64")
+    df["cov_num"] = df["cov_num"].astype(str)  # exact decimal string
     return (df[["i", "j", "n", "sum_qq", "cov_num"]]
             .sort_values(["i", "j"]).reset_index(drop=True))
 
@@ -4294,8 +4295,9 @@ def q190_groupcov_embeddings(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["label", "embedding"])
     df = _typed_pandas(grouped_covariance_matrix(
         emb, "label", "embedding", dim=64))
-    for c in ("label", "i", "j", "n", "sum_qq", "cov_num"):
+    for c in ("label", "i", "j", "n", "sum_qq"):
         df[c] = df[c].astype("int64")
+    df["cov_num"] = df["cov_num"].astype(str)  # exact decimal string
     return (df[["label", "i", "j", "n", "sum_qq", "cov_num"]]
             .sort_values(["label", "i", "j"]).reset_index(drop=True))
 
@@ -7164,7 +7166,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.j AS BIGINT) AS j,
                    CAST(nn.c AS BIGINT) AS n,
                    CAST(m.sum_qq AS BIGINT) AS sum_qq,
-                   CAST(nn.c * m.sum_qq - sa.sv * sb.sv AS BIGINT)
+                   CAST(CAST(nn.c AS HUGEINT) * m.sum_qq
+                        - CAST(sa.sv AS HUGEINT) * sb.sv AS VARCHAR)
                        AS cov_num
             FROM m
             JOIN s sa ON sa.label = m.label AND sa.i = m.i
@@ -7306,7 +7309,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.j AS BIGINT) AS j,
                    CAST(nn.c AS BIGINT) AS n,
                    CAST(m.sum_qq AS BIGINT) AS sum_qq,
-                   CAST(nn.c * m.sum_qq - sa.sv * sb.sv AS BIGINT)
+                   CAST(CAST(nn.c AS HUGEINT) * m.sum_qq
+                        - CAST(sa.sv AS HUGEINT) * sb.sv AS VARCHAR)
                        AS cov_num
             FROM m
             JOIN s sa ON sa.i = m.i

@@ -16,12 +16,16 @@ on the driver into exact integer covariance numerators::
     cov_num[i, j] = n * sum_qq[i, j] - s[i] * s[j]
 
 so ``cov[i, j] = cov_num / (n^2 * scale^2)`` (population) is
-bit-identical across block layouts.  All outputs are exact int64.
+bit-identical across block layouts.
 
-Overflow headroom (documented like `ops/rollup`): with ``scale=1e4``
-and ``|e| <= 3``, ``|q| <= 3e4``, so ``n * sum_qq <= n^2 * 9e8`` —
-int64-safe to n ≈ 3e6 rows per corpus; at larger n lower ``scale``
-(the oracle scales identically) or shard the corpus.
+Overflow discipline: ``n``, ``sum_qq`` and the position sums stay
+int64 (``sum_qq <= n * q_max²`` — with ``scale=1e4`` and unit-variance
+data that is int64-safe to ~10^10 rows), but the numerator
+``n*sum_qq - s_i*s_j`` grows as n² and leaves int64 around n ≈ 10^5,
+so ``cov_num`` is emitted as an exact DECIMAL STRING computed in
+arbitrary-precision Python ints (the `ops/histdrift` l1_num pattern;
+the SQL oracle mirrors it with HUGEINT → VARCHAR).  A 1M-row stress
+exercises the beyond-int64 branch.
 
 Sentinel encoding of the sums inside the same reduce: position sums
 ride as ``(i, 0, s_i)`` rows and the count as ``(0, 0, n)`` (real
@@ -44,8 +48,9 @@ from .dedup import _emb_matrix
 
 def covariance_matrix(ds, emb_col: str, dim: int, scale: int = 10_000):
     """Dataset of ``(i, j, n, sum_qq, cov_num)`` rows for the upper
-    triangle ``1 <= i <= j <= dim`` (1-based positions); all int64,
-    exact, layout-deterministic."""
+    triangle ``1 <= i <= j <= dim`` (1-based positions); exact and
+    layout-deterministic — int64 except ``cov_num``, an exact decimal
+    string (can exceed int64; see module overflow discipline)."""
     iu0, iu1 = np.triu_indices(dim)
     ii = (iu0 + 1).astype(np.int64)
     jj = (iu1 + 1).astype(np.int64)
@@ -80,9 +85,8 @@ def covariance_matrix(ds, emb_col: str, dim: int, scale: int = 10_000):
                                 s[(j == 0) & (i > 0)])}
         tri = (j > 0)
         it, jt, st = i[tri], j[tri], s[tri]
-        cov = np.asarray([n * int(sq) - sums[int(a)] * sums[int(b)]
-                          for a, b, sq in zip(it, jt, st)],
-                         dtype=np.int64)
+        cov = [str(n * int(sq) - sums[int(a)] * sums[int(b)])
+               for a, b, sq in zip(it, jt, st)]  # exact Python ints
         return pd.DataFrame({"i": it, "j": jt,
                              "n": np.int64(n), "sum_qq": st,
                              "cov_num": cov})
@@ -144,9 +148,8 @@ def grouped_covariance_matrix(ds, key: str, emb_col: str, dim: int,
                                 s[(j == 0) & (i > 0)])}
         tri = (j > 0)
         it, jt, st = i[tri], j[tri], s[tri]
-        cov = np.asarray([n * int(sq) - sums[int(a)] * sums[int(b)]
-                          for a, b, sq in zip(it, jt, st)],
-                         dtype=np.int64)
+        cov = [str(n * int(sq) - sums[int(a)] * sums[int(b)])
+               for a, b, sq in zip(it, jt, st)]  # exact Python ints
         return pd.DataFrame({key: g[key].iloc[0],
                              "i": it, "j": jt,
                              "n": np.int64(n), "sum_qq": st,
@@ -181,8 +184,10 @@ def pca_top(ds, emb_col: str, dim: int, k: int = 4,
     cov = np.zeros((dim, dim), dtype=np.float64)
     i = cov_rows["i"].to_numpy(dtype=np.int64) - 1
     j = cov_rows["j"].to_numpy(dtype=np.int64) - 1
-    v = cov_rows["cov_num"].to_numpy(dtype=np.float64) / (
-        float(n) * float(n) * float(scale) * float(scale))
+    den = float(n) * float(n) * float(scale) * float(scale)
+    # decimal-string numerators (exact beyond int64) -> float here
+    v = np.asarray([float(int(x)) for x in cov_rows["cov_num"]],
+                   dtype=np.float64) / den
     cov[i, j] = v
     cov[j, i] = v
     w, vecs = np.linalg.eigh(cov)

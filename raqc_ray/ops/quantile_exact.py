@@ -285,13 +285,24 @@ def grouped_quantile_cont_num(ds, key: str, value_col: str,
 
     so each output column holds ``num`` with the constant denominator
     ``pden`` — bit-identical across layouts and to the SQL
-    list-indexing oracle.  Same distributed plan as
-    :func:`grouped_quantile_disc`: per-block value counts, ONE hash
-    groupby, per-key pick over histogram rows (distinct values × keys,
-    never the input stream).
+    list-indexing oracle.  ONE exchange, not two: per-block value
+    counts (pandas groupby partials) feed ``scan_sorted_groups``
+    DIRECTLY — no global ``groupby([key, value])`` hash aggregate.
+    The pick tolerates duplicate ``(key, value)`` partial rows from
+    different blocks because the in-segment value sort puts equal
+    values adjacent and the count cumsum crosses rank targets at the
+    same value either way; a hash aggregate with up to
+    keys × distinct-values output groups (10^7+ when values are
+    high-cardinality) was measured as the wall at 10M rows.  The
+    per-key pick is a vectorized ``block_fn``: ALL keys of a sorted
+    block in one numpy pass (lexsort within segments + global
+    searchsorted on the strictly-increasing count cumsum) — no task
+    and no per-key DataFrame, so 10^5+ keys cost what 10² do (the
+    r3-verdict map_groups lesson applied at birth).
 
     Columns: ``(key, n, {prefix}{pn}_{pden}_num ...)``."""
-    from ray.data.aggregate import Sum
+    from ._join_util import arrow_schema
+    from .groupscan import scan_sorted_groups
 
     cols = [f"{prefix}{pn}_{pden}_num" for pn, pden in ps]
 
@@ -302,9 +313,7 @@ def grouped_quantile_cont_num(ds, key: str, value_col: str,
         return d.groupby([key, value_col], sort=False,
                          as_index=False).sum()
 
-    partial = ds.map_batches(block_counts, batch_format="pandas")
-    hist = partial.groupby([key, value_col]).aggregate(
-        Sum("__c", alias_name="__c"))
+    hist = ds.map_batches(block_counts, batch_format="pandas")
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(value_col, kind="mergesort")
@@ -321,4 +330,48 @@ def grouped_quantile_cont_num(ds, key: str, value_col: str,
             row[col] = [np.int64(lo * pden + (hi - lo) * r)]
         return pd.DataFrame(row)
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        # vectorized emission-equivalent of looping pick() over the
+        # segments: min_group=1 means starts/ends tile the interior,
+        # but gather by explicit index to stay correct regardless
+        sizes = ends - starts
+        total = int(sizes.sum())
+        cum_excl = np.cumsum(sizes) - sizes
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(cum_excl, sizes) + np.repeat(starts, sizes))
+        kv = df[key].to_numpy()[idx]
+        v = df[value_col].to_numpy(dtype=np.int64)[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
+        segid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        order = np.lexsort((v, segid))       # value-sorted within key
+        v, c = v[order], c[order]
+        cumg = np.cumsum(c)                  # strictly increasing: c >= 1
+        seg_end = cum_excl + sizes
+        base = np.where(cum_excl > 0, cumg[cum_excl - 1], 0)
+        n = cumg[seg_end - 1] - base
+        row = {key: kv[cum_excl], "n": n.astype(np.int64)}
+        for (pn, pden), col in zip(ps, cols):
+            q, r = np.divmod((n - 1) * pn, pden)
+            lo = v[np.searchsorted(cumg, base + q + 1)]
+            hi = np.where(q + 2 <= n,
+                          v[np.searchsorted(cumg,
+                                            np.minimum(base + q + 2,
+                                                       cumg[-1]))],
+                          lo)
+            row[col] = (lo * pden + (hi - lo) * r).astype(np.int64)
+        return pd.DataFrame(row)
+
+    # key dtype from the INPUT schema (cheap; parquet metadata or an
+    # already-materialized block) — asking the aggregated dataset for
+    # its schema would execute the whole hash aggregate a second time
+    import pyarrow as pa
+
+    key_dtype = (pa.schema([arrow_schema(ds).field(key)])
+                 .empty_table().to_pandas()[key].dtype)
+    out_empty = pd.DataFrame({key: pd.Series(dtype=key_dtype),
+                              "n": pd.Series(dtype="int64"),
+                              **{c: pd.Series(dtype="int64")
+                                 for c in cols}})
+    return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
+                              block_fn=block_pick)

@@ -24,11 +24,26 @@ def test_embcov_closed_form(ray_session):
     assert out.loc[(1, 2), "sum_qq"] == 10 * 20 + 30 * 40  # 1400
     assert out.loc[(2, 2), "sum_qq"] == 20 * 20 + 40 * 40  # 2000
     # cov_num = n*sum_qq - s_i*s_j; s = [40, 60], n = 2
-    assert out.loc[(1, 1), "cov_num"] == 2 * 1000 - 40 * 40
-    assert out.loc[(1, 2), "cov_num"] == 2 * 1400 - 40 * 60
-    assert out.loc[(2, 2), "cov_num"] == 2 * 2000 - 60 * 60
+    # (decimal string: exact beyond int64)
+    assert int(out.loc[(1, 1), "cov_num"]) == 2 * 1000 - 40 * 40
+    assert int(out.loc[(1, 2), "cov_num"]) == 2 * 1400 - 40 * 60
+    assert int(out.loc[(2, 2), "cov_num"]) == 2 * 2000 - 60 * 60
     assert (out["n"] == 2).all()
     assert len(out) == 3  # upper triangle only
+
+
+def test_embcov_exact_beyond_int64(ray_session):
+    # 400 rows of value ~1000 at scale 1e4 -> n*sum_qq ~ 1.6e19 > 2^63
+    vals = [1000.0 + k * 0.25 for k in range(400)]
+    df = pd.DataFrame({"embedding": [[v] for v in vals]})
+    out = (covariance_matrix(rd.from_pandas(df).repartition(3),
+                             "embedding", dim=1)
+           .to_pandas())
+    q = [int(np.floor(v * 10_000)) for v in vals]
+    n, sqq, s = len(q), sum(x * x for x in q), sum(q)
+    assert n * sqq > 2**63  # the branch int64 cannot represent
+    assert int(out["sum_qq"].iloc[0]) == sqq
+    assert int(out["cov_num"].iloc[0]) == n * sqq - s * s
 
 
 def test_embcov_matches_numpy_and_layout(ray_session):
