@@ -4345,6 +4345,23 @@ def q191_chanstats_documents(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q192_spandup_documents(sf_dir: str):
+    """Corpus-wide duplicated-span census (ops/spandup
+    .duplicated_span_census): per-doc count and basis-point fraction
+    of 8-token spans that also occur in ANOTHER document — the
+    substring-level dedup metric (Lee et al. 2022), positional, not
+    the pairwise q26/q164 scores.  Span identity = injective-hash
+    contract (oracle groups the gram text)."""
+    from raqc_ray.ops.spandup import duplicated_span_census
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(duplicated_span_census(docs, k=8))
+    for c in ("doc_id", "n_spans", "dup_spans", "dup_bp"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_spans", "dup_spans", "dup_bp"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4642,6 +4659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_token_count_documents": q13_token_count_documents,
         "q14_fingerprint_documents": q14_fingerprint_documents,
         "q191_chanstats_documents": q191_chanstats_documents,
+        "q192_spandup_documents": q192_spandup_documents,
     }
 
 
@@ -7141,6 +7159,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN s = 0 THEN 512 ELSE 0 END
                         AS BIGINT) AS n_gray
             FROM g
+        """,
+        "q192_spandup_documents": """
+            -- span IDENTITY: 8-token windows (gram text; the engine
+            -- hashes these — counts are invariant under the
+            -- injective hash, the q26/q164 contract); positional,
+            -- duplicated iff the gram occurs in >= 2 distinct docs
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                                       COALESCE(text, ''), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+7], chr(1))
+                               for i in range(1, len(t) - 6)]) AS g
+                FROM toks WHERE len(t) >= 8
+            ), shared AS (
+                SELECT g FROM g GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ), dup AS (
+                SELECT doc_id, COUNT(*) AS dup_spans FROM g
+                WHERE g IN (SELECT g FROM shared) GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n_spans FROM g
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_spans AS BIGINT) AS n_spans,
+                   CAST(COALESCE(d.dup_spans, 0) AS BIGINT)
+                       AS dup_spans,
+                   CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
+                        AS BIGINT) AS dup_bp
+            FROM tot t LEFT JOIN dup d USING (doc_id)
         """,
         "q190_groupcov_embeddings": """
             -- per-label exact covariance numerators
