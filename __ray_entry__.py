@@ -4362,6 +4362,49 @@ def q192_spandup_documents(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q193_tilecensus_documents(sf_dir: str):
+    """END-TO-END within-image duplicate-tile census (ops/tilecensus
+    .TileCensusStage): deterministic 32x32 renders — a 4x4 grid of
+    8x8 tiles with modular tile values (collisions guaranteed) and
+    per-tile flat/gradient switching — through the REAL decode path;
+    exact byte-identity tile groups vs the closed form."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.tilecensus import tile_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        grad = np.arange(8, dtype=np.uint8)[None, :, None]
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            arr = np.empty((32, 32, 3), dtype=np.uint8)
+            for r in range(4):
+                for c in range(4):
+                    v = ((d * 13 + r * 5 + c * 3) % 7) * 9 + 30
+                    t = arr[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8]
+                    t[:] = v
+                    if (r + c + d) % 5 == 0:
+                        t += grad  # gradient tile (not flat)
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(tile_census(imgs, tile=8, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    cols = ["n_tiles", "distinct_tiles", "dup_tiles", "max_mult",
+            "flat_tiles"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id"] + cols]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q153_twap_events(sf_dir: str):
     """Per-user time-weighted average event value (ops/twap
     .grouped_twap): exact µs x cents integer integral over the sorted
@@ -4660,6 +4703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_fingerprint_documents": q14_fingerprint_documents,
         "q191_chanstats_documents": q191_chanstats_documents,
         "q192_spandup_documents": q192_spandup_documents,
+        "q193_tilecensus_documents": q193_tilecensus_documents,
     }
 
 
@@ -7193,6 +7237,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q193_tilecensus_documents": """
+            -- closed form of the 4x4 tile-grid render: tile (r,c) of
+            -- doc d has base value ((d*13+r*5+c*3)%7)*9+30 and is a
+            -- gradient (not flat) iff (r+c+d)%5=0; tiles are
+            -- byte-identical iff (value, gradient-flag) match
+            WITH rc AS (
+                SELECT t1.r, t2.c
+                FROM range(4) t1(r), range(4) t2(c)
+            ), tl AS (
+                SELECT d.doc_id,
+                       ((d.doc_id * 13 + r * 5 + c * 3) % 7) * 9 + 30
+                           AS v,
+                       CASE WHEN (r + c + d.doc_id) % 5 = 0
+                            THEN 1 ELSE 0 END AS grad
+                FROM documents d, rc
+            ), grp AS (
+                SELECT doc_id, v, grad, COUNT(*) AS cnt
+                FROM tl GROUP BY 1, 2, 3
+            )
+            SELECT doc_id,
+                   CAST(16 AS BIGINT) AS n_tiles,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_tiles,
+                   CAST(COALESCE(SUM(cnt) FILTER (cnt > 1), 0)
+                        AS BIGINT) AS dup_tiles,
+                   CAST(MAX(cnt) AS BIGINT) AS max_mult,
+                   CAST(COALESCE(SUM(cnt) FILTER (grad = 0), 0)
+                        AS BIGINT) AS flat_tiles
+            FROM grp GROUP BY doc_id
         """,
         "q190_groupcov_embeddings": """
             -- per-label exact covariance numerators

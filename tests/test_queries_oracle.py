@@ -148,7 +148,7 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q185_repetition_documents", "q186_stripes_documents",
             "q188_pcont_lineitem", "q189_psnr_documents",
             "q190_groupcov_embeddings", "q191_chanstats_documents",
-            "q192_spandup_documents"]
+            "q192_spandup_documents", "q193_tilecensus_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
