@@ -4510,7 +4510,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_queries_oracle.py.
         "q183_embcov_embeddings": q183_embcov_embeddings,
         "q189_psnr_documents": q189_psnr_documents,
-        "q15_quality_documents": q15_quality_documents,
+        # q15 demoted (trivial per-row quality score, driver-green
+        # r1-r3) for q192 — the substring-level corpus dedup census
+        # (Lee et al. 2022), the LLM-dedup flagship of session h.
+        "q192_spandup_documents": q192_spandup_documents,
         "q65_dupclusters_documents": q65_dupclusters_documents,
         "q73_dedup_corpus_documents": q73_dedup_corpus_documents,
         "q75_tfidf_documents": q75_tfidf_documents,
@@ -4527,7 +4530,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_topk_orders_per_cust": q33_topk_orders_per_cust,
         "q34_interval_join_events": q34_interval_join_events,
         "q37_running_events": q37_running_events,
-        "q38_audio_features": q38_audio_features,
+        # q38 demoted (audio codec op, driver-green since r1) for
+        # q193 — the within-image duplicate-tile census through the
+        # real decode path (image-axis flagship of session h).
+        "q193_tilecensus_documents": q193_tilecensus_documents,
         "q143_triangles_events": q143_triangles_events,
         "q144_pagerank_events": q144_pagerank_events,
         "q146_rolling_active_events": q146_rolling_active_events,
@@ -4702,8 +4708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_token_count_documents": q13_token_count_documents,
         "q14_fingerprint_documents": q14_fingerprint_documents,
         "q191_chanstats_documents": q191_chanstats_documents,
-        "q192_spandup_documents": q192_spandup_documents,
-        "q193_tilecensus_documents": q193_tilecensus_documents,
+        "q15_quality_documents": q15_quality_documents,
+        "q38_audio_features": q38_audio_features,
     }
 
 
