@@ -4466,6 +4466,57 @@ def q151_welch_events(sf_dir: str):
     return df[["event_type", "n_key", "t_welch"]]
 
 
+def q194_blob_census_documents(sf_dir: str):
+    """END-TO-END per-image connected-component blob census
+    (ops/blobs.blob_census): deterministic 32x32 renders — k disjoint
+    white squares plus (by residue class) a corner-touching pair that
+    4-connectivity must NOT merge and a U-shape that naive row-run
+    counting would double-count — through the REAL decode path; exact
+    run-based union-find CCL vs the closed form."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.blobs import blob_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            arr = np.zeros((32, 32, 3), dtype=np.uint8)
+            s = d % 3 + 3
+            k = d % 4 + 1
+            pos = ((0, 0), (0, 8), (8, 0), (8, 8))
+            for i in range(k):
+                r, c = pos[i]
+                arr[r:r + s, c:c + s] = 255
+            if d % 5 == 0:
+                # corner-touching 4x4 pair: 2 blobs under 4-conn
+                arr[20:24, 20:24] = 255
+                arr[24:28, 24:28] = 255
+            if d % 7 == 0:
+                # U-shape rows 24..30 cols 0..6: ONE blob, 34 px,
+                # 12 horizontal runs
+                arr[24:31, 0:2] = 255
+                arr[24:31, 5:7] = 255
+                arr[29:31, 0:7] = 255
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(arr, fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(blob_census(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    cols = ["fg_px", "n_blobs", "max_blob_px", "n_runs"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id"] + cols]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4710,6 +4761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q191_chanstats_documents": q191_chanstats_documents,
         "q15_quality_documents": q15_quality_documents,
         "q38_audio_features": q38_audio_features,
+        "q194_blob_census_documents": q194_blob_census_documents,
     }
 
 
@@ -7243,6 +7295,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q194_blob_census_documents": """
+            -- closed form of the multi-square render: k = d%4+1
+            -- disjoint s x s squares (s = d%3+3), plus when d%5=0 a
+            -- corner-touching 4x4 pair (TWO blobs under 4-conn,
+            -- 32 px, 8 runs) and when d%7=0 a U-shape (ONE blob,
+            -- 34 px, 12 runs)
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 3 + 3 AS s,
+                       doc_id % 4 + 1 AS k,
+                       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS c5,
+                       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS c7
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(k * s * s + 32 * c5 + 34 * c7 AS BIGINT)
+                       AS fg_px,
+                   CAST(k + 2 * c5 + c7 AS BIGINT) AS n_blobs,
+                   CAST(GREATEST(s * s, 16 * c5, 34 * c7) AS BIGINT)
+                       AS max_blob_px,
+                   CAST(k * s + 8 * c5 + 12 * c7 AS BIGINT) AS n_runs
+            FROM p ORDER BY doc_id
         """,
         "q193_tilecensus_documents": """
             -- closed form of the 4x4 tile-grid render: tile (r,c) of
