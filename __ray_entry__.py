@@ -4517,6 +4517,47 @@ def q194_blob_census_documents(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q195_banding_documents(sf_dir: str):
+    """END-TO-END periodic row-banding census (ops/banding
+    .banding_census): deterministic constant-color-row renders —
+    period-p combs (p = doc_id%5+2) and aperiodic pseudo-random rows
+    — through the REAL decode path; exact int64 autocovariance vs a
+    DuckDB oracle replaying the identical integer arithmetic."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.banding import banding_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        rr = np.arange(32)
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            if d % 4 == 0:
+                c = (rr * 17 + d) % 97 + 30          # aperiodic
+            else:
+                p = d % 5 + 2
+                c = 40 + d % 3 + np.where(rr % p == 0, 60, 0)
+            arr = np.repeat(c.astype(np.uint8)[:, None, None],
+                            16, axis=1).repeat(3, axis=2)
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(np.ascontiguousarray(arr), fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(banding_census(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    cols = ["best_lag", "acv_peak", "acv0", "periodic"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id"] + cols]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4762,6 +4803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_quality_documents": q15_quality_documents,
         "q38_audio_features": q38_audio_features,
         "q194_blob_census_documents": q194_blob_census_documents,
+        "q195_banding_documents": q195_banding_documents,
     }
 
 
@@ -7295,6 +7337,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q195_banding_documents": """
+            -- replay of the EXACT integer autocovariance: rows are
+            -- constant color c_r (closed form of the render), so the
+            -- engine's floor-averaged row luma q_r = 3*c_r exactly;
+            -- y_r = 32*q_r - SUM(q); A_L = SUM y_r*y_{r+L};
+            -- best lag = argmax over 1..16 (ties -> smallest lag,
+            -- the engine's np.argmax first-max)
+            WITH rr AS (
+                SELECT d.doc_id, t.r FROM documents d, range(32) t(r)
+            ), cc AS (
+                SELECT doc_id, r,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN (r * 17 + doc_id) % 97 + 30
+                            ELSE 40 + doc_id % 3 +
+                                 CASE WHEN r % (doc_id % 5 + 2) = 0
+                                      THEN 60 ELSE 0 END
+                       END AS c
+                FROM rr
+            ), y AS (
+                SELECT doc_id, r,
+                       32 * 3 * c
+                       - SUM(3 * c) OVER (PARTITION BY doc_id) AS y
+                FROM cc
+            ), ac AS (
+                SELECT a.doc_id, l.lag,
+                       CAST(SUM(a.y * b.y) AS BIGINT) AS acv
+                FROM y a, range(0, 17) l(lag)
+                JOIN y b ON b.doc_id = a.doc_id AND b.r = a.r + l.lag
+                GROUP BY a.doc_id, l.lag
+            ), best AS (
+                SELECT doc_id, lag AS best_lag, acv AS acv_peak,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY acv DESC, lag ASC)
+                           AS rn
+                FROM ac WHERE lag >= 1
+            )
+            SELECT b.doc_id,
+                   CAST(b.best_lag AS BIGINT) AS best_lag,
+                   b.acv_peak,
+                   a0.acv AS acv0,
+                   CAST(CASE WHEN 2 * b.acv_peak > a0.acv
+                             THEN 1 ELSE 0 END AS BIGINT) AS periodic
+            FROM best b
+            JOIN ac a0 ON a0.doc_id = b.doc_id AND a0.lag = 0
+            WHERE b.rn = 1
+            ORDER BY b.doc_id
         """,
         "q194_blob_census_documents": """
             -- closed form of the multi-square render: k = d%4+1

@@ -140,3 +140,69 @@ def test_blob_stage_decode_and_degradation(ray_session):
                 int(r["max_blob_px"])) == (fg, nb, mx)
     bad = out.loc["bad"]
     assert not bool(bad["ok"]) and bad["error"]
+
+
+# ---------------------------------------------------------------- banding
+
+from raqc_ray.ops.banding import banding_census, banding_stats_of
+
+
+def _brute_banding(arr: np.ndarray, max_lag: int = 16):
+    h, w = arr.shape[:2]
+    q = [int(arr[r].astype(np.int64).sum()) // w for r in range(h)]
+    tot = sum(q)
+    y = [h * v - tot for v in q]
+    lmax = min(h - 1, max_lag)
+    acv = [sum(y[r] * y[r + lag] for r in range(h - lag))
+           for lag in range(lmax + 1)]
+    best = max(range(1, lmax + 1), key=lambda l: (acv[l], -l))
+    return best, acv[best], acv[0], int(2 * acv[best] > acv[0])
+
+
+def _rows_img(c: np.ndarray, w: int = 8) -> np.ndarray:
+    return np.ascontiguousarray(
+        np.repeat(c.astype(np.uint8)[:, None, None], w, axis=1)
+        .repeat(3, axis=2))
+
+
+def test_banding_comb_detects_period():
+    rr = np.arange(48)
+    for p in (2, 3, 5, 7):
+        arr = _rows_img(40 + np.where(rr % p == 0, 60, 0))
+        best, peak, a0, per = banding_stats_of(arr)
+        assert best == p and per == 1
+        assert (best, peak, a0, per) == _brute_banding(arr)
+
+
+def test_banding_constant_frame():
+    arr = np.full((10, 4, 3), 77, np.uint8)
+    assert banding_stats_of(arr) == (1, 0, 0, 0)
+
+
+def test_banding_brute_equivalence_random():
+    rng = np.random.default_rng(23)
+    for _ in range(60):
+        h = int(rng.integers(2, 40))
+        c = rng.integers(0, 256, h)
+        arr = _rows_img(c, w=int(rng.integers(1, 9)))
+        assert banding_stats_of(arr) == _brute_banding(arr)
+
+
+def test_banding_nonconstant_rows_floor_division():
+    # rows whose pixel sum does NOT divide w exercise the floor q_r
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (20, 7, 3)).astype(np.uint8)
+    assert banding_stats_of(arr) == _brute_banding(arr)
+
+
+def test_banding_stage_degradation(ray_session):
+    rr = np.arange(32)
+    rows = [{"image_id": "p3",
+             "bytes": encode_image(_rows_img(40 + np.where(rr % 3 == 0,
+                                                           60, 0)), "png"),
+             "fmt": "png"},
+            {"image_id": "bad", "bytes": b"xx", "fmt": "jpeg"}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = banding_census(ds, batch_size=8).to_pandas().set_index("image_id")
+    assert int(out.loc["p3", "best_lag"]) == 3
+    assert bool(out.loc["p3", "ok"]) and not bool(out.loc["bad", "ok"])
