@@ -4558,6 +4558,24 @@ def q195_banding_documents(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q196_cusum_events(sf_dir: str):
+    """Per-user one-sided CUSUM control line over event values
+    (ops/cusum.grouped_int_cusum): s_t = max(0, s_{t-1} + v_t - kref)
+    in exact int64 cents via the cumsum − clamped-cummin closed form
+    (two cythonized grouped prefix scans, no per-step loop) — plain
+    window-function oracle replaying the identical closed form."""
+    from raqc_ray.ops.cusum import grouped_int_cusum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_int_cusum(ev, "user_id", "ts",
+                                         "event_id", "value",
+                                         kref=5500, h=20000,
+                                         scale=100))
+    for c in ("user_id", "event_id", "cusum", "alarm"):
+        df[c] = df[c].astype("int64")
+    return df[["user_id", "event_id", "cusum", "alarm"]]
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4804,6 +4822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_audio_features": q38_audio_features,
         "q194_blob_census_documents": q194_blob_census_documents,
         "q195_banding_documents": q195_banding_documents,
+        "q196_cusum_events": q196_cusum_events,
     }
 
 
@@ -7337,6 +7356,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q196_cusum_events": """
+            -- identical closed form: P = running SUM(vi - kref),
+            -- s = P - LEAST(0, running MIN(P)); alarm iff s > h
+            WITH v AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi
+                FROM events
+            ), p AS (
+                SELECT user_id, ts, event_id,
+                       SUM(vi - 5500) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS pcum
+                FROM v
+            ), m AS (
+                SELECT user_id, event_id, pcum,
+                       MIN(pcum) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS mincum
+                FROM p
+            )
+            SELECT user_id, event_id,
+                   CAST(pcum - LEAST(0, mincum) AS BIGINT) AS cusum,
+                   CAST(CASE WHEN pcum - LEAST(0, mincum) > 20000
+                             THEN 1 ELSE 0 END AS BIGINT) AS alarm
+            FROM m
         """,
         "q195_banding_documents": """
             -- replay of the EXACT integer autocovariance: rows are

@@ -1,0 +1,107 @@
+"""Per-key one-sided CUSUM control chart (Page 1954) in EXACT integer
+arithmetic — the sequential drift/changepoint screen of the classic
+quality-control family: ``s_t = max(0, s_{t-1} + (v_t - kref))`` with
+an alarm when ``s_t > h``.  Detects sustained upward level shifts in
+a per-user metric stream that the windowed z-score family dilutes and
+the EWMA (`ops/ewma.py`) only tracks, never thresholds.
+
+Unlike the floored EWMA recurrence, CUSUM has a CLOSED FORM::
+
+    P_t = Σ_{j<=t} (v_j - kref)          (grouped cumulative sum)
+    s_t = P_t - min(0, min_{j<=t} P_j)   (grouped cumulative min)
+
+so the whole scan is two cythonized pandas grouped-prefix kernels
+(``groupby().cumsum()`` / ``cummin()``) over the sorted block — NO
+per-time-step loop, NO per-group Python (the r3-verdict map_groups
+lesson): one stable block sort, one gid segmentation, two prefix
+scans, all rows at once.  Every value is int64 cents
+(``floor(value*scale + 0.5)``), so the output is bit-identical across
+block layouts and matches a plain window-function SQL oracle
+(``SUM() OVER`` + ``MIN() OVER`` replaying the identical closed form).
+
+Plan: ONE ``ds.sort(key)`` range partition + sorted-block scan
+(`ops/groupscan.scan_sorted_groups`, min_group=1) — the shared
+window-family plan; boundary groups take the same closed form on a
+single group; hot keys ride groupscan's size-routed re-dispatch.
+
+RAQC analog: none — SURVEY §2 training-data surface (sequential
+anomaly screens over per-user metrics; the thresholded-drift
+complement of EWMA q150 and max-drawdown q156).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["grouped_int_cusum"]
+
+
+def grouped_int_cusum(ds, key: str, order_by: str, id_col: str,
+                      value_col: str, kref: int, h: int,
+                      scale: int = 100, out_col: str = "cusum",
+                      alarm_col: str = "alarm"):
+    """Dataset ``(key, id_col, out_col, alarm_col)`` — one int64 CUSUM
+    value (scaled by ``scale``) and 0/1 alarm per input row.  ``kref``
+    and ``h`` are in SCALED units (cents for scale=100).  ``id_col``
+    must make the per-key order total.  Null-free input contract (the
+    window-family fixture guarantee)."""
+    from ._join_util import arrow_schema
+    from .groupscan import scan_sorted_groups
+
+    kref, h = int(kref), int(h)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key],
+            order_by: df[order_by],
+            id_col: df[id_col],
+            "__vi": np.floor(
+                df[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+            ).astype(np.int64),
+        })
+
+    pds = ds.map_batches(prep, batch_format="pandas")
+
+    def _closed_form(d: np.ndarray) -> np.ndarray:
+        p = np.cumsum(d)
+        m = np.minimum.accumulate(p)
+        return p - np.minimum(m, 0)
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values([order_by, id_col], kind="mergesort")
+             .reset_index(drop=True))
+        cs = _closed_form(s["__vi"].to_numpy(dtype=np.int64) - kref)
+        return pd.DataFrame({
+            key: s[key], id_col: s[id_col],
+            out_col: cs,
+            alarm_col: (cs > h).astype(np.int64),
+        })
+
+    def block_fn(interior: pd.DataFrame, gs: np.ndarray,
+                 ge: np.ndarray) -> pd.DataFrame:
+        s = (interior.sort_values([key, order_by, id_col],
+                                  kind="mergesort")
+             .reset_index(drop=True))
+        kk = s[key].to_numpy()
+        n = len(s)
+        new = np.ones(n, dtype=bool)
+        new[1:] = kk[1:] != kk[:-1]
+        gid = np.cumsum(new) - 1
+        d = pd.Series(s["__vi"].to_numpy(dtype=np.int64) - kref)
+        grp = d.groupby(gid)
+        p = grp.cumsum().to_numpy()            # grouped prefix sum
+        m = pd.Series(p).groupby(gid).cummin().to_numpy()
+        cs = p - np.minimum(m, 0)
+        return pd.DataFrame({
+            key: kk, id_col: s[id_col].to_numpy(),
+            out_col: cs,
+            alarm_col: (cs > h).astype(np.int64),
+        })
+
+    out_empty = (arrow_schema(pds).empty_table().to_pandas()
+                 [[key, id_col]].copy())
+    out_empty[out_col] = pd.Series(dtype="int64")
+    out_empty[alarm_col] = pd.Series(dtype="int64")
+    return scan_sorted_groups(pds, key, group_fn, out_empty,
+                              min_group=1, block_fn=block_fn)

@@ -206,3 +206,80 @@ def test_banding_stage_degradation(ray_session):
     out = banding_census(ds, batch_size=8).to_pandas().set_index("image_id")
     assert int(out.loc["p3", "best_lag"]) == 3
     assert bool(out.loc["p3", "ok"]) and not bool(out.loc["bad", "ok"])
+
+
+# ----------------------------------------------------------------- cusum
+
+from raqc_ray.ops.cusum import grouped_int_cusum
+
+
+def _brute_cusum(df: pd.DataFrame, kref: int, h: int,
+                 scale: int = 100) -> pd.DataFrame:
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        s = 0
+        for _, r in g.iterrows():
+            vi = int(np.floor(r["value"] * scale + 0.5))
+            s = max(0, s + vi - kref)
+            rows.append((uid, int(r["event_id"]), s, int(s > h)))
+    return (pd.DataFrame(rows, columns=["user_id", "event_id",
+                                        "cusum", "alarm"])
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
+def _cusum_fixture(n_users: int, n_ev: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    n = n_users * n_ev
+    return pd.DataFrame({
+        "user_id": rng.integers(0, n_users, n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "event_id": np.arange(n),
+        "value": rng.uniform(0, 120, n).round(2),
+    })
+
+
+def test_cusum_matches_sequential_recursion(ray_session):
+    import ray.data as rd2
+    df = _cusum_fixture(13, 40, 3)
+    out = (grouped_int_cusum(rd2.from_pandas(df).repartition(5),
+                             "user_id", "ts", "event_id", "value",
+                             kref=5000, h=8000)
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True).astype("int64"))
+    exp = _brute_cusum(df, kref=5000, h=8000).astype("int64")
+    pd.testing.assert_frame_equal(out[exp.columns], exp)
+    assert 0 < exp["alarm"].mean() < 1     # both classes present
+
+
+def test_cusum_layout_invariant(ray_session):
+    import ray.data as rd2
+    df = _cusum_fixture(7, 25, 9)
+    outs = []
+    for parts in (1, 4, 11):
+        o = (grouped_int_cusum(
+                rd2.from_pandas(df.sample(frac=1, random_state=parts))
+                .repartition(parts),
+                "user_id", "ts", "event_id", "value",
+                kref=5500, h=6000)
+             .to_pandas().sort_values(["user_id", "event_id"])
+             .reset_index(drop=True).astype("int64"))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_cusum_hot_key(ray_session):
+    # one user owns 60% of rows spanning every block: the boundary
+    # re-dispatch path must still produce the exact sequential chain
+    import ray.data as rd2
+    df = _cusum_fixture(10, 20, 17)
+    df.loc[df.index[:120], "user_id"] = 3
+    out = (grouped_int_cusum(rd2.from_pandas(df).repartition(8),
+                             "user_id", "ts", "event_id", "value",
+                             kref=5200, h=9000)
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True).astype("int64"))
+    exp = _brute_cusum(df, kref=5200, h=9000).astype("int64")
+    pd.testing.assert_frame_equal(out[exp.columns], exp)
