@@ -4576,6 +4576,48 @@ def q196_cusum_events(sf_dir: str):
     return df[["user_id", "event_id", "cusum", "alarm"]]
 
 
+def q197_gradients_documents(sf_dir: str):
+    """END-TO-END gradient-orientation census (ops/gradients
+    .gradient_census): deterministic 12x16 stripe / checker renders
+    through the REAL decode path; exact |dx|/|dy| energy sums vs the
+    closed form (column stripes → gy=0; row stripes → gx=0; checker
+    → both, gx > gy at this aspect)."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.gradients import gradient_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    yy, xx = np.mgrid[0:12, 0:16]
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            a = d % 40 + 10
+            m = d % 3
+            if m == 0:
+                c = 50 + a * (xx % 2)
+            elif m == 1:
+                c = 50 + a * (yy % 2)
+            else:
+                c = 50 + a * ((xx + yy) % 2)
+            arr = np.repeat(c.astype(np.uint8)[..., None], 3, axis=2)
+            fmt = "ppm" if d % 2 == 0 else "png"
+            ids.append(str(d))
+            blobs.append(encode_image(np.ascontiguousarray(arr), fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(gradient_census(imgs, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["image_id"].astype("int64")
+    for c in ("gx_sum", "gy_sum", "dominant"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "gx_sum", "gy_sum", "dominant"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4823,6 +4865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q194_blob_census_documents": q194_blob_census_documents,
         "q195_banding_documents": q195_banding_documents,
         "q196_cusum_events": q196_cusum_events,
+        "q197_gradients_documents": q197_gradients_documents,
     }
 
 
@@ -7356,6 +7399,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q197_gradients_documents": """
+            -- closed form of the 12x16 stripe/checker render with
+            -- amplitude a = d%40+10: column stripes (d%3=0) have
+            -- gx = 12*15*3a, gy = 0; row stripes (d%3=1) the
+            -- transpose-free dual gx = 0, gy = 11*16*3a; checker
+            -- (d%3=2) has both (gx > gy at 12x16)
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 40 + 10 AS a,
+                       doc_id % 3 AS m
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN m = 1 THEN 0
+                             ELSE 12 * 15 * 3 * a END AS BIGINT)
+                       AS gx_sum,
+                   CAST(CASE WHEN m = 0 THEN 0
+                             ELSE 11 * 16 * 3 * a END AS BIGINT)
+                       AS gy_sum,
+                   CAST(CASE WHEN m = 1 THEN -1 ELSE 1 END AS BIGINT)
+                       AS dominant
+            FROM p ORDER BY doc_id
         """,
         "q196_cusum_events": """
             -- identical closed form: P = running SUM(vi - kref),

@@ -283,3 +283,62 @@ def test_cusum_hot_key(ray_session):
            .reset_index(drop=True).astype("int64"))
     exp = _brute_cusum(df, kref=5200, h=9000).astype("int64")
     pd.testing.assert_frame_equal(out[exp.columns], exp)
+
+
+# -------------------------------------------------------------- gradients
+
+from raqc_ray.ops.gradients import gradient_census, gradient_stats_of
+
+
+def _brute_grad(arr: np.ndarray):
+    c = arr.astype(np.int64).sum(axis=2)
+    gx = sum(abs(int(c[y, x + 1]) - int(c[y, x]))
+             for y in range(c.shape[0]) for x in range(c.shape[1] - 1))
+    gy = sum(abs(int(c[y + 1, x]) - int(c[y, x]))
+             for y in range(c.shape[0] - 1) for x in range(c.shape[1]))
+    return gx, gy, int(gx > gy) - int(gx < gy)
+
+
+def test_gradient_closed_forms():
+    yy, xx = np.mgrid[0:12, 0:16]
+    a = 30
+    col = np.repeat((50 + a * (xx % 2)).astype(np.uint8)[..., None],
+                    3, axis=2)
+    row = np.repeat((50 + a * (yy % 2)).astype(np.uint8)[..., None],
+                    3, axis=2)
+    assert gradient_stats_of(col) == (12 * 15 * 3 * a, 0, 1)
+    assert gradient_stats_of(row) == (0, 11 * 16 * 3 * a, -1)
+    flat = np.full((5, 7, 3), 99, np.uint8)
+    assert gradient_stats_of(flat) == (0, 0, 0)
+
+
+def test_gradient_transpose_swaps_axes():
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, (9, 14, 3)).astype(np.uint8)
+    gx, gy, _ = gradient_stats_of(arr)
+    tx, ty, _ = gradient_stats_of(np.ascontiguousarray(
+        arr.transpose(1, 0, 2)))
+    assert (gx, gy) == (ty, tx)
+
+
+def test_gradient_brute_equivalence():
+    rng = np.random.default_rng(41)
+    for _ in range(25):
+        h, w = rng.integers(1, 15, 2)
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert gradient_stats_of(arr) == _brute_grad(arr)
+
+
+def test_gradient_stage_degradation(ray_session):
+    yy, xx = np.mgrid[0:12, 0:16]
+    arr = np.repeat((50 + 20 * (xx % 2)).astype(np.uint8)[..., None],
+                    3, axis=2)
+    rows = [{"image_id": "v", "bytes": encode_image(
+                np.ascontiguousarray(arr), "png"), "fmt": "png"},
+            {"image_id": "bad", "bytes": b"zz", "fmt": "ppm"}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (gradient_census(ds, batch_size=4).to_pandas()
+           .set_index("image_id"))
+    assert int(out.loc["v", "gx_sum"]) == 12 * 15 * 3 * 20
+    assert int(out.loc["v", "gy_sum"]) == 0
+    assert not bool(out.loc["bad", "ok"])
