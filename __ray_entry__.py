@@ -4688,7 +4688,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q193_tilecensus_documents": q193_tilecensus_documents,
         "q143_triangles_events": q143_triangles_events,
         "q144_pagerank_events": q144_pagerank_events,
-        "q146_rolling_active_events": q146_rolling_active_events,
+        # q146 demoted (rolling-window family already holds q23/q37
+        # driver slots) for q196 — the CUSUM control chart, session
+        # i's new sequential-scan algorithm family (closed-form
+        # cumsum − clamped-cummin, no lockstep loop).
+        "q196_cusum_events": q196_cusum_events,
         "q149_ks_events": q149_ks_events,
         "q125_skyline_orders": q125_skyline_orders,
         "q130_spearman_lineitem": q130_spearman_lineitem,
@@ -4710,7 +4714,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-f image-stage gates #2 (color census + sharpness);
         # one free slot used, q27 exact-cosine demoted (documented
         # O(n²) audit op, stable green since r2, stays pytest-gated)
-        "q173_color_documents": q173_color_documents,
+        # q173 demoted (simplest of the 7 in-window image stages) for
+        # q194 — the connected-component blob census (run-based
+        # union-find CCL through the real decode path), session i's
+        # image-axis flagship.
+        "q194_blob_census_documents": q194_blob_census_documents,
         "q174_sharpness_documents": q174_sharpness_documents,
         # session-f signature-operator gate (pixel-level moving-window
         # neighbor filter); q22 global top-k demoted (stable green
@@ -4862,9 +4870,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q191_chanstats_documents": q191_chanstats_documents,
         "q15_quality_documents": q15_quality_documents,
         "q38_audio_features": q38_audio_features,
-        "q194_blob_census_documents": q194_blob_census_documents,
+        "q146_rolling_active_events": q146_rolling_active_events,
+        "q173_color_documents": q173_color_documents,
         "q195_banding_documents": q195_banding_documents,
-        "q196_cusum_events": q196_cusum_events,
         "q197_gradients_documents": q197_gradients_documents,
     }
 
