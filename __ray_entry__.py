@@ -4618,6 +4618,35 @@ def q197_gradients_documents(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q198_exprcheck_lineitem(sf_dir: str):
+    """Declarative cross-column expression constraints (ops/exprcheck
+    .expr_violations): Deequ-style "expect <predicate> per row" rules
+    declared as a pure-tuple AST, compiled once per actor into
+    pyarrow.compute kernel chains — one violation row per (row, rule)
+    where the predicate IS NOT TRUE (SQL null semantics)."""
+    from raqc_ray.ops.exprcheck import expr_violations
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_discount", "l_tax",
+                "l_extendedprice"])
+    rules = [
+        ("discount_le_tax",
+         ("<=", ("col", "l_discount"), ("col", "l_tax"))),
+        ("net_positive",
+         (">=", ("*", ("col", "l_extendedprice"),
+                 ("-", ("lit", 1.0), ("col", "l_discount"))),
+          ("lit", 900.0))),
+    ]
+    df = _typed_pandas(expr_violations(
+        li, ["l_orderkey", "l_linenumber"], rules))
+    df["l_orderkey"] = df["l_orderkey"].astype("int64")
+    df["l_linenumber"] = df["l_linenumber"].astype("int64")
+    df["rule"] = df["rule"].astype(str)
+    return (df[["l_orderkey", "l_linenumber", "rule"]]
+            .sort_values(["l_orderkey", "l_linenumber", "rule"])
+            .reset_index(drop=True))
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4874,6 +4903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q173_color_documents": q173_color_documents,
         "q195_banding_documents": q195_banding_documents,
         "q197_gradients_documents": q197_gradients_documents,
+        "q198_exprcheck_lineitem": q198_exprcheck_lineitem,
     }
 
 
@@ -7407,6 +7437,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q198_exprcheck_lineitem": """
+            -- rule semantics: violation iff predicate IS NOT TRUE
+            -- (engine: NOT fill_null(expr, FALSE) — identical)
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'discount_le_tax' AS rule
+            FROM lineitem
+            WHERE NOT COALESCE(l_discount <= l_tax, FALSE)
+            UNION ALL
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'net_positive' AS rule
+            FROM lineitem
+            WHERE NOT COALESCE(
+                l_extendedprice * (1.0 - l_discount) >= 900.0, FALSE)
         """,
         "q197_gradients_documents": """
             -- closed form of the 12x16 stripe/checker render with

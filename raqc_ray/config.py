@@ -78,6 +78,31 @@ class RangeCheck(CheckSpec):
 
 
 @dataclass(frozen=True)
+class ExprRule:
+    """Named declarative predicate over columns: ``expr`` is the
+    pure-tuple AST of `ops/exprcheck.compile_expr` (hashable, so the
+    config hash / checkpoint invalidation sees rule edits)."""
+
+    name: str
+    expr: tuple
+
+
+@dataclass(frozen=True)
+class ExprCheck(CheckSpec):
+    """Deequ-style cross-column expression constraints — the
+    generalization of RangeCheck to arbitrary arithmetic/boolean
+    predicates over several columns.  A row violates a rule where the
+    predicate is NOT TRUE (FALSE or NULL — SQL ``IS NOT TRUE``).
+    RAQC: ``[R] mask_advanced (rec.)`` generalized."""
+
+    rules: tuple[ExprRule, ...] = ()
+
+    @property
+    def name(self) -> str:
+        return "expr"
+
+
+@dataclass(frozen=True)
 class CaptionCheck(CheckSpec):
     column: str = "caption"
 

@@ -42,6 +42,7 @@ from ..config import (
     CardinalityCheck,
     DecodeCheck,
     ExposureCheck,
+    ExprCheck,
     Hist2DCheck,
     NullityCheck,
     QuantileCheck,
@@ -123,6 +124,13 @@ class ValidatorStage:
         self.caption = cfg.get(CaptionCheck)
         self.decode = cfg.get(DecodeCheck)
         self.exposure = cfg.get(ExposureCheck)
+        # declarative cross-column predicates compile ONCE per actor
+        # (ops/exprcheck AST -> pyarrow.compute closure chain)
+        self.expr_ = cfg.get(ExprCheck)
+        if self.expr_:
+            from ..ops.exprcheck import compile_expr
+            self._expr_rules = [(r.name, compile_expr(r.expr))
+                                for r in self.expr_.rules]
         self.stats = cfg.get(StatsCheck)
         self.card = cfg.get(CardinalityCheck)
         self.quant = cfg.get(QuantileCheck)
@@ -183,6 +191,17 @@ class ValidatorStage:
                     out, bad, pids, ids, "range", rule.column,
                     f"{desc} outside [{rule.min}, {rule.max}]", self.range_.severity,
                 )
+
+        if self.expr_:
+            from ..ops.exprcheck import violation_mask
+            for rname, fn in self._expr_rules:
+                try:
+                    bad = violation_mask(fn, batch)
+                except KeyError:
+                    continue  # rule references a column this table lacks
+                self._emit_mask(out, bad, pids, ids, "expr", rname,
+                                "expression not satisfied",
+                                self.expr_.severity)
 
         if self.caption and self.caption.column in batch.column_names:
             col = batch[self.caption.column]

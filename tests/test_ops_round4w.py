@@ -342,3 +342,67 @@ def test_gradient_stage_degradation(ray_session):
     assert int(out.loc["v", "gx_sum"]) == 12 * 15 * 3 * 20
     assert int(out.loc["v", "gy_sum"]) == 0
     assert not bool(out.loc["bad", "ok"])
+
+
+# -------------------------------------------------------------- exprcheck
+
+from raqc_ray.config import ExprCheck, ExprRule, RunConfig
+from raqc_ray.ops.exprcheck import (compile_expr, expr_violations,
+                                    violation_mask)
+from raqc_ray.stages.passa import ValidatorStage
+
+
+def test_exprcheck_ast_eval():
+    t = pa.table({"a": [1, 2, None, 4], "b": [2, 1, 5, 4],
+                  "s": ["xy", "", None, "abcd"]})
+    fn = compile_expr(("<=", ("col", "a"), ("col", "b")))
+    # a<=b: [T, F, NULL, T] -> violations: [F, T, T, F] (NULL violates)
+    assert violation_mask(fn, t).tolist() == [False, True, True, False]
+    fn = compile_expr(("==", ("len", ("col", "s")), ("lit", 2)))
+    assert violation_mask(fn, t).tolist() == [False, True, True, True]
+    fn = compile_expr((">=", ("*", ("col", "a"), ("lit", 10)),
+                       ("+", ("col", "b"), ("lit", 5))))
+    # 10a >= b+5: [10>=7 T, 20>=6 T, NULL, 40>=9 T]
+    assert violation_mask(fn, t).tolist() == [False, False, True, False]
+    fn = compile_expr(("or", ("is_null", ("col", "a")),
+                       (">", ("col", "a"), ("lit", 3))))
+    assert violation_mask(fn, t).tolist() == [True, True, False, False]
+    fn = compile_expr(("not", ("is_null", ("col", "s"))))
+    assert violation_mask(fn, t).tolist() == [False, False, True, False]
+
+
+def test_exprcheck_compile_errors():
+    with pytest.raises(ValueError):
+        compile_expr(("frobnicate", ("col", "a")))
+    with pytest.raises(ValueError):
+        compile_expr(())
+
+
+def test_exprcheck_dataset_op(ray_session):
+    df = pd.DataFrame({"id": np.arange(20),
+                       "x": np.arange(20) % 7,
+                       "y": np.arange(20) % 5})
+    out = (expr_violations(rd.from_pandas(df).repartition(3), ["id"],
+                           [("x_le_y", ("<=", ("col", "x"),
+                                        ("col", "y")))])
+           .to_pandas())
+    exp = set(df.loc[~(df.x <= df.y), "id"])
+    assert set(out["id"]) == exp and (out["rule"] == "x_le_y").all()
+
+
+def test_exprcheck_validator_stage_integration():
+    # cross-column rule through the Pass-A stage: w*h bounded, and a
+    # rule referencing a missing column is skipped (not a crash)
+    cfg = RunConfig(checks=[ExprCheck(rules=(
+        ExprRule("pixels_bounded",
+                 ("<=", ("*", ("col", "w"), ("col", "h")),
+                  ("lit", 100))),
+        ExprRule("ghost_col", ("==", ("col", "nope"), ("lit", 1))),
+    ))], partition_from=("none",))
+    batch = pa.table({"image_id": ["a", "b", "c"],
+                      "w": [5, 20, None], "h": [10, 10, 3]})
+    out = ValidatorStage(cfg)(batch).to_pandas()
+    v = out[(out["kind"] == "v") & (out["check"] == "expr")]
+    # b: 200 > 100 violates; c: NULL violates; a passes
+    assert set(v["image_id"]) == {"b", "c"}
+    assert (v["column"] == "pixels_bounded").all()
