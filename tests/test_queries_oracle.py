@@ -148,7 +148,10 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q185_repetition_documents", "q186_stripes_documents",
             "q188_pcont_lineitem", "q189_psnr_documents",
             "q190_groupcov_embeddings", "q191_chanstats_documents",
-            "q192_spandup_documents", "q193_tilecensus_documents"]
+            "q192_spandup_documents", "q193_tilecensus_documents",
+            "q194_blob_census_documents", "q195_banding_documents",
+            "q196_cusum_events", "q197_gradients_documents",
+            "q198_exprcheck_lineitem"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
