@@ -586,15 +586,35 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, n_planes: int = 12,
     keyed = emb_ds.map_batches(explode_colliding, batch_format="pyarrow")
     keyed, _n, distributed = decide_path(keyed, driver_threshold)
     if distributed:
-        def scan(g: pd.DataFrame) -> pd.DataFrame:
-            t = pa.table({"bucket": pa.array(g["bucket"], pa.int64()),
-                          "vec_id": pa.array(g["vec_id"], pa.int64()),
-                          "unit": pa.array(g["unit"].to_list(),
-                                           pa.list_(pa.float32()))})
-            return _scan_bucket_segments(t, threshold, dim)
+        # Sorted-block scan, NOT groupby().map_groups (one Python task
+        # per bucket — the groupscan.py rationale): ONE sort by bucket,
+        # then each sorted block verifies ALL its complete buckets in a
+        # single vectorized call; boundary buckets (≤ 2 per block) are
+        # re-scanned once, size-routed off the driver when hot.  Pair
+        # values are order-insensitive (each cosine is one dot product),
+        # so this is byte-identical to the per-bucket path.
+        from .groupscan import scan_sorted_groups
 
-        pdf = keyed.groupby("bucket").map_groups(
-            scan, batch_format="pandas").to_pandas()
+        def _frame_tbl(g: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {"bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+                 "vec_id": pa.array(g["vec_id"].to_numpy(), pa.int64()),
+                 "unit": pa.array(g["unit"].to_list(),
+                                  pa.list_(pa.float32()))})
+
+        out_empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")})
+        pairs = scan_sorted_groups(
+            keyed, "bucket",
+            group_fn=lambda g: _scan_bucket_segments(
+                _frame_tbl(g), threshold, dim),
+            out_empty=out_empty, min_group=2,
+            block_fn=lambda interior, starts, ends: _scan_bucket_segments(
+                _frame_tbl(interior), threshold, dim),
+        )
+        pdf = pairs.to_pandas()
         if len(pdf) == 0 or "vec_a" not in pdf.columns:
             return anchor
     else:

@@ -155,3 +155,34 @@ def test_decide_path_env_override(ray_session, monkeypatch):
     monkeypatch.setenv("RAQC_DISTRIBUTED_SCAN", "0")
     _, _, dist = decide_path(ds, driver_threshold=10)
     assert dist is False
+
+
+def test_embdup_sorted_scan_path_identical(ray_session, monkeypatch):
+    """Distributed embedding-dup verify (sorted-block bucket scan) is
+    byte-identical to the single-task path — the map_groups-per-bucket
+    stage was replaced by scan_sorted_groups (groupscan.py rationale)."""
+    import ray.data as rd
+
+    from raqc_ray.ops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(60, 64))
+    rows = []
+    vid = 0
+    for i in range(60):
+        v = base[i]
+        rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist()})
+        vid += 1
+        if i % 4 == 0:  # plant near-dups
+            w = v + rng.normal(scale=0.01, size=64)
+            rows.append({"vec_id": vid,
+                         "embedding": w.astype(np.float32).tolist()})
+            vid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(6)
+
+    monkeypatch.setenv("RAQC_DISTRIBUTED_SCAN", "1")
+    dist = _sorted_df(embedding_dup_pairs(ds, threshold=0.95))
+    monkeypatch.setenv("RAQC_DISTRIBUTED_SCAN", "0")
+    single = _sorted_df(embedding_dup_pairs(ds, threshold=0.95))
+    assert len(dist) >= 10
+    pd.testing.assert_frame_equal(dist, single)
