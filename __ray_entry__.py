@@ -4647,6 +4647,51 @@ def q198_exprcheck_lineitem(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q199_fd_orders(sf_dir: str):
+    """Functional-dependency violation census (ops/fdcheck
+    .fd_violations): custkeys bound to >1 distinct order priority —
+    the Deequ-style unique-mapping constraint.  Two distinct-pair-
+    sized hash aggregations; the row stream shuffles once."""
+    from raqc_ray.ops.fdcheck import fd_violations
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    df = _typed_pandas(fd_violations(orders, "o_custkey",
+                                     "o_orderpriority"))
+    df["key"] = df["key"].astype("int64")
+    for c in ("n_distinct", "n_rows"):
+        df[c] = df[c].astype("int64")
+    df["rhs_min"] = df["rhs_min"].astype(str)
+    df["rhs_max"] = df["rhs_max"].astype(str)
+    return (df[["key", "n_distinct", "n_rows", "rhs_min", "rhs_max"]]
+            .sort_values("key").reset_index(drop=True))
+
+
+def q200_assoc_events(sf_dir: str):
+    """Association-rule census (ops/assoc.association_rules): ordered
+    event-type pairs per user basket with exact scaled-integer
+    support/confidence/lift (ppm floors — DuckDB // replays them
+    bit-for-bit on the same nonnegative integers)."""
+    from raqc_ray.ops.assoc import association_rules
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = association_rules(ev, "user_id", "event_type",
+                            min_pair_count=2)
+    out["ante"] = out["ante"].astype(str)
+    out["cons"] = out["cons"].astype(str)
+    return out
+
+
+def q201_km_events(sf_dir: str):
+    """Kaplan–Meier risk table (ops/survival.km_risk_table) over user
+    activity lifetimes: per distinct whole-second span, exact
+    n_event / n_censored / n_risk — the KM estimator's sufficient
+    statistic with no float anywhere."""
+    from raqc_ray.ops.survival import km_risk_table
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return km_risk_table(ev, "user_id", "ts", min_events=12)
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4904,6 +4949,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q195_banding_documents": q195_banding_documents,
         "q197_gradients_documents": q197_gradients_documents,
         "q198_exprcheck_lineitem": q198_exprcheck_lineitem,
+        "q199_fd_orders": q199_fd_orders,
+        "q200_assoc_events": q200_assoc_events,
+        "q201_km_events": q201_km_events,
     }
 
 
@@ -7437,6 +7485,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q199_fd_orders": """
+            SELECT o_custkey AS key,
+                   COUNT(DISTINCT o_orderpriority) AS n_distinct,
+                   COUNT(*) AS n_rows,
+                   MIN(o_orderpriority) AS rhs_min,
+                   MAX(o_orderpriority) AS rhs_max
+            FROM orders
+            GROUP BY o_custkey
+            HAVING COUNT(DISTINCT o_orderpriority) > 1
+            ORDER BY key
+        """,
+        "q200_assoc_events": """
+            -- exact ppm floors: every quantity is a nonnegative
+            -- integer, so DuckDB // (trunc) == engine // (floor);
+            -- the lift numerator runs in HUGEINT
+            WITH bi AS (SELECT DISTINCT user_id, event_type FROM events),
+                 nb AS (SELECT COUNT(DISTINCT user_id) AS n FROM bi),
+                 pr AS (SELECT a.event_type AS ante,
+                               b.event_type AS cons,
+                               COUNT(*) AS n_ab
+                        FROM bi a JOIN bi b USING (user_id)
+                        WHERE a.event_type <> b.event_type
+                        GROUP BY 1, 2
+                        HAVING COUNT(*) >= 2),
+                 it AS (SELECT event_type, COUNT(*) AS n_i
+                        FROM bi GROUP BY event_type)
+            SELECT ante, cons, n_ab,
+                   ia.n_i AS n_a, ib.n_i AS n_b,
+                   CAST(1000000 * n_ab // nb.n AS BIGINT) AS support_ppm,
+                   CAST(1000000 * n_ab // ia.n_i AS BIGINT)
+                       AS confidence_ppm,
+                   CAST(CAST(1000000 AS HUGEINT) * n_ab * nb.n
+                        // (CAST(ia.n_i AS HUGEINT) * ib.n_i) AS BIGINT)
+                       AS lift_ppm
+            FROM pr
+            CROSS JOIN nb
+            JOIN it ia ON pr.ante = ia.event_type
+            JOIN it ib ON pr.cons = ib.event_type
+            ORDER BY ante, cons
+        """,
+        "q201_km_events": """
+            WITH spans AS (
+                SELECT user_id,
+                       (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                           // 1000000 AS t_s,
+                       CASE WHEN COUNT(*) >= 12 THEN 1 ELSE 0 END AS ev
+                FROM events GROUP BY user_id),
+            hist AS (
+                SELECT t_s, SUM(ev) AS n_event,
+                       SUM(1 - ev) AS n_censored
+                FROM spans GROUP BY t_s)
+            SELECT CAST(t_s AS BIGINT) AS t_s,
+                   CAST(n_event AS BIGINT) AS n_event,
+                   CAST(n_censored AS BIGINT) AS n_censored,
+                   CAST(SUM(n_event + n_censored)
+                        OVER (ORDER BY t_s DESC) AS BIGINT) AS n_risk
+            FROM hist ORDER BY t_s
         """,
         "q198_exprcheck_lineitem": """
             -- rule semantics: violation iff predicate IS NOT TRUE

@@ -1,0 +1,128 @@
+"""Round-4 session-j ops: FD violations, association rules, KM risk
+table — closed-form planted fixtures + layout invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df, parts=4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+# ---------------------------------------------------------------- fdcheck
+
+def test_fd_violations_planted(ray_session):
+    from raqc_ray.ops.fdcheck import fd_violations
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3, 4, 4],
+        "v": ["a", "b", "a", "c", "c", "d", "e", "f"],
+    })
+    out = (fd_violations(_ds(df), "k", "v").to_pandas()
+           .sort_values("key").reset_index(drop=True))
+    # k=1 maps to {a,b}; k=4 maps to {e,f}; k=2,3 satisfy the FD
+    assert out["key"].tolist() == [1, 4]
+    assert out["n_distinct"].tolist() == [2, 2]
+    assert out["n_rows"].tolist() == [3, 2]
+    assert out["rhs_min"].tolist() == ["a", "e"]
+    assert out["rhs_max"].tolist() == ["b", "f"]
+
+
+def test_fd_violations_layout_invariant(ray_session):
+    from raqc_ray.ops.fdcheck import fd_violations
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, 2000),
+        "v": rng.integers(0, 3, 2000),
+    })
+    outs = []
+    for parts in (1, 7):
+        o = (fd_violations(_ds(df, parts), "k", "v").to_pandas()
+             .sort_values("key").reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ----------------------------------------------------------------- assoc
+
+def test_association_rules_closed_form(ray_session):
+    from raqc_ray.ops.assoc import association_rules
+
+    # 4 baskets: {a,b}, {a,b}, {a,c}, {b}
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2, 3, 3, 4, 1],      # row 8 duplicates (1, a)
+        "i": ["a", "b", "a", "b", "a", "c", "b", "a"],
+    })
+    out = association_rules(_ds(df), "u", "i", min_pair_count=1)
+    M = 10 ** 6
+    r = {(a, c): row for (a, c), row in
+         out.set_index(["ante", "cons"]).iterrows()}
+    # N=4, n_a=3, n_b=3, n_c=1, n_ab=2, n_ac=1, n_bc=0
+    ab = r[("a", "b")]
+    assert ab["n_ab"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 3
+    assert ab["support_ppm"] == M * 2 // 4
+    assert ab["confidence_ppm"] == M * 2 // 3
+    assert ab["lift_ppm"] == M * 2 * 4 // 9
+    ba = r[("b", "a")]
+    assert ba["confidence_ppm"] == M * 2 // 3
+    assert ba["lift_ppm"] == ab["lift_ppm"]
+    ac = r[("a", "c")]
+    assert ac["n_ab"] == 1 and ac["n_b"] == 1
+    assert ac["confidence_ppm"] == M * 1 // 3
+    assert ac["lift_ppm"] == M * 1 * 4 // 3
+    assert ("b", "c") not in r  # never co-occur
+
+
+def test_association_rules_min_count(ray_session):
+    from raqc_ray.ops.assoc import association_rules
+
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2, 3, 3],
+        "i": ["a", "b", "a", "b", "a", "c"],
+    })
+    out = association_rules(_ds(df), "u", "i", min_pair_count=2)
+    assert set(zip(out["ante"], out["cons"])) == {("a", "b"), ("b", "a")}
+
+
+# -------------------------------------------------------------- survival
+
+def test_km_risk_table_closed_form(ray_session):
+    from raqc_ray.ops.survival import km_risk_table
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # user 1: span 10 s, 3 events (censored); user 2: span 10 s,
+    # 5 events (event); user 3: span 25 s, 5 events (event);
+    # user 4: single row → span 0, censored
+    for u, span, n in [(1, 10, 3), (2, 10, 5), (3, 25, 5), (4, 0, 1)]:
+        for j in range(n):
+            ts = base + pd.Timedelta(seconds=span * j / max(n - 1, 1))
+            rows.append({"u": u, "ts": ts})
+    df = pd.DataFrame(rows)
+    out = km_risk_table(_ds(df), "u", "ts", min_events=5)
+    assert out["t_s"].tolist() == [0, 10, 25]
+    assert out["n_event"].tolist() == [0, 1, 1]
+    assert out["n_censored"].tolist() == [1, 1, 0]
+    # n_risk: lifetimes >= t → [4, 3, 1]
+    assert out["n_risk"].tolist() == [4, 3, 1]
+
+
+def test_km_risk_table_layout_invariant(ray_session):
+    from raqc_ray.ops.survival import km_risk_table
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2026-01-01").value // 1000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 40, 1500),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 10**7, 1500), unit="us"),
+    })
+    outs = [km_risk_table(_ds(df, p), "u", "ts", min_events=30)
+            for p in (1, 6)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # both classes live
+    assert outs[0]["n_event"].sum() > 0 and outs[0]["n_censored"].sum() > 0
