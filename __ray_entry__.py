@@ -4692,6 +4692,51 @@ def q201_km_events(sf_dir: str):
     return km_risk_table(ev, "user_id", "ts", min_events=12)
 
 
+def q202_dihedral_documents(sf_dir: str):
+    """END-TO-END dihedral-canonical dedup gate (ops/dihedral
+    .dihedral_dup_clusters): every even doc_id renders a deterministic
+    pseudo-random 12x16 frame; the odd partner is one of the 7
+    non-identity D4 transforms of it (rotations/flips, alternating
+    png/ppm).  The REAL decode → 8-orbit dHash → min canonicalization
+    groups each pair under ONE exact key; the oracle states the
+    closed-form pairing."""
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.dihedral import dihedral_dup_clusters
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    H, W = 12, 16
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.arange(H * W, dtype=np.int64)
+        ids, blobs, fmts = [], [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            base = d - d % 2
+            m = (base * 2654435761) % (2 ** 31) | 1
+            r = (((idx + 1) * m) % 509 % 256).astype(np.uint8)
+            g = (((idx + 17) * m) % 521 % 256).astype(np.uint8)
+            b = (((idx + 29) * m) % 499 % 256).astype(np.uint8)
+            arr = np.stack([r, g, b], axis=1).reshape(H, W, 3)
+            if d % 2 == 1:
+                t = (base // 2) % 7
+                if t < 3:
+                    arr = np.rot90(arr, t + 1)
+                else:
+                    arr = np.rot90(arr, t - 3)[:, ::-1]
+            fmt = "png" if (d // 2) % 2 == 0 else "ppm"
+            ids.append(f"{d:08d}")
+            blobs.append(encode_image(np.ascontiguousarray(arr), fmt))
+            fmts.append(fmt)
+        return pd.DataFrame({"image_id": ids, "bytes": blobs,
+                             "fmt": fmts})
+
+    imgs = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(dihedral_dup_clusters(imgs, batch_size=128))
+    df["n_members"] = df["n_members"].astype("int64")
+    return (df[["id_min", "id_max", "n_members"]]
+            .sort_values("id_min").reset_index(drop=True))
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4952,6 +4997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q199_fd_orders": q199_fd_orders,
         "q200_assoc_events": q200_assoc_events,
         "q201_km_events": q201_km_events,
+        "q202_dihedral_documents": q202_dihedral_documents,
     }
 
 
@@ -7485,6 +7531,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q202_dihedral_documents": """
+            -- closed-form pairing: odd ids are D4 transforms of their
+            -- even base; canonicalization folds each pair to one key
+            SELECT lpad(CAST(a.doc_id AS VARCHAR), 8, '0') AS id_min,
+                   lpad(CAST(b.doc_id AS VARCHAR), 8, '0') AS id_max,
+                   CAST(2 AS BIGINT) AS n_members
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 2 = 0
+            ORDER BY id_min
         """,
         "q199_fd_orders": """
             SELECT o_custkey AS key,

@@ -126,3 +126,46 @@ def test_km_risk_table_layout_invariant(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     # both classes live
     assert outs[0]["n_event"].sum() > 0 and outs[0]["n_censored"].sum() > 0
+
+
+# -------------------------------------------------------------- dihedral
+
+def test_dihedral_canonical_orbit_invariant():
+    from raqc_ray.ops.dihedral import dihedral_canonical64
+
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        arr = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        base = dihedral_canonical64(arr)
+        for k in range(4):
+            r = np.rot90(arr, k)
+            for t in (r, r[:, ::-1]):
+                assert dihedral_canonical64(
+                    np.ascontiguousarray(t)) == base
+
+
+def test_dihedral_dup_clusters_planted(ray_session):
+    import ray.data as rd
+
+    from raqc_ray.codecs import encode_image
+    from raqc_ray.ops.dihedral import dihedral_dup_clusters
+
+    rng = np.random.default_rng(33)
+    rows = []
+    for i in range(12):
+        arr = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+        rows.append({"image_id": f"{2*i:04d}",
+                     "bytes": encode_image(arr, "png"), "fmt": "png"})
+        # partner: rotated + flipped, OTHER codec
+        t = np.ascontiguousarray(np.rot90(arr, i % 4)[:, ::-1])
+        rows.append({"image_id": f"{2*i+1:04d}",
+                     "bytes": encode_image(t, "ppm"), "fmt": "ppm"})
+    # one undecodable row degrades, never clusters
+    rows.append({"image_id": "9999", "bytes": b"junk", "fmt": "png"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    out = (dihedral_dup_clusters(ds, batch_size=8).to_pandas()
+           .sort_values("id_min").reset_index(drop=True))
+    assert len(out) == 12
+    assert out["n_members"].tolist() == [2] * 12
+    assert out["id_min"].tolist() == [f"{2*i:04d}" for i in range(12)]
+    assert out["id_max"].tolist() == [f"{2*i+1:04d}" for i in range(12)]

@@ -152,7 +152,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q194_blob_census_documents", "q195_banding_documents",
             "q196_cusum_events", "q197_gradients_documents",
             "q198_exprcheck_lineitem", "q199_fd_orders",
-            "q200_assoc_events", "q201_km_events"]
+            "q200_assoc_events", "q201_km_events",
+            "q202_dihedral_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
