@@ -4737,6 +4737,67 @@ def q202_dihedral_documents(sf_dir: str):
             .sort_values("id_min").reset_index(drop=True))
 
 
+def q203_seqmatch_events(sf_dir: str):
+    """Sequence-pattern census (ops/seqmatch
+    .sequence_pattern_census): MATCH_RECOGNIZE-style CEP — users whose
+    (ts, event_id)-ordered event-type journey matches the funnel
+    regex ``view(>click)+``, with non-overlapping match counts; the
+    oracle replays it via string_agg + regexp_extract_all."""
+    from raqc_ray.ops.seqmatch import sequence_pattern_census
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    df = _typed_pandas(sequence_pattern_census(
+        ev, "user_id", "ts", "event_type", r"view(>click)+",
+        tiebreak="event_id"))
+    for c in ("user_id", "n_matches", "n_events"):
+        df[c] = df[c].astype("int64")
+    return (df[["user_id", "n_matches", "n_events"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q204_audiorun_documents(sf_dir: str):
+    """END-TO-END audio run census gate (ops/audiorun
+    .audio_run_census): each document becomes a deterministic mono
+    PCM render (alternating ±1000 background) with PLANTED runs — a
+    dropout of d%37+5 samples at offset 100, a second 1–3-sample
+    dropout at 500, a 32767 clip run of (3d)%29+2 at 300 — pushed
+    through the REAL RIFF encode→decode; the oracle restates the
+    planted closed form."""
+    from raqc_ray.ops.audio import wav_encode
+    from raqc_ray.ops.audiorun import audio_run_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            L = 800 + d % 50
+            x = np.where(np.arange(L) % 2 == 0, 1000, -1000)
+            x = x.astype(np.int16)
+            s = d % 37 + 5
+            x[100:100 + s] = 0
+            c = (d * 3) % 29 + 2
+            x[300:300 + c] = 32767
+            s2 = d % 3 + 1
+            x[500:500 + s2] = 0
+            ids.append(str(d))
+            blobs.append(wav_encode(x.reshape(-1, 1), 8000))
+        return pd.DataFrame({"item_id": ids, "bytes": blobs})
+
+    snd = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(audio_run_census(snd, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["item_id"].astype("int64")
+    cols = ["n_samples", "sil_runs", "sil_max", "clip_runs",
+            "clip_max", "n_clipped"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id"] + cols]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 _Q30_PHASH_SQL = """
     SELECT doc_id,
            xor(
@@ -4998,6 +5059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q200_assoc_events": q200_assoc_events,
         "q201_km_events": q201_km_events,
         "q202_dihedral_documents": q202_dihedral_documents,
+        "q203_seqmatch_events": q203_seqmatch_events,
+        "q204_audiorun_documents": q204_audiorun_documents,
     }
 
 
@@ -7531,6 +7594,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COALESCE(d.dup_spans, 0) // t.n_spans
                         AS BIGINT) AS dup_bp
             FROM tot t LEFT JOIN dup d USING (doc_id)
+        """,
+        "q203_seqmatch_events": """
+            WITH j AS (
+                SELECT user_id,
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS journey,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(journey,
+                        'view(>click)+')) AS BIGINT) AS n_matches,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM j
+            WHERE len(regexp_extract_all(journey, 'view(>click)+')) > 0
+            ORDER BY user_id
+        """,
+        "q204_audiorun_documents": """
+            -- planted closed form (see q204 docstring)
+            SELECT doc_id,
+                   CAST(800 + doc_id % 50 AS BIGINT) AS n_samples,
+                   CAST(2 AS BIGINT) AS sil_runs,
+                   CAST(doc_id % 37 + 5 AS BIGINT) AS sil_max,
+                   CAST(1 AS BIGINT) AS clip_runs,
+                   CAST((doc_id * 3) % 29 + 2 AS BIGINT) AS clip_max,
+                   CAST((doc_id * 3) % 29 + 2 AS BIGINT) AS n_clipped
+            FROM documents ORDER BY doc_id
         """,
         "q202_dihedral_documents": """
             -- closed-form pairing: odd ids are D4 transforms of their

@@ -169,3 +169,92 @@ def test_dihedral_dup_clusters_planted(ray_session):
     assert out["n_members"].tolist() == [2] * 12
     assert out["id_min"].tolist() == [f"{2*i:04d}" for i in range(12)]
     assert out["id_max"].tolist() == [f"{2*i+1:04d}" for i in range(12)]
+
+
+# -------------------------------------------------------------- seqmatch
+
+def test_sequence_pattern_census_closed_form(ray_session):
+    from raqc_ray.ops.seqmatch import sequence_pattern_census
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # u1: view>click>click>purchase → 1 match (view(>click)+)
+    # u2: view>purchase → 0 matches
+    # u3: view>click>view>click>click → 2 matches
+    seqs = {1: ["view", "click", "click", "purchase"],
+            2: ["view", "purchase"],
+            3: ["view", "click", "view", "click", "click"]}
+    eid = 0
+    for u, states in seqs.items():
+        for j, st in enumerate(states):
+            rows.append({"u": u, "ts": base + pd.Timedelta(seconds=j),
+                         "eid": eid, "state": st})
+            eid += 1
+    df = pd.DataFrame(rows)
+    out = (sequence_pattern_census(
+        _ds(df), "u", "ts", "state", r"view(>click)+", tiebreak="eid")
+        .to_pandas().sort_values("u").reset_index(drop=True))
+    assert out["u"].tolist() == [1, 3]
+    assert out["n_matches"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [4, 5]
+
+
+def test_sequence_pattern_census_hot_key(ray_session):
+    """One key owning 60% of rows rides the boundary re-dispatch."""
+    from raqc_ray.ops.seqmatch import sequence_pattern_census
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = np.where(rng.random(n) < 0.6, 0, rng.integers(1, 30, n))
+    states = rng.choice(["view", "click", "other"], n)
+    df = pd.DataFrame({
+        "u": users,
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "eid": np.arange(n),
+        "state": states,
+    })
+    outs = []
+    for parts in (1, 8):
+        o = (sequence_pattern_census(
+            _ds(df, parts), "u", "ts", "state", r"view(>click)+",
+            tiebreak="eid").to_pandas()
+            .sort_values("u").reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert 0 in outs[0]["u"].tolist()  # the hot key matched somewhere
+
+
+# -------------------------------------------------------------- audiorun
+
+def test_audio_run_census_closed_form(ray_session):
+    import ray.data as rd
+
+    from raqc_ray.ops.audio import wav_encode
+    from raqc_ray.ops.audiorun import audio_run_census, run_census_of
+
+    x = np.where(np.arange(600) % 2 == 0, 1000, -1000).astype(np.int16)
+    x[50:60] = 0          # silence run 10
+    x[200:203] = 0        # silence run 3
+    x[400:407] = 32767    # clip run 7
+    assert run_census_of(x.reshape(-1, 1), 8, 32760) == (600, 2, 10, 1, 7, 7)
+
+    rows = [{"item_id": "a", "bytes": wav_encode(x.reshape(-1, 1), 8000)},
+            {"item_id": "bad", "bytes": b"nope"}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (audio_run_census(ds, batch_size=4).to_pandas()
+           .sort_values("item_id").reset_index(drop=True))
+    good = out[out["ok"]]
+    assert len(good) == 1 and len(out) == 2
+    assert good.iloc[0][["n_samples", "sil_runs", "sil_max", "clip_runs",
+                         "clip_max", "n_clipped"]].tolist() == \
+        [600, 2, 10, 1, 7, 7]
+
+
+def test_runs_edge_cases():
+    from raqc_ray.ops.audiorun import _runs
+
+    assert _runs(np.zeros(5, dtype=bool)) == (0, 0)
+    assert _runs(np.ones(5, dtype=bool)) == (1, 5)
+    m = np.array([True, False, True, True, False, True], dtype=bool)
+    assert _runs(m) == (3, 2)
+    assert _runs(np.array([True], dtype=bool)) == (1, 1)

@@ -153,7 +153,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q196_cusum_events", "q197_gradients_documents",
             "q198_exprcheck_lineitem", "q199_fd_orders",
             "q200_assoc_events", "q201_km_events",
-            "q202_dihedral_documents"]
+            "q202_dihedral_documents", "q203_seqmatch_events",
+            "q204_audiorun_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
