@@ -4812,6 +4812,74 @@ _Q30_PHASH_SQL = """
 """
 
 
+def q205_mi_documents(sf_dir: str):
+    """Mutual information + G-test of lang × source (ops/contingency
+    .mutual_information): ONE combiner-fed cell-count pass, exact
+    int64 counts, float epilogue mirroring the oracle's LN expression
+    shape (rounded 6dp both sides, q46 discipline)."""
+    from raqc_ray.ops.contingency import mutual_information
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    df = _typed_pandas(mutual_information(docs, "lang", "source"))
+    for c in ("n", "cells"):
+        df[c] = df[c].astype("int64")
+    for c in ("mi", "g"):
+        df[c] = df[c].astype("float64")
+    return df[["n", "cells", "mi", "g"]]
+
+
+def q206_bm25_documents(sf_dir: str):
+    """Okapi BM25 top-10 retrieval (ops/bm25.bm25_topk): two streaming
+    passes (query-terms-sized constants pass, matching-docs-sized
+    scoring pass), exact int64 tf/df/dl, oracle-mirrored float
+    epilogue rounded 6dp; (score DESC, doc_id ASC) order both
+    sides."""
+    from raqc_ray.ops.bm25 import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(bm25_topk(docs, "doc_id", "text",
+                                 ["join", "merge", "scan", "window"],
+                                 k=10))
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].astype("float64")
+    return df[["doc_id", "score"]]
+
+
+def q207_running_distinct_events(sf_dir: str):
+    """Per-user RUNNING DISTINCT event-type count (ops/window
+    .grouped_running_distinct): first-occurrence flags + grouped
+    cumsum in one vectorized sorted-block scan — exact int64;
+    ROW_NUMBER-flag + running-SUM window oracle (SQL cannot window
+    COUNT(DISTINCT) directly)."""
+    from raqc_ray.ops.window import grouped_running_distinct
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+    df = _typed_pandas(grouped_running_distinct(
+        ev, "user_id", "event_type", "ts", "event_id"))
+    for c in ("event_id", "user_id", "distinct_so_far"):
+        df[c] = df[c].astype("int64")
+    return df[["event_id", "user_id", "distinct_so_far"]]
+
+
+def q208_burstiness_events(sf_dir: str):
+    """Per-user Goh–Barabási burstiness of inter-arrival gaps
+    (ops/runs.burstiness_stats): exact int64 second-floored gap
+    moments via the ONE-sort sorted-block scan, float epilogue
+    mirroring the LAG-diff SQL oracle (GREATEST-guarded variance,
+    rounded 6dp)."""
+    from raqc_ray.ops.runs import burstiness_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    df = _typed_pandas(burstiness_stats(ev, "user_id", "ts",
+                                        "event_id"))
+    for c in ("user_id", "n_gaps", "gap_sum_s", "gap_sum2_s"):
+        df[c] = df[c].astype("int64")
+    df["burstiness"] = df["burstiness"].astype("float64")
+    return df[["user_id", "n_gaps", "gap_sum_s", "gap_sum2_s",
+               "burstiness"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5061,6 +5129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q202_dihedral_documents": q202_dihedral_documents,
         "q203_seqmatch_events": q203_seqmatch_events,
         "q204_audiorun_documents": q204_audiorun_documents,
+        "q205_mi_documents": q205_mi_documents,
+        "q206_bm25_documents": q206_bm25_documents,
+        "q207_running_distinct_events": q207_running_distinct_events,
+        "q208_burstiness_events": q208_burstiness_events,
     }
 
 
@@ -8404,6 +8476,123 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(quantile_disc(v, 0.9) AS BIGINT) AS qv
             FROM e GROUP BY 1
+        """,
+        "q205_mi_documents": """
+            WITH c AS (
+                SELECT lang, source, COUNT(*) AS o
+                FROM documents GROUP BY lang, source
+            ), ra AS (
+                SELECT lang, SUM(o) AS r FROM c GROUP BY lang
+            ), cb AS (
+                SELECT source, SUM(o) AS cc FROM c GROUP BY source
+            ), tot AS (
+                SELECT SUM(o) AS n, COUNT(*) AS cells FROM c
+            ), terms AS (
+                SELECT tot.n AS n, tot.cells AS cells,
+                       (CAST(c.o AS DOUBLE) / tot.n)
+                       * LN((CAST(c.o AS DOUBLE) * tot.n)
+                            / (CAST(ra.r AS DOUBLE) * cb.cc)) AS mi_t,
+                       2.0 * c.o
+                       * LN((CAST(c.o AS DOUBLE) * tot.n)
+                            / (CAST(ra.r AS DOUBLE) * cb.cc)) AS g_t
+                FROM c JOIN ra USING (lang) JOIN cb USING (source)
+                CROSS JOIN tot
+            )
+            SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n,
+                   CAST(ANY_VALUE(cells) AS BIGINT) AS cells,
+                   ROUND(SUM(mi_t), 6) AS mi,
+                   ROUND(SUM(g_t), 6) AS g
+            FROM terms
+        """,
+        "q206_bm25_documents": """
+            WITH nz AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+                WHERE token <> ''
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM nz GROUP BY doc_id
+            ), consts AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT COALESCE(SUM(dl), 0) FROM dl) AS total_dl
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM nz
+                WHERE token IN ('join', 'merge', 'scan', 'window')
+                GROUP BY doc_id, token
+            ), dfc AS (
+                SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            ), scored AS (
+                SELECT tf.doc_id,
+                       SUM(LN(1.0 + (consts.n - dfc.df + 0.5)
+                                    / (dfc.df + 0.5))
+                           * (tf.tf * (1.2 + 1.0))
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * dl.dl * consts.n
+                                / CAST(consts.total_dl AS DOUBLE)))
+                          ) AS s
+                FROM tf JOIN dl USING (doc_id)
+                CROSS JOIN consts
+                JOIN dfc USING (token)
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, ROUND(s, 6) AS score FROM scored
+            ORDER BY ROUND(s, 6) DESC, doc_id
+            LIMIT 10
+        """,
+        "q207_running_distinct_events": """
+            WITH f AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ROW_NUMBER() OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) = 1
+                            THEN 1 ELSE 0 END AS isf
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(SUM(isf) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS distinct_so_far
+            FROM f
+        """,
+        "q208_burstiness_events": """
+            WITH g AS (
+                SELECT user_id,
+                       (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id)) // 1000000 AS gap
+                FROM events
+            ), a AS (
+                SELECT user_id, COUNT(gap) AS n_gaps,
+                       SUM(gap) AS gap_sum_s,
+                       SUM(gap * gap) AS gap_sum2_s
+                FROM g WHERE gap IS NOT NULL
+                GROUP BY user_id HAVING COUNT(gap) >= 2
+            )
+            SELECT user_id,
+                   CAST(n_gaps AS BIGINT) AS n_gaps,
+                   CAST(gap_sum_s AS BIGINT) AS gap_sum_s,
+                   CAST(gap_sum2_s AS BIGINT) AS gap_sum2_s,
+                   ROUND(CASE WHEN
+                       sqrt(GREATEST(gap_sum2_s / CAST(n_gaps AS DOUBLE)
+                            - (gap_sum_s / CAST(n_gaps AS DOUBLE))
+                              * (gap_sum_s / CAST(n_gaps AS DOUBLE)),
+                            0.0))
+                       + gap_sum_s / CAST(n_gaps AS DOUBLE) > 0.0
+                   THEN
+                       (sqrt(GREATEST(gap_sum2_s / CAST(n_gaps AS DOUBLE)
+                             - (gap_sum_s / CAST(n_gaps AS DOUBLE))
+                               * (gap_sum_s / CAST(n_gaps AS DOUBLE)),
+                             0.0))
+                        - gap_sum_s / CAST(n_gaps AS DOUBLE))
+                       / (sqrt(GREATEST(gap_sum2_s / CAST(n_gaps AS DOUBLE)
+                               - (gap_sum_s / CAST(n_gaps AS DOUBLE))
+                                 * (gap_sum_s / CAST(n_gaps AS DOUBLE)),
+                               0.0))
+                          + gap_sum_s / CAST(n_gaps AS DOUBLE))
+                   ELSE 0.0 END, 6) AS burstiness
+            FROM a
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

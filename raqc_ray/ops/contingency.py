@@ -28,6 +28,55 @@ import numpy as np
 import pandas as pd
 
 
+def mutual_information(ds, a_col: str, b_col: str, round_to: int = 6):
+    """Single-row Dataset ``(n, cells, mi, g)``: mutual information
+    (nats) and the G-test statistic between two categorical columns.
+
+    Same ONE-pass cell-count plan as :func:`chi_square_independence`
+    (the only scan of the input is the combiner-fed
+    ``groupby(a, b).count``); only OBSERVED cells contribute (absent
+    cells have ``o·ln(·) = 0`` in the limit, exactly as the textbook
+    statistic).  ``mi = Σ (o/N)·ln(o·N/(r·c))``, ``g = 2·Σ
+    o·ln(o·N/(r·c))`` — computed from exact int64 counts with the SAME
+    float expression shape the SQL oracle uses (`LN` of the double
+    quotient), rounded to ``round_to`` dp to absorb libm last-ulp and
+    summation-order differences (q46-style discipline).
+
+    RAQC analog: SURVEY §2.9 F1 is within-column drift; MI/G is the
+    information-theoretic cross-column dependence audit (chi-square's
+    complement — robust when expected counts are small)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[a_col, b_col]].copy()
+        d["__o"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([a_col, b_col], sort=False, as_index=False).sum()
+
+    cells = (ds.map_batches(block_counts, batch_format="pandas")
+             .groupby([a_col, b_col])
+             .aggregate(Sum("__o", alias_name="o"))
+             .to_pandas())  # |A|×|B| rows — driver-small by contract
+
+    ra = cells.groupby(a_col)["o"].sum()
+    cb = cells.groupby(b_col)["o"].sum()
+    n = float(cells["o"].sum())
+    o = cells["o"].to_numpy(dtype=np.float64)
+    r = cells[a_col].map(ra).to_numpy(dtype=np.float64)
+    c = cells[b_col].map(cb).to_numpy(dtype=np.float64)
+    # mirror the oracle's per-cell expression: LN((o*n)/(r*c))
+    ln_ratio = np.log((o * n) / (r * c))
+    mi = float(np.sum((o / n) * ln_ratio))
+    g = float(2.0 * np.sum(o * ln_ratio))
+    out = pd.DataFrame({
+        "n": [np.int64(n)],
+        "cells": [np.int64(len(cells))],
+        "mi": [np.round(mi, round_to)],
+        "g": [np.round(g, round_to)],
+    })
+    return rd.from_pandas(out)
+
+
 def chi_square_independence(ds, a_col: str, b_col: str,
                             scale: int = 10 ** 6):
     """Single-row Dataset ``(n, cells, dof, chi2)``: the scaled

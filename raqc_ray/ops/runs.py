@@ -161,6 +161,92 @@ def interarrival_stats(ds, key: str, ts: str, tiebreak: str):
                               min_group=1, block_fn=block_fn)
 
 
+def burstiness_stats(ds, key: str, ts: str, tiebreak: str,
+                     min_gaps: int = 2, round_to: int = 6):
+    """Per-key Goh–Barabási burstiness over the inter-arrival gaps:
+    ``(key, n_gaps, gap_sum_s, gap_sum2_s, burstiness)`` with gaps
+    floored to integer SECONDS (``gap_us // 10**6`` — exact, and keeps
+    the Σg² accumulator in int64: a year-long gap is ~3·10⁷ s, so
+    ~10⁴ such gaps per key fit; callers with longer spans pick a
+    coarser unit).  ``burstiness = (σ−μ)/(σ+μ)`` with the POPULATION
+    σ from the exact integer moments — +1 ⇒ maximally bursty, 0 ⇒
+    Poisson, −1 ⇒ periodic (Goh & Barabási, EPL 81 (2008) 48002).
+    Keys with fewer than ``min_gaps`` gaps are dropped (σ undefined /
+    degenerate).  Float epilogue mirrors the SQL oracle's expression
+    shape (``GREATEST(var, 0)`` guards the all-equal-gaps case where
+    the two-pass identity goes epsilon-negative), rounded ``round_to``.
+
+    Same ONE-sort sorted-block plan and partitioning contract as
+    :func:`interarrival_stats` (intra-key gaps only; per-key rows are
+    totally ordered by ``(ts, tiebreak)``).
+
+    RAQC analog: none in SURVEY §2 — part of the §2 training-data
+    surface (event-stream temporal-quality screen: scraper retry
+    storms and replayed logs are bursty; synthetic/beaconed streams
+    are periodic)."""
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype="int64"),
+        "n_gaps": pd.Series(dtype="int64"),
+        "gap_sum_s": pd.Series(dtype="int64"),
+        "gap_sum2_s": pd.Series(dtype="int64"),
+        "burstiness": pd.Series(dtype="float64"),
+    })
+
+    def _finish(kvals, n, gs, gs2) -> pd.DataFrame:
+        n = np.asarray(n, dtype=np.int64)
+        gs = np.asarray(gs, dtype=np.int64)
+        gs2 = np.asarray(gs2, dtype=np.int64)
+        keep = n >= min_gaps
+        kvals = np.asarray(kvals)[keep]
+        n, gs, gs2 = n[keep], gs[keep], gs2[keep]
+        nf = n.astype(np.float64)
+        m = gs / nf
+        var = np.maximum(gs2 / nf - m * m, 0.0)
+        sd = np.sqrt(var)
+        denom = sd + m
+        b = np.where(denom > 0.0, (sd - m) / np.where(denom > 0.0,
+                                                      denom, 1.0), 0.0)
+        return pd.DataFrame({
+            key: kvals, "n_gaps": n, "gap_sum_s": gs,
+            "gap_sum2_s": gs2,
+            "burstiness": np.round(b, round_to),
+        })
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([ts, tiebreak], kind="mergesort")
+        t = s[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(t) // 1_000_000
+        return _finish([g[key].iloc[0]], [len(d)],
+                       [int(d.sum())], [int((d * d).sum())])
+
+    def block_fn(interior: pd.DataFrame, gs_: np.ndarray,
+                 ge_: np.ndarray) -> pd.DataFrame:
+        s = interior.sort_values([key, ts, tiebreak], kind="mergesort")
+        k = s[key].to_numpy(dtype=np.int64)
+        t = s[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(s)
+        d = (t[1:] - t[:-1]) // 1_000_000
+        same = k[1:] == k[:-1]
+        grp = np.concatenate([[0], np.cumsum(~same)])
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+        sizes = np.diff(np.append(starts, n)).astype(np.int64)
+        ngroups = len(starts)
+        gsum = np.zeros(ngroups, dtype=np.int64)
+        gsum2 = np.zeros(ngroups, dtype=np.int64)
+        gd = d[same]
+        if len(gd):
+            gg = grp[:-1][same]
+            seg = np.flatnonzero(
+                np.concatenate([[True], gg[1:] != gg[:-1]]))
+            owners = gg[seg]
+            gsum[owners] = np.add.reduceat(gd, seg)
+            gsum2[owners] = np.add.reduceat(gd * gd, seg)
+        return _finish(k[starts], sizes - 1, gsum, gsum2)
+
+    return scan_sorted_groups(ds, key, group_fn, out_empty,
+                              min_group=1, block_fn=block_fn)
+
+
 def suppress_rapid_repeats(ds, keys, ts: str, tiebreak: str,
                            gap_us: int):
     """Stateless debounce: drop a row when the PREVIOUS row of the

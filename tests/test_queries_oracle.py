@@ -154,7 +154,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q198_exprcheck_lineitem", "q199_fd_orders",
             "q200_assoc_events", "q201_km_events",
             "q202_dihedral_documents", "q203_seqmatch_events",
-            "q204_audiorun_documents"]
+            "q204_audiorun_documents", "q205_mi_documents",
+            "q206_bm25_documents", "q207_running_distinct_events",
+            "q208_burstiness_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
