@@ -4880,6 +4880,67 @@ def q208_burstiness_events(sf_dir: str):
                "burstiness"]]
 
 
+def q209_weighted_sample_documents(sf_dir: str):
+    """Fixed-size weighted sample without replacement (ops/sample
+    .weighted_sample_n, Efraimidis–Spirakis): length-weighted 100-doc
+    sample via the SQL-replayable Lehmer hash; per-block top-n prune →
+    sort().limit(n) — exact-ranking LN(u)/w oracle."""
+    from raqc_ray.ops.sample import weighted_sample_n
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    df = _typed_pandas(weighted_sample_n(docs, "doc_id", "n_chars",
+                                         n=100, salt=13))
+    for c in ("doc_id", "n_chars"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "source", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q210_calibration_events(sf_dir: str):
+    """Calibration curve / reliability diagram (ops/calibration
+    .calibration_curve): purchase-vs-rest outcome rate per value
+    decile bucket — PURE int64 (combiner-fed bucket partials, floor
+    divisions), bit-identical SQL oracle."""
+    from raqc_ray.ops.calibration import calibration_curve
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lab": (df["event_type"].to_numpy() == "purchase")
+            .astype(np.int64),
+            "cents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                              * 100.0 + 0.5).astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(calibration_curve(pds, "lab", "cents",
+                                         n_buckets=10))
+    cols = ["bucket", "n", "n_pos", "sum_cents", "mean_cents",
+            "pos_rate_ppm"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[cols].sort_values("bucket").reset_index(drop=True))
+
+
+def q211_rrf_documents(sf_dir: str):
+    """Reciprocal-rank fusion (ops/bm25.rrf_fuse, RRF SIGIR'09) of two
+    BM25 top-50 rankings — exact int64 ``scale // (c + rank)`` scores,
+    ranking-sized driver merge by contract; double-BM25-replay +
+    QUALIFY row-number SQL oracle."""
+    from raqc_ray.ops.bm25 import bm25_topk, rrf_fuse
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    r1 = bm25_topk(docs, "doc_id", "text",
+                   ["join", "merge", "scan", "window"], k=50)
+    r2 = bm25_topk(docs, "doc_id", "text",
+                   ["sort", "order", "key"], k=50)
+    df = _typed_pandas(rrf_fuse([r1, r2], "doc_id", k=10))
+    for c in ("doc_id", "rrf"):
+        df[c] = df[c].astype("int64")
+    return df[["doc_id", "rrf"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5133,6 +5194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q206_bm25_documents": q206_bm25_documents,
         "q207_running_distinct_events": q207_running_distinct_events,
         "q208_burstiness_events": q208_burstiness_events,
+        "q209_weighted_sample_documents": q209_weighted_sample_documents,
+        "q210_calibration_events": q210_calibration_events,
+        "q211_rrf_documents": q211_rrf_documents,
     }
 
 
@@ -8593,6 +8657,111 @@ def oracle_sql() -> dict[str, str]:
                           + gap_sum_s / CAST(n_gaps AS DOUBLE))
                    ELSE 0.0 END, 6) AS burstiness
             FROM a
+        """,
+        "q209_weighted_sample_documents": """
+            WITH h AS (
+                SELECT doc_id, source, n_chars,
+                       (((doc_id + 13) * 48271) % 2147483647) * 48271
+                       % 2147483647 AS hv
+                FROM documents
+                WHERE n_chars > 0
+            ), s AS (
+                SELECT doc_id, source, n_chars FROM h
+                ORDER BY LN((hv + 1) / 2147483648.0) / n_chars DESC,
+                         doc_id
+                LIMIT 100
+            )
+            SELECT doc_id, source, n_chars FROM s ORDER BY doc_id
+        """,
+        "q210_calibration_events": """
+            WITH e AS (
+                SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END AS lab
+                FROM events
+            ), f AS (
+                SELECT * FROM e WHERE cents >= 0
+            ), mx AS (
+                SELECT MAX(cents) AS m FROM f
+            )
+            SELECT CAST(cents * 10 // (mx.m + 1) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(lab) AS BIGINT) AS n_pos,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents,
+                   CAST(1000000 * SUM(lab) // COUNT(*) AS BIGINT)
+                       AS pos_rate_ppm
+            FROM f CROSS JOIN mx
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q211_rrf_documents": """
+            WITH nz AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+                WHERE token <> ''
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM nz GROUP BY doc_id
+            ), consts AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT COALESCE(SUM(dl), 0) FROM dl) AS total_dl
+            ), tf1 AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM nz
+                WHERE token IN ('join', 'merge', 'scan', 'window')
+                GROUP BY doc_id, token
+            ), dfc1 AS (
+                SELECT token, COUNT(*) AS df FROM tf1 GROUP BY token
+            ), scored1 AS (
+                SELECT tf1.doc_id,
+                       SUM(LN(1.0 + (consts.n - dfc1.df + 0.5)
+                                    / (dfc1.df + 0.5))
+                           * (tf1.tf * (1.2 + 1.0))
+                           / (tf1.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * dl.dl * consts.n
+                                / CAST(consts.total_dl AS DOUBLE)))
+                          ) AS s
+                FROM tf1 JOIN dl USING (doc_id)
+                CROSS JOIN consts
+                JOIN dfc1 USING (token)
+                GROUP BY tf1.doc_id
+            ), r1 AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC,
+                                          doc_id) AS rank
+                FROM scored1 QUALIFY rank <= 50
+            ), tf2 AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM nz
+                WHERE token IN ('sort', 'order', 'key')
+                GROUP BY doc_id, token
+            ), dfc2 AS (
+                SELECT token, COUNT(*) AS df FROM tf2 GROUP BY token
+            ), scored2 AS (
+                SELECT tf2.doc_id,
+                       SUM(LN(1.0 + (consts.n - dfc2.df + 0.5)
+                                    / (dfc2.df + 0.5))
+                           * (tf2.tf * (1.2 + 1.0))
+                           / (tf2.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * dl.dl * consts.n
+                                / CAST(consts.total_dl AS DOUBLE)))
+                          ) AS s
+                FROM tf2 JOIN dl USING (doc_id)
+                CROSS JOIN consts
+                JOIN dfc2 USING (token)
+                GROUP BY tf2.doc_id
+            ), r2 AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC,
+                                          doc_id) AS rank
+                FROM scored2 QUALIFY rank <= 50
+            ), u AS (
+                SELECT doc_id,
+                       SUM(1000000000000 // (60 + rank)) AS rrf
+                FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(rrf AS BIGINT) AS rrf FROM u
+            ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

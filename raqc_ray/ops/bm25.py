@@ -125,3 +125,34 @@ def bm25_topk(ds, id_col: str, text_col: str, query_terms,
     scored = ds.map_batches(score_block, batch_format="pyarrow")
     return scored.sort(["score", id_col],
                        descending=[True, False]).limit(k)
+
+
+def rrf_fuse(rankings, id_col: str, k: int = 10, c: int = 60,
+             scale: int = 10 ** 12):
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of already-ORDERED top-N result lists: item score =
+    ``Σ_lists scale // (c + rank)`` in exact int64 (``scale //`` keeps
+    the classic 1/(c+rank) ordering while staying float-free /
+    hash-stable), missing-from-a-list contributes 0; output is the
+    top-``k`` by (rrf DESC, id ASC).
+
+    Inputs are top-N Datasets (e.g. :func:`bm25_topk` results, ANN
+    top-k lists) — RANKING-sized by construction, so the fusion is a
+    driver-side merge by contract (documented; the N·|lists| rows are
+    the violation-sized regime, never corpus-sized).  Rank is the
+    1-based position in each list's existing order."""
+    out_rows = {}
+    for r in rankings:
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        ids = df[id_col].to_numpy()
+        for rank, i in enumerate(ids, start=1):
+            out_rows[i] = out_rows.get(i, 0) + scale // (c + rank)
+    out = pd.DataFrame({id_col: list(out_rows.keys()),
+                        "rrf": np.array(list(out_rows.values()),
+                                        dtype=np.int64)})
+    out = (out.sort_values(["rrf", id_col], ascending=[False, True],
+                           kind="mergesort").head(k)
+           .reset_index(drop=True))
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -168,3 +168,43 @@ def weighted_hash_sample(ds, key_col: str, weight_col: str, wmax: int,
         return b.filter(pa.array(lhs < w * np.int64(_M)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample_n(ds, key_col: str, weight_col: str, n: int,
+                      salt: int = 0):
+    """Deterministic FIXED-SIZE weighted sample without replacement
+    (Efraimidis & Spirakis, IPL 97 (2006) 181): each row draws
+    ``u = (lehmer(key)+1) / 2^31`` ∈ (0,1) and the sample is the n
+    rows maximizing ``u^(1/w)`` — inclusion is weight-proportional
+    without replacement, reproducible on any layout / cluster size
+    (the randomness is the same SQL-expressible Lehmer hash as
+    :func:`hash_sample`).  Rows with ``weight ≤ 0`` are dropped.
+
+    The engine orders by the monotone-equivalent ``ln(u)/w``
+    descending (ties → key ascending) — the same double expression the
+    DuckDB oracle computes, so ranking agrees bit-for-bit.  Plan:
+    per-block top-n prune (sort + head inside ``map_batches``) so the
+    global sort moves ≤ n rows per block, then ``sort().limit(n)``.
+    Unlike :func:`weighted_hash_sample` (Bernoulli, EXPECTED rate)
+    this yields an exact sample SIZE — the contract quota-bound
+    training mixtures need."""
+    import pandas as pd
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy().astype(np.float64)
+        out = df[w > 0.0].copy()
+        keys = out[key_col].to_numpy().astype(np.int64)
+        hv = _lehmer(keys, salt)
+        out["__es_key"] = (np.log((hv + np.int64(1)) / 2147483648.0)
+                           / w[w > 0.0])
+        return (out.sort_values(["__es_key", key_col],
+                                ascending=[False, True],
+                                kind="mergesort").head(n))
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return (pruned.sort(["__es_key", key_col],
+                        descending=[True, False]).limit(n)
+            .drop_columns(["__es_key"]))

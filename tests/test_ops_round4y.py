@@ -221,3 +221,100 @@ def test_burstiness_layout_and_skew(ray_session):
     assert row["n_gaps"] == len(g)
     assert row["gap_sum_s"] == g.sum()
     assert row["gap_sum2_s"] == (g * g).sum()
+
+
+# ----------------------------------------------- weighted fixed-size sample
+
+def test_weighted_sample_n_size_and_determinism(ray_session):
+    from raqc_ray.ops.sample import weighted_sample_n
+
+    df = pd.DataFrame({
+        "id": np.arange(1000),
+        "w": np.concatenate([np.full(500, 1), np.full(500, 100)]),
+    })
+    outs = []
+    for parts in (1, 8):
+        import ray.data as rd
+        o = (weighted_sample_n(rd.from_pandas(df).repartition(parts),
+                               "id", "w", n=50, salt=3)
+             .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 50
+    # weight-proportional: the 100x-weighted half dominates the sample
+    assert (outs[0]["id"] >= 500).sum() > 40
+
+
+def test_weighted_sample_n_drops_nonpositive(ray_session):
+    from raqc_ray.ops.sample import weighted_sample_n
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4], "w": [0, -5, 10, 10]})
+    out = weighted_sample_n(_ds(df, 2), "id", "w", n=10).to_pandas()
+    assert set(out["id"]) == {3, 4}
+
+
+# ------------------------------------------------------- calibration curve
+
+def test_calibration_closed_form(ray_session):
+    from raqc_ray.ops.calibration import calibration_curve
+
+    # cents 0..99 -> max=99, width=100, bucket = c*10//100 = c//10
+    # label = 1 iff cents >= 50: buckets 0-4 rate 0, buckets 5-9 rate 1e6
+    df = pd.DataFrame({"cents": np.arange(100, dtype=np.int64)})
+    df["lab"] = (df["cents"] >= 50).astype(np.int64)
+    out = (calibration_curve(_ds(df, 4), "lab", "cents", n_buckets=10)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    assert out["bucket"].tolist() == list(range(10))
+    assert out["n"].tolist() == [10] * 10
+    assert out["pos_rate_ppm"].tolist() == [0] * 5 + [1_000_000] * 5
+    # bucket 0 holds cents 0..9: sum 45, floor-mean 4
+    assert out["sum_cents"].iloc[0] == 45
+    assert out["mean_cents"].iloc[0] == 4
+
+
+def test_calibration_drops_negative_and_layout(ray_session):
+    from raqc_ray.ops.calibration import calibration_curve
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "cents": rng.integers(-50, 1000, 5000),
+        "lab": rng.integers(0, 2, 5000),
+    })
+    outs = [(calibration_curve(_ds(df, p), "lab", "cents").to_pandas()
+             .sort_values("bucket").reset_index(drop=True))
+            for p in (1, 9)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["n"].sum() == (df["cents"] >= 0).sum()
+
+
+# ----------------------------------------------------------------- rrf
+
+def test_rrf_closed_form(ray_session):
+    import ray.data as rd
+    from raqc_ray.ops.bm25 import rrf_fuse
+
+    r1 = rd.from_pandas(pd.DataFrame({"id": [10, 20, 30]}))
+    r2 = rd.from_pandas(pd.DataFrame({"id": [20, 40]}))
+    out = rrf_fuse([r1, r2], "id", k=4, c=60,
+                   scale=10 ** 6).to_pandas()
+    exp = {
+        10: 10 ** 6 // 61,
+        20: 10 ** 6 // 62 + 10 ** 6 // 61,
+        30: 10 ** 6 // 63,
+        40: 10 ** 6 // 62,
+    }
+    # 20 appears in both lists -> highest fused score
+    assert out["id"].iloc[0] == 20
+    got = dict(zip(out["id"], out["rrf"]))
+    assert got == exp
+
+
+def test_rrf_tie_break(ray_session):
+    import ray.data as rd
+    from raqc_ray.ops.bm25 import rrf_fuse
+
+    # same rank in disjoint lists -> equal score -> id ascending
+    r1 = rd.from_pandas(pd.DataFrame({"id": [9]}))
+    r2 = rd.from_pandas(pd.DataFrame({"id": [4]}))
+    out = rrf_fuse([r1, r2], "id", k=2).to_pandas()
+    assert out["id"].tolist() == [4, 9]

@@ -156,7 +156,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q202_dihedral_documents", "q203_seqmatch_events",
             "q204_audiorun_documents", "q205_mi_documents",
             "q206_bm25_documents", "q207_running_distinct_events",
-            "q208_burstiness_events"]
+            "q208_burstiness_events", "q209_weighted_sample_documents",
+            "q210_calibration_events", "q211_rrf_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
