@@ -4941,6 +4941,69 @@ def q211_rrf_documents(sf_dir: str):
     return df[["doc_id", "rrf"]]
 
 
+def q212_weighted_median_lineitem(sf_dir: str):
+    """Exact grouped WEIGHTED median (ops/quantile_exact
+    .grouped_weighted_median): quantity-weighted price median per
+    returnflag — value-histogram partials feed the sorted scan
+    directly (no hash aggregate), pure int64; cumulative-weight
+    window SQL oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "vcents": np.floor(
+                df["l_extendedprice"].to_numpy(dtype=np.float64)
+                * 100.0 + 0.5).astype(np.int64),
+            "wq": np.floor(df["l_quantity"].to_numpy(dtype=np.float64)
+                           + 0.5).astype(np.int64),
+        })
+
+    pds = li.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_weighted_median(pds, "l_returnflag",
+                                               "vcents", "wq"))
+    for c in ("total_w", "wmedian"):
+        df[c] = df[c].astype("int64")
+    return (df[["l_returnflag", "total_w", "wmedian"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q213_changepoint_events(sf_dir: str):
+    """Per-user CUSUM changepoint location (ops/cusum
+    .grouped_changepoint): smallest argmax of |n·S_t − t·S_n| over the
+    ordered cents series — exact int64 (×n scaling avoids the float
+    CUSUM), window + QUALIFY-style argmax SQL oracle."""
+    from raqc_ray.ops.cusum import grouped_changepoint
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_changepoint(ev, "user_id", "ts",
+                                           "event_id", "value"))
+    for c in ("user_id", "n", "t_star", "d_max"):
+        df[c] = df[c].astype("int64")
+    return (df[["user_id", "n", "t_star", "d_max"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q214_acf_events(sf_dir: str):
+    """Per-type multi-lag autocorrelation numerators (ops/lagprod
+    .grouped_lag_products_multi): Σ v_t·v_{t−k} for k = 1..3 in exact
+    int64 cents over the (ts, event_id) order — LAG(v, k) SQL
+    oracle."""
+    from raqc_ray.ops.lagprod import grouped_lag_products_multi
+
+    ev = _read(sf_dir, "events",
+               ["event_type", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_lag_products_multi(
+        ev, "event_type", "ts", "event_id", "value", lags=(1, 2, 3)))
+    for c in ("lag", "n_pairs", "s_lag"):
+        df[c] = df[c].astype("int64")
+    return (df[["event_type", "lag", "n_pairs", "s_lag"]]
+            .sort_values(["event_type", "lag"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5197,6 +5260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q209_weighted_sample_documents": q209_weighted_sample_documents,
         "q210_calibration_events": q210_calibration_events,
         "q211_rrf_documents": q211_rrf_documents,
+        "q212_weighted_median_lineitem": q212_weighted_median_lineitem,
+        "q213_changepoint_events": q213_changepoint_events,
+        "q214_acf_events": q214_acf_events,
     }
 
 
@@ -8762,6 +8828,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(rrf AS BIGINT) AS rrf FROM u
             ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "q212_weighted_median_lineitem": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v,
+                       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS w
+                FROM lineitem
+                WHERE CAST(FLOOR(l_quantity + 0.5) AS BIGINT) > 0
+                GROUP BY 1, 2
+            ), t AS (
+                SELECT l_returnflag, v,
+                       SUM(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY v) AS cw,
+                       SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM c
+            )
+            SELECT l_returnflag,
+                   CAST(MIN(tw) AS BIGINT) AS total_w,
+                   CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END)
+                        AS BIGINT) AS wmedian
+            FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q213_changepoint_events": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), o AS (
+                SELECT user_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t,
+                       SUM(v) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS s,
+                       SUM(v) OVER (PARTITION BY user_id) AS stot,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n
+                FROM e
+            ), d AS (
+                SELECT user_id, n, t, ABS(n * s - t * stot) AS dv
+                FROM o
+            ), r AS (
+                SELECT user_id, n, t, dv,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY dv DESC, t ASC) AS rk
+                FROM d
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   CAST(t AS BIGINT) AS t_star,
+                   CAST(dv AS BIGINT) AS d_max
+            FROM r WHERE rk = 1 ORDER BY user_id
+        """,
+        "q214_acf_events": """
+            WITH e AS (
+                SELECT event_type, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), l AS (
+                SELECT event_type, v,
+                       LAG(v, 1) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS v1,
+                       LAG(v, 2) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS v2,
+                       LAG(v, 3) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS v3
+                FROM e
+            ), u AS (
+                SELECT event_type, 1 AS lag, COUNT(v1) AS n_pairs,
+                       COALESCE(SUM(v * v1), 0) AS s_lag
+                FROM l GROUP BY event_type
+                UNION ALL
+                SELECT event_type, 2 AS lag, COUNT(v2) AS n_pairs,
+                       COALESCE(SUM(v * v2), 0) AS s_lag
+                FROM l GROUP BY event_type
+                UNION ALL
+                SELECT event_type, 3 AS lag, COUNT(v3) AS n_pairs,
+                       COALESCE(SUM(v * v3), 0) AS s_lag
+                FROM l GROUP BY event_type
+            )
+            SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(s_lag AS BIGINT) AS s_lag
+            FROM u WHERE n_pairs > 0
+            ORDER BY event_type, lag
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

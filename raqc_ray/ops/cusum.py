@@ -105,3 +105,96 @@ def grouped_int_cusum(ds, key: str, order_by: str, id_col: str,
     out_empty[alarm_col] = pd.Series(dtype="int64")
     return scan_sorted_groups(pds, key, group_fn, out_empty,
                               min_group=1, block_fn=block_fn)
+
+
+def grouped_changepoint(ds, key: str, order_by: str, id_col: str,
+                        value_col: str, scale: int = 100):
+    """Per-key CUSUM CHANGEPOINT LOCATION (the max-|CUSUM| estimator
+    behind binary segmentation, Page 1955 / Sen & Srivastava 1975):
+    one row per key ``(key, n, t_star, d_max)`` where
+    ``d_max = max_t |n·S_t − t·S_n|`` over the ``(order_by, id)``
+    -ordered int64 cents series (``S_t`` = running sum) and ``t_star``
+    is the SMALLEST 1-based position attaining it — the most likely
+    single level-shift point.  The ×n scaling keeps everything int64
+    (vs the usual |S_t − (t/n)·S_n| float form): bit-identical across
+    layouts and to the window-function SQL oracle.  int64 bound:
+    ``n · |S|`` must fit (10⁶ rows/key × 10⁹ summed cents has
+    headroom; beyond that pick a smaller ``scale``).
+
+    Complement of :func:`grouped_int_cusum` (which THRESHOLDS the
+    one-sided drift); this LOCATES the two-sided shift.  Same
+    one-sort sorted-block plan; the per-block pass is one grouped
+    cumsum + one ``maximum.reduceat`` argmax — no per-group Python.
+    """
+    from ._join_util import arrow_schema
+    from .groupscan import scan_sorted_groups
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key],
+            order_by: df[order_by],
+            id_col: df[id_col],
+            "__vi": np.floor(
+                df[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+            ).astype(np.int64),
+        })
+
+    pds = ds.map_batches(prep, batch_format="pandas")
+
+    def _one(v: np.ndarray, kval) -> pd.DataFrame:
+        n = len(v)
+        s = np.cumsum(v)
+        t = np.arange(1, n + 1, dtype=np.int64)
+        d = np.abs(np.int64(n) * s - t * s[-1])
+        dmax = int(d.max())
+        tstar = int(t[int(np.argmax(d))])  # np.argmax -> first max
+        return pd.DataFrame({key: [kval], "n": [np.int64(n)],
+                             "t_star": [np.int64(tstar)],
+                             "d_max": [np.int64(dmax)]})
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values([order_by, id_col], kind="mergesort"))
+        return _one(s["__vi"].to_numpy(dtype=np.int64),
+                    g[key].iloc[0])
+
+    def block_fn(interior: pd.DataFrame, gs: np.ndarray,
+                 ge: np.ndarray) -> pd.DataFrame:
+        s = (interior.sort_values([key, order_by, id_col],
+                                  kind="mergesort")
+             .reset_index(drop=True))
+        kk = s[key].to_numpy()
+        v = s["__vi"].to_numpy(dtype=np.int64)
+        nrows = len(s)
+        new = np.ones(nrows, dtype=bool)
+        new[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, nrows)).astype(np.int64)
+        segid = np.cumsum(new) - 1
+        # grouped running sum via offset subtraction
+        tot = np.cumsum(v)
+        prior = tot[starts] - v[starts]
+        srun = tot - np.repeat(prior, sizes)
+        ssum = srun[starts + sizes - 1]          # per-segment total
+        t = (np.arange(nrows, dtype=np.int64)
+             - np.repeat(starts, sizes) + 1)     # 1-based in-segment pos
+        n = np.repeat(sizes, sizes)
+        d = np.abs(n * srun - t * np.repeat(ssum, sizes))
+        dmax = np.maximum.reduceat(d, starts)
+        # smallest t attaining the segment max
+        hit = d == np.repeat(dmax, sizes)
+        tstar = np.minimum.reduceat(np.where(hit, t, nrows + 1), starts)
+        return pd.DataFrame({key: kk[starts],
+                             "n": sizes,
+                             "t_star": tstar.astype(np.int64),
+                             "d_max": dmax.astype(np.int64)})
+
+    import pyarrow as pa
+
+    key_dtype = (pa.schema([arrow_schema(pds).field(key)])
+                 .empty_table().to_pandas()[key].dtype)
+    out_empty = pd.DataFrame({key: pd.Series(dtype=key_dtype),
+                              "n": pd.Series(dtype="int64"),
+                              "t_star": pd.Series(dtype="int64"),
+                              "d_max": pd.Series(dtype="int64")})
+    return scan_sorted_groups(pds, key, group_fn, out_empty,
+                              min_group=1, block_fn=block_fn)

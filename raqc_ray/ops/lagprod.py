@@ -99,3 +99,103 @@ def grouped_lag_products(ds, key: str, order_by: str, id_col: str,
     out_empty["s_lag"] = pd.Series(dtype="int64")
     return scan_sorted_groups(pds, key, group_fn, out_empty,
                               min_group=2, block_fn=block_fn)
+
+
+def grouped_lag_products_multi(ds, key: str, order_by: str,
+                               id_col: str, value_col: str,
+                               lags=(1, 2, 3), scale: int = 100):
+    """Multi-lag generalization of :func:`grouped_lag_products` — the
+    exact integer numerators of the per-key AUTOCORRELATION FUNCTION:
+    one row per (key, lag) with ``n_pairs`` and ``s_lag = Σ_t v_t ·
+    v_{t−lag}`` over the ``(order_by, id_col)``-sorted cents sequence,
+    for every requested lag.  Keys with fewer than ``lag+1`` rows emit
+    no row for that lag (mirroring the LAG(…, k) IS NOT NULL oracle).
+    Combined with the grouped moments this yields r_k for k = 1..K —
+    the periodicity / seasonality screen lag-1 alone cannot see.
+
+    Same ONE-sort sorted-block plan; the per-block pass computes every
+    lag with one shifted-product + masked ``add.reduceat`` per lag —
+    vectorized over all keys at once, no per-group Python."""
+    from ._join_util import arrow_schema
+    from .groupscan import scan_sorted_groups
+
+    lags = sorted(set(int(x) for x in lags))
+    if not lags or lags[0] < 1:
+        raise ValueError(f"lags must be positive ints, got {lags}")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key],
+            order_by: df[order_by],
+            id_col: df[id_col],
+            "__vi": np.floor(
+                df[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+            ).astype(np.int64),
+        })
+
+    pds = ds.map_batches(prep, batch_format="pandas")
+
+    def _emit(kvals: np.ndarray, starts: np.ndarray,
+              sizes: np.ndarray, v: np.ndarray,
+              kk: np.ndarray) -> pd.DataFrame:
+        outs = []
+        nrows = len(v)
+        for lag in lags:
+            if nrows <= lag:
+                continue
+            prod = v[lag:] * v[:-lag]
+            same = kk[lag:] == kk[:-lag]   # key-sorted => same segment
+            prod = np.where(same, prod, 0)
+            cnt = same.astype(np.int64)
+            # owner segment of product i is the segment of row i
+            s_lag = np.add.reduceat(prod, np.minimum(starts, nrows - lag - 1))
+            n_pairs = np.add.reduceat(cnt, np.minimum(starts, nrows - lag - 1))
+            # reduceat with clamped duplicate indices double-counts;
+            # only keep segments whose start is a valid product index
+            valid = starts <= nrows - lag - 1
+            keep = n_pairs[valid] > 0
+            outs.append(pd.DataFrame({
+                key: kvals[valid][keep],
+                "lag": np.full(int(keep.sum()), lag, dtype=np.int64),
+                "n_pairs": n_pairs[valid][keep],
+                "s_lag": s_lag[valid][keep],
+            }))
+        if not outs:
+            return pd.DataFrame({key: kvals[:0], "lag": np.array([], np.int64),
+                                 "n_pairs": np.array([], np.int64),
+                                 "s_lag": np.array([], np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([order_by, id_col], kind="mergesort")
+        v = s["__vi"].to_numpy(dtype=np.int64)
+        kk = np.zeros(len(v), dtype=np.int64)
+        return _emit(np.array([g[key].iloc[0]]),
+                     np.array([0], dtype=np.int64),
+                     np.array([len(v)], dtype=np.int64), v, kk)
+
+    def block_fn(interior: pd.DataFrame, gs: np.ndarray,
+                 ge: np.ndarray) -> pd.DataFrame:
+        s = (interior.sort_values([key, order_by, id_col],
+                                  kind="mergesort")
+             .reset_index(drop=True))
+        kk = s[key].to_numpy()
+        v = s["__vi"].to_numpy(dtype=np.int64)
+        nrows = len(s)
+        new = np.ones(nrows, dtype=bool)
+        new[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, nrows)).astype(np.int64)
+        kcode = np.cumsum(new) - 1
+        return _emit(kk[starts], starts, sizes, v, kcode)
+
+    import pyarrow as pa
+
+    key_dtype = (pa.schema([arrow_schema(pds).field(key)])
+                 .empty_table().to_pandas()[key].dtype)
+    out_empty = pd.DataFrame({key: pd.Series(dtype=key_dtype),
+                              "lag": pd.Series(dtype="int64"),
+                              "n_pairs": pd.Series(dtype="int64"),
+                              "s_lag": pd.Series(dtype="int64")})
+    return scan_sorted_groups(pds, key, group_fn, out_empty,
+                              min_group=1, block_fn=block_fn)

@@ -375,3 +375,81 @@ def grouped_quantile_cont_num(ds, key: str, value_col: str,
                                  for c in cols}})
     return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
                               block_fn=block_pick)
+
+
+def grouped_weighted_median(ds, key: str, value_col: str,
+                            weight_col: str):
+    """Exact grouped WEIGHTED (lower) median: one row per key,
+    ``(key, total_w, wmedian)`` where ``wmedian`` is the smallest
+    value whose cumulative weight reaches half the key's total weight
+    (``2·cumw ≥ totw`` — the lower weighted median, the inventory /
+    cost-allocation standard).  Values and weights must be int64
+    (cents discipline); rows with ``weight ≤ 0`` are dropped and
+    all-zero-weight keys emit nothing (both mirrored by the oracle's
+    WHERE / implicit-empty-group).
+
+    Same plan as :func:`grouped_quantile_cont_num`: per-block
+    ``(key, value) → Σweight`` partials feed ``scan_sorted_groups``
+    DIRECTLY (no global hash aggregate — duplicate partial rows are
+    tolerated because the in-segment value sort puts equal values
+    adjacent and the weight cumsum crosses the half-total at the same
+    value either way), and the per-key pick is one vectorized numpy
+    pass over ALL keys of a sorted block."""
+    from ._join_util import arrow_schema
+    from .groupscan import scan_sorted_groups
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        m = w > 0
+        d = pd.DataFrame({key: df[key].to_numpy()[m]})
+        d[value_col] = df[value_col].to_numpy(dtype=np.int64)[m]
+        d["__w"] = w[m]
+        return d.groupby([key, value_col], sort=False,
+                         as_index=False).sum()
+
+    hist = ds.map_batches(block_counts, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy(dtype=np.int64)
+        w = s["__w"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        tw = int(cum[-1])
+        target = (tw + 1) // 2
+        med = int(v[int(np.searchsorted(cum, target))])
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "total_w": [np.int64(tw)],
+                             "wmedian": [np.int64(med)]})
+
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        sizes = ends - starts
+        total = int(sizes.sum())
+        cum_excl = np.cumsum(sizes) - sizes
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(cum_excl, sizes) + np.repeat(starts, sizes))
+        kv = df[key].to_numpy()[idx]
+        v = df[value_col].to_numpy(dtype=np.int64)[idx]
+        w = df["__w"].to_numpy(dtype=np.int64)[idx]
+        segid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        order = np.lexsort((v, segid))
+        v, w = v[order], w[order]
+        cumg = np.cumsum(w)
+        seg_end = cum_excl + sizes
+        base = np.where(cum_excl > 0, cumg[cum_excl - 1], 0)
+        tw = cumg[seg_end - 1] - base
+        target = base + (tw + 1) // 2
+        med = v[np.searchsorted(cumg, target)]
+        return pd.DataFrame({key: kv[cum_excl],
+                             "total_w": tw.astype(np.int64),
+                             "wmedian": med.astype(np.int64)})
+
+    import pyarrow as pa
+
+    key_dtype = (pa.schema([arrow_schema(ds).field(key)])
+                 .empty_table().to_pandas()[key].dtype)
+    out_empty = pd.DataFrame({key: pd.Series(dtype=key_dtype),
+                              "total_w": pd.Series(dtype="int64"),
+                              "wmedian": pd.Series(dtype="int64")})
+    return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
+                              block_fn=block_pick)

@@ -157,7 +157,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q204_audiorun_documents", "q205_mi_documents",
             "q206_bm25_documents", "q207_running_distinct_events",
             "q208_burstiness_events", "q209_weighted_sample_documents",
-            "q210_calibration_events", "q211_rrf_documents"]
+            "q210_calibration_events", "q211_rrf_documents",
+            "q212_weighted_median_lineitem", "q213_changepoint_events",
+            "q214_acf_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
