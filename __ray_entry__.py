@@ -5004,6 +5004,76 @@ def q214_acf_events(sf_dir: str):
             .sort_values(["event_type", "lag"]).reset_index(drop=True))
 
 
+def q215_decontam_documents(sf_dir: str):
+    """Benchmark decontamination census (ops/decontam
+    .contamination_census, GPT-3 appendix-C style): docs sharing a
+    3-token shingle with the eval set (doc_id % 97 == 0) — broadcast
+    sorted-hash benchmark, searchsorted membership, violation-sized
+    output; shingle-TEXT SQL oracle (q26 hash-invariance contract)."""
+    from raqc_ray.ops.decontam import contamination_census
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(contamination_census(docs, "doc_id", "text",
+                                            bench_mod=97, k=3))
+    for c in ("doc_id", "n_shingles", "n_overlap"):
+        df[c] = df[c].astype("int64")
+    return (df[["doc_id", "n_shingles", "n_overlap"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q216_funnel_latency_events(sf_dir: str):
+    """Per-user conversion latency (ops/funnel.funnel_latency): first
+    'view' → first at-or-after 'purchase' delta in exact int64 µs —
+    two keys-sized MIN aggregates + distributed hash joins; MIN-FILTER
+    SQL oracle."""
+    from raqc_ray.ops.funnel import funnel_latency
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    df = _typed_pandas(funnel_latency(ev, "user_id", "ts",
+                                      "event_type", "view",
+                                      "purchase"))
+    for c in ("user_id", "latency_us"):
+        df[c] = df[c].astype("int64")
+    return (df[["user_id", "latency_us"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q217_audiospec_documents(sf_dir: str):
+    """END-TO-END audio spectral census gate (ops/audiospec
+    .audio_spectral_census): each document becomes a deterministic
+    pure-tone render (int16 sine at bin doc_id % 50 + 10 of a
+    1024-sample 8 kHz clip) pushed through the REAL RIFF
+    encode→decode→rfft; the oracle restates the planted closed form
+    for the exact columns (dominant bin / Hz).  Float centroid /
+    rolloff stay pytest-gated."""
+    from raqc_ray.ops.audio import wav_encode
+    from raqc_ray.ops.audiospec import audio_spectral_census
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            f = d % 50 + 10
+            t = np.arange(1024, dtype=np.float64)
+            x = np.floor(3000.0 * np.sin(2.0 * np.pi * f * t / 1024.0)
+                         + 0.5).astype(np.int16)
+            ids.append(str(d))
+            blobs.append(wav_encode(x.reshape(-1, 1), 8000))
+        return pd.DataFrame({"item_id": ids, "bytes": blobs})
+
+    snd = docs.map_batches(render, batch_format="pandas")
+    df = _typed_pandas(audio_spectral_census(snd, batch_size=128))
+    df = df[df["ok"]]
+    df["doc_id"] = df["item_id"].astype("int64")
+    for c in ("n_samples", "rate", "dom_bin"):
+        df[c] = df[c].astype("int64")
+    df["dom_hz"] = df["dom_hz"].astype("float64")
+    return (df[["doc_id", "n_samples", "rate", "dom_bin", "dom_hz"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5263,6 +5333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_weighted_median_lineitem": q212_weighted_median_lineitem,
         "q213_changepoint_events": q213_changepoint_events,
         "q214_acf_events": q214_acf_events,
+        "q215_decontam_documents": q215_decontam_documents,
+        "q216_funnel_latency_events": q216_funnel_latency_events,
+        "q217_audiospec_documents": q217_audiospec_documents,
     }
 
 
@@ -8912,6 +8985,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s_lag AS BIGINT) AS s_lag
             FROM u WHERE n_pairs > 0
             ORDER BY event_type, lag
+        """,
+        "q215_decontam_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           COALESCE(text, ''), '\\s+'),
+                           x -> x <> '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN
+                           list_distinct([t[i] || chr(1) || t[i+1]
+                                          || chr(1) || t[i+2]
+                                          for i in range(1, len(t) - 1)])
+                       WHEN len(t) >= 1 THEN
+                           [array_to_string(t, chr(1))]
+                       ELSE [] END AS shingles
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT unnest(shingles) AS s FROM sh
+                WHERE doc_id % 97 = 0
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE doc_id % 97 <> 0
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n_shingles FROM sh
+                WHERE doc_id % 97 <> 0
+            ), o AS (
+                SELECT e.doc_id, COUNT(*) AS n_overlap
+                FROM ex e JOIN bench USING (s) GROUP BY e.doc_id
+            )
+            SELECT o.doc_id,
+                   CAST(sizes.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(o.n_overlap AS BIGINT) AS n_overlap
+            FROM o JOIN sizes USING (doc_id) ORDER BY doc_id
+        """,
+        "q216_funnel_latency_events": """
+            WITH a AS (
+                SELECT user_id, MIN(ts) AS ta FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), b AS (
+                SELECT e.user_id, MIN(e.ts) AS tb
+                FROM events e JOIN a USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= a.ta
+                GROUP BY e.user_id
+            )
+            SELECT a.user_id,
+                   CAST(epoch_us(b.tb) - epoch_us(a.ta) AS BIGINT)
+                       AS latency_us
+            FROM a JOIN b USING (user_id) ORDER BY user_id
+        """,
+        "q217_audiospec_documents": """
+            SELECT doc_id,
+                   CAST(1024 AS BIGINT) AS n_samples,
+                   CAST(8000 AS BIGINT) AS rate,
+                   CAST(doc_id % 50 + 10 AS BIGINT) AS dom_bin,
+                   ROUND((doc_id % 50 + 10) * 8000.0 / 1024, 6)
+                       AS dom_hz
+            FROM documents ORDER BY doc_id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -113,3 +113,54 @@ def funnel_conversions(ds, key: str, ts: str, type_col: str,
 
     return scan_sorted_groups(two, key, group_fn, out_empty,
                               min_group=1, block_fn=block_fn)
+
+
+def funnel_latency(ds, key: str, ts: str, type_col: str,
+                   stage_a: str, stage_b: str):
+    """Per-key CONVERSION LATENCY: one row ``(key, latency_us)`` per
+    key that has a ``stage_b`` event at-or-after its FIRST ``stage_a``
+    event — ``latency_us = first qualifying stage_b ts − first
+    stage_a ts`` in exact int64 microseconds (0 when simultaneous).
+    The time-to-convert distribution that
+    :func:`funnel_conversions`'s windowed conversion COUNT cannot
+    give.
+
+    Ray-native plan, no sorted scan: two filtered keys-sized MIN
+    aggregates and two distributed hash joins
+    (`ops/join.hash_join`) — the ``ts ≥ ta`` predicate runs
+    vectorized inside ``map_batches`` after the stream⋈keys join, so
+    the only shuffles are the aggregate exchanges and the
+    keys-sized joins."""
+    from .join import hash_join
+
+    a = (ds.filter(expr=f"{type_col} == '{stage_a}'")
+         .select_columns([key, ts])
+         .groupby(key).min(ts))
+    a = a.map_batches(
+        lambda df: df.rename(columns={f"min({ts})": "__ta"}),
+        batch_format="pandas")
+
+    b_ev = (ds.filter(expr=f"{type_col} == '{stage_b}'")
+            .select_columns([key, ts]))
+    joined = hash_join(b_ev, a, on=key)
+
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ta = df["__ta"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({key: df[key], "__tb": t})
+        return d[t >= ta]
+
+    tb = (joined.map_batches(qualify, batch_format="pandas")
+          .groupby(key).min("__tb"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ta = (df["__ta"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        return pd.DataFrame({
+            key: df[key],
+            "latency_us": (df["min(__tb)"].to_numpy(dtype=np.int64)
+                           - ta),
+        })
+
+    return hash_join(tb, a, on=key).map_batches(
+        finish, batch_format="pandas")

@@ -159,7 +159,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q208_burstiness_events", "q209_weighted_sample_documents",
             "q210_calibration_events", "q211_rrf_documents",
             "q212_weighted_median_lineitem", "q213_changepoint_events",
-            "q214_acf_events"]
+            "q214_acf_events", "q215_decontam_documents",
+            "q216_funnel_latency_events", "q217_audiospec_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
