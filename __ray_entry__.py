@@ -5081,7 +5081,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # signature iterative ops (corpus dedup, k-means) whose rows-only run
     # still evidences the driver path.  Round 4 promoted the new signature
     # ops (q125 skyline, q128 degree hist, q130 Spearman, q140 AUC) into
-    # the window, displacing four simple set/pivot ops past slot 50.
+    # the window, displacing four simple set/pivot ops past slot 50;
+    # session j added q215 (benchmark decontamination — the canonical
+    # LLM eval-leakage census) and q206 (BM25 retrieval), displacing
+    # q34/q37 (families still represented in-window by q28/q31/q23).
     # Everything after slot 50 keeps its pytest + local-DuckDB gate
     # (tests/test_queries_oracle.py runs ALL keys).
     return {
@@ -5122,8 +5125,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q31_asof_events_orders": q31_asof_events_orders,
         "q32_sessions_events": q32_sessions_events,
         "q33_topk_orders_per_cust": q33_topk_orders_per_cust,
-        "q34_interval_join_events": q34_interval_join_events,
-        "q37_running_events": q37_running_events,
+        # q34/q37 demoted (stable green since r2; the join family keeps
+        # q28/q31 in-window and the window family keeps q23) for the
+        # session-j flagships: q215 — the GPT-3-style benchmark
+        # DECONTAMINATION census (the canonical LLM eval-leakage op)
+        # and q206 — Okapi BM25 ranked retrieval (the IR scoring
+        # complement of the TF-IDF table).  Both stay fully
+        # pytest+local-oracle gated below either way.
+        "q215_decontam_documents": q215_decontam_documents,
+        "q206_bm25_documents": q206_bm25_documents,
         # q38 demoted (audio codec op, driver-green since r1) for
         # q193 — the within-image duplicate-tile census through the
         # real decode path (image-axis flagship of session h).
@@ -5167,6 +5177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # since r1, q33 keeps grouped top-k in-window)
         "q179_movwind_documents": q179_movwind_documents,
         # ---- past the driver's 50-key window (pytest-gated only) ----
+        "q34_interval_join_events": q34_interval_join_events,
+        "q37_running_events": q37_running_events,
         "q22_topk_orders": q22_topk_orders,
         "q55_multijoin_revenue_priority": q55_multijoin_revenue_priority,
         "q27_embdup_exact": q27_embdup_exact,
@@ -5324,7 +5336,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q203_seqmatch_events": q203_seqmatch_events,
         "q204_audiorun_documents": q204_audiorun_documents,
         "q205_mi_documents": q205_mi_documents,
-        "q206_bm25_documents": q206_bm25_documents,
         "q207_running_distinct_events": q207_running_distinct_events,
         "q208_burstiness_events": q208_burstiness_events,
         "q209_weighted_sample_documents": q209_weighted_sample_documents,
@@ -5333,7 +5344,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_weighted_median_lineitem": q212_weighted_median_lineitem,
         "q213_changepoint_events": q213_changepoint_events,
         "q214_acf_events": q214_acf_events,
-        "q215_decontam_documents": q215_decontam_documents,
         "q216_funnel_latency_events": q216_funnel_latency_events,
         "q217_audiospec_documents": q217_audiospec_documents,
     }
