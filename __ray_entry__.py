@@ -4941,35 +4941,6 @@ def q211_rrf_documents(sf_dir: str):
     return df[["doc_id", "rrf"]]
 
 
-def q212_weighted_median_lineitem(sf_dir: str):
-    """Exact grouped WEIGHTED median (ops/quantile_exact
-    .grouped_weighted_median): quantity-weighted price median per
-    returnflag — value-histogram partials feed the sorted scan
-    directly (no hash aggregate), pure int64; cumulative-weight
-    window SQL oracle."""
-    from raqc_ray.ops.quantile_exact import grouped_weighted_median
-
-    li = _read(sf_dir, "lineitem",
-               ["l_returnflag", "l_extendedprice", "l_quantity"])
-
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_returnflag": df["l_returnflag"],
-            "vcents": np.floor(
-                df["l_extendedprice"].to_numpy(dtype=np.float64)
-                * 100.0 + 0.5).astype(np.int64),
-            "wq": np.floor(df["l_quantity"].to_numpy(dtype=np.float64)
-                           + 0.5).astype(np.int64),
-        })
-
-    pds = li.map_batches(prep, batch_format="pandas")
-    df = _typed_pandas(grouped_weighted_median(pds, "l_returnflag",
-                                               "vcents", "wq"))
-    for c in ("total_w", "wmedian"):
-        df[c] = df[c].astype("int64")
-    return (df[["l_returnflag", "total_w", "wmedian"]]
-            .sort_values("l_returnflag").reset_index(drop=True))
-
 
 def q213_changepoint_events(sf_dir: str):
     """Per-user CUSUM changepoint location (ops/cusum
@@ -5072,6 +5043,72 @@ def q217_audiospec_documents(sf_dir: str):
     df["dom_hz"] = df["dom_hz"].astype("float64")
     return (df[["doc_id", "n_samples", "rate", "dom_bin", "dom_hz"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def q218_trimmed_mean_lineitem(sf_dir: str):
+    """Exact grouped 10%-trimmed mean (ops/quantile_exact
+    .grouped_trimmed_mean): rank-window clipped value-histogram sums,
+    pure int64, tie-invariant — ROW_NUMBER + FILTER SQL oracle."""
+    from raqc_ray.ops.quantile_exact import grouped_trimmed_mean
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "vcents": np.floor(
+                df["l_extendedprice"].to_numpy(dtype=np.float64)
+                * 100.0 + 0.5).astype(np.int64),
+        })
+
+    pds = li.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_trimmed_mean(pds, "l_returnflag",
+                                            "vcents", 1, 10))
+    cols = ["n", "trimmed_n", "trimmed_sum", "trimmed_mean_scaled"]
+    for c in cols:
+        df[c] = df[c].astype("int64")
+    return (df[["l_returnflag"] + cols]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q219_theil_events(sf_dir: str):
+    """Grouped Theil-T inequality index (ops/inequality.grouped_theil):
+    entropy-form concentration of event value per type from the
+    value-histogram pass — positive-domain filter mirrored, ln
+    epilogue rounded 6dp both sides."""
+    from raqc_ray.ops.inequality import grouped_theil
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "vcents": np.floor(df["value"].to_numpy(dtype=np.float64)
+                               * 100.0 + 0.5).astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_theil(pds, "event_type", "vcents"))
+    for c in ("n", "total"):
+        df[c] = df[c].astype("int64")
+    df["theil"] = df["theil"].astype("float64")
+    return (df[["event_type", "n", "total", "theil"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q220_volatility_events(sf_dir: str):
+    """Per-user successive-difference volatility census (ops/lagprod
+    .grouped_abs_jump_stats): Σ|Δv| and max|Δv| in exact int64 cents
+    over the (ts, event_id) order — LAG-ABS SQL oracle."""
+    from raqc_ray.ops.lagprod import grouped_abs_jump_stats
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    df = _typed_pandas(grouped_abs_jump_stats(ev, "user_id", "ts",
+                                              "event_id", "value"))
+    for c in ("user_id", "n_pairs", "sum_abs_jump", "max_abs_jump"):
+        df[c] = df[c].astype("int64")
+    return (df[["user_id", "n_pairs", "sum_abs_jump", "max_abs_jump"]]
+            .sort_values("user_id").reset_index(drop=True))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -5341,11 +5378,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q209_weighted_sample_documents": q209_weighted_sample_documents,
         "q210_calibration_events": q210_calibration_events,
         "q211_rrf_documents": q211_rrf_documents,
-        "q212_weighted_median_lineitem": q212_weighted_median_lineitem,
         "q213_changepoint_events": q213_changepoint_events,
         "q214_acf_events": q214_acf_events,
         "q216_funnel_latency_events": q216_funnel_latency_events,
         "q217_audiospec_documents": q217_audiospec_documents,
+        "q218_trimmed_mean_lineitem": q218_trimmed_mean_lineitem,
+        "q219_theil_events": q219_theil_events,
+        "q220_volatility_events": q220_volatility_events,
     }
 
 
@@ -8912,28 +8951,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rrf AS BIGINT) AS rrf FROM u
             ORDER BY rrf DESC, doc_id LIMIT 10
         """,
-        "q212_weighted_median_lineitem": """
-            WITH c AS (
-                SELECT l_returnflag,
-                       CAST(FLOOR(l_extendedprice * 100 + 0.5)
-                            AS BIGINT) AS v,
-                       SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS w
-                FROM lineitem
-                WHERE CAST(FLOOR(l_quantity + 0.5) AS BIGINT) > 0
-                GROUP BY 1, 2
-            ), t AS (
-                SELECT l_returnflag, v,
-                       SUM(w) OVER (PARTITION BY l_returnflag
-                                    ORDER BY v) AS cw,
-                       SUM(w) OVER (PARTITION BY l_returnflag) AS tw
-                FROM c
-            )
-            SELECT l_returnflag,
-                   CAST(MIN(tw) AS BIGINT) AS total_w,
-                   CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END)
-                        AS BIGINT) AS wmedian
-            FROM t GROUP BY l_returnflag ORDER BY l_returnflag
-        """,
         "q213_changepoint_events": """
             WITH e AS (
                 SELECT user_id, ts, event_id,
@@ -9054,6 +9071,73 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((doc_id % 50 + 10) * 8000.0 / 1024, 6)
                        AS dom_hz
             FROM documents ORDER BY doc_id
+        """,
+        "q218_trimmed_mean_lineitem": """
+            WITH e AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v
+                FROM lineitem
+            ), r AS (
+                SELECT l_returnflag, v,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                          ORDER BY v) AS rk,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM e
+            ), k AS (
+                SELECT l_returnflag, n, v, rk, (n * 1) // 10 AS cut
+                FROM r
+            )
+            SELECT l_returnflag,
+                   CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(MIN(n) - 2 * MIN(cut) AS BIGINT) AS trimmed_n,
+                   CAST(SUM(v) FILTER (WHERE rk > cut AND rk <= n - cut)
+                        AS BIGINT) AS trimmed_sum,
+                   CAST(1000000 * SUM(v) FILTER (WHERE rk > cut
+                                                 AND rk <= n - cut)
+                        // (MIN(n) - 2 * MIN(cut)) AS BIGINT)
+                       AS trimmed_mean_scaled
+            FROM k GROUP BY l_returnflag
+            HAVING MIN(n) - 2 * MIN(cut) > 0
+            ORDER BY l_returnflag
+        """,
+        "q219_theil_events": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+                WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) > 0
+            ), m AS (
+                SELECT event_type, COUNT(*) AS n, SUM(v) AS total
+                FROM e GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   CAST(m.n AS BIGINT) AS n,
+                   CAST(m.total AS BIGINT) AS total,
+                   ROUND(SUM((v / (m.total / CAST(m.n AS DOUBLE)))
+                             * LN(v / (m.total / CAST(m.n AS DOUBLE))))
+                         / m.n, 6) AS theil
+            FROM e JOIN m USING (event_type)
+            GROUP BY e.event_type, m.n, m.total
+            ORDER BY e.event_type
+        """,
+        "q220_volatility_events": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), l AS (
+                SELECT user_id,
+                       ABS(v - LAG(v) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) AS j
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(COUNT(j) AS BIGINT) AS n_pairs,
+                   CAST(SUM(j) AS BIGINT) AS sum_abs_jump,
+                   CAST(MAX(j) AS BIGINT) AS max_abs_jump
+            FROM l WHERE j IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -107,3 +107,48 @@ def grouped_hhi(ds, key: str, count_col: str, scale: int = 10 ** 8):
                              "hhi": pd.Series(hhi, dtype="int64")})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_theil(ds, key: str, value_col: str, round_to: int = 6):
+    """One row per key: ``(key, n, total, theil)`` — the Theil-T
+    inequality index ``(1/n)·Σ (x/μ)·ln(x/μ)`` over the key's
+    POSITIVE integer values (x ≤ 0 is outside the index's domain and
+    is filtered, oracle-mirrored) — the entropy-based complement of
+    :func:`grouped_gini` (Theil decomposes across subgroups; Gini
+    does not).  0 ⇒ perfect equality, ln(n) ⇒ one value holds all.
+
+    Same value-histogram plan as Gini (the only pass over the input
+    is the per-block ``(key, value) → count`` combiner); ``n`` and
+    ``total`` are exact int64, the ln epilogue runs over CELLS with
+    the same expression shape as the SQL oracle's per-row form
+    (mathematically equal; float spread ≪ the 6dp round, q46
+    discipline)."""
+    from ray.data.aggregate import Sum
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.int64)
+        m = v > 0
+        d = pd.DataFrame({key: df[key].to_numpy()[m]})
+        d[value_col] = v[m]
+        d["__c"] = np.ones(int(m.sum()), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False,
+                         as_index=False).sum()
+
+    hist = (ds.map_batches(block_counts, batch_format="pandas")
+            .groupby([key, value_col])
+            .aggregate(Sum("__c", alias_name="__c")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.int64)
+        c = g["__c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        tot = int((v * c).sum())
+        mu = tot / float(n)
+        vr = v / mu
+        theil = float((c * (vr * np.log(vr))).sum() / n)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n": [np.int64(n)],
+                             "total": [np.int64(tot)],
+                             "theil": [np.round(theil, round_to)]})
+
+    return hist.groupby(key).map_groups(pick, batch_format="pandas")

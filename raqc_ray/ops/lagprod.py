@@ -199,3 +199,82 @@ def grouped_lag_products_multi(ds, key: str, order_by: str,
                               "s_lag": pd.Series(dtype="int64")})
     return scan_sorted_groups(pds, key, group_fn, out_empty,
                               min_group=1, block_fn=block_fn)
+
+
+def grouped_abs_jump_stats(ds, key: str, order_by: str, id_col: str,
+                           value_col: str, scale: int = 100):
+    """Per-key successive-difference VOLATILITY census: one row per
+    key with ≥ 2 rows — ``(key, n_pairs, sum_abs_jump,
+    max_abs_jump)`` over ``|v_t − v_{t−1}|`` in the ``(order_by,
+    id_col)`` order, exact int64 cents (the mean absolute successive
+    difference / Allan-style jitter screen: a re-ordered or replayed
+    stream and a smooth metric have the same marginal distribution
+    but very different jump sums).  Complements
+    :func:`grouped_lag_products` (signed raw moment) with the robust
+    L1 form.
+
+    Same ONE-sort sorted-block plan and partitioning contract as the
+    rest of the window family."""
+    from ._join_util import arrow_schema
+    from .groupscan import scan_sorted_groups
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key],
+            order_by: df[order_by],
+            id_col: df[id_col],
+            "__vi": np.floor(
+                df[value_col].to_numpy(dtype=np.float64) * scale + 0.5
+            ).astype(np.int64),
+        })
+
+    pds = ds.map_batches(prep, batch_format="pandas")
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype="int64"),
+        "n_pairs": pd.Series(dtype="int64"),
+        "sum_abs_jump": pd.Series(dtype="int64"),
+        "max_abs_jump": pd.Series(dtype="int64"),
+    })
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([order_by, id_col], kind="mergesort")
+        d = np.abs(np.diff(s["__vi"].to_numpy(dtype=np.int64)))
+        if not len(d):
+            return out_empty
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n_pairs": [np.int64(len(d))],
+                             "sum_abs_jump": [np.int64(d.sum())],
+                             "max_abs_jump": [np.int64(d.max())]})
+
+    def block_fn(interior: pd.DataFrame, gs: np.ndarray,
+                 ge: np.ndarray) -> pd.DataFrame:
+        s = (interior.sort_values([key, order_by, id_col],
+                                  kind="mergesort")
+             .reset_index(drop=True))
+        kk = s[key].to_numpy()
+        v = s["__vi"].to_numpy(dtype=np.int64)
+        n = len(s)
+        d = np.abs(v[1:] - v[:-1])
+        same = kk[1:] == kk[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+        sizes = np.diff(np.append(starts, n)).astype(np.int64)
+        grp = np.concatenate([[0], np.cumsum(~same)])
+        ngroups = len(starts)
+        jsum = np.zeros(ngroups, dtype=np.int64)
+        jmax = np.zeros(ngroups, dtype=np.int64)
+        gd = d[same]
+        if len(gd):
+            gg = grp[:-1][same]
+            seg = np.flatnonzero(
+                np.concatenate([[True], gg[1:] != gg[:-1]]))
+            owners = gg[seg]
+            jsum[owners] = np.add.reduceat(gd, seg)
+            jmax[owners] = np.maximum.reduceat(gd, seg)
+        keep = sizes >= 2
+        return pd.DataFrame({key: kk[starts][keep],
+                             "n_pairs": (sizes - 1)[keep],
+                             "sum_abs_jump": jsum[keep],
+                             "max_abs_jump": jmax[keep]})
+
+    return scan_sorted_groups(pds, key, group_fn, out_empty,
+                              min_group=1, block_fn=block_fn)

@@ -375,51 +375,61 @@ def grouped_quantile_cont_num(ds, key: str, value_col: str,
                                  for c in cols}})
     return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
                               block_fn=block_pick)
+def grouped_trimmed_mean(ds, key: str, value_col: str,
+                         trim_pn: int = 1, trim_pd: int = 10,
+                         scale: int = 10 ** 6):
+    """Exact grouped TRIMMED mean: drop the lowest and highest
+    ``floor(n·trim_pn/trim_pd)`` values by rank, then
+    ``(key, n, trimmed_n, trimmed_sum, trimmed_mean_scaled)`` with
+    ``trimmed_mean_scaled = scale·trimmed_sum // trimmed_n`` — pure
+    int64 (the outlier-robust location estimate with a bit-stable
+    oracle, unlike a float mean of floats).  Tie-invariant: the rank
+    cut falls inside a run of equal values, so WHICH copies are
+    dropped doesn't change the sum.  Keys whose keep window is empty
+    (n ≤ 2·cut) emit nothing (oracle-mirrored by its HAVING).
 
-
-def grouped_weighted_median(ds, key: str, value_col: str,
-                            weight_col: str):
-    """Exact grouped WEIGHTED (lower) median: one row per key,
-    ``(key, total_w, wmedian)`` where ``wmedian`` is the smallest
-    value whose cumulative weight reaches half the key's total weight
-    (``2·cumw ≥ totw`` — the lower weighted median, the inventory /
-    cost-allocation standard).  Values and weights must be int64
-    (cents discipline); rows with ``weight ≤ 0`` are dropped and
-    all-zero-weight keys emit nothing (both mirrored by the oracle's
-    WHERE / implicit-empty-group).
-
-    Same plan as :func:`grouped_quantile_cont_num`: per-block
-    ``(key, value) → Σweight`` partials feed ``scan_sorted_groups``
-    DIRECTLY (no global hash aggregate — duplicate partial rows are
-    tolerated because the in-segment value sort puts equal values
-    adjacent and the weight cumsum crosses the half-total at the same
-    value either way), and the per-key pick is one vectorized numpy
-    pass over ALL keys of a sorted block."""
+    Same value-histogram + sorted-scan plan as
+    :func:`grouped_weighted_median` (per-block partials feed the scan
+    directly; duplicate partial rows are tolerated because the
+    interval-clipped contribution is additive across consecutive
+    sub-runs of the same value)."""
     from ._join_util import arrow_schema
     from .groupscan import scan_sorted_groups
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        w = df[weight_col].to_numpy(dtype=np.int64)
-        m = w > 0
-        d = pd.DataFrame({key: df[key].to_numpy()[m]})
-        d[value_col] = df[value_col].to_numpy(dtype=np.int64)[m]
-        d["__w"] = w[m]
+        d = pd.DataFrame({key: df[key]})
+        d[value_col] = df[value_col].to_numpy(dtype=np.int64)
+        d["__c"] = np.ones(len(d), dtype=np.int64)
         return d.groupby([key, value_col], sort=False,
                          as_index=False).sum()
 
     hist = ds.map_batches(block_counts, batch_format="pandas")
 
+    def _emit(kvals, n, tn, tsum) -> pd.DataFrame:
+        n = np.asarray(n, dtype=np.int64)
+        tn = np.asarray(tn, dtype=np.int64)
+        tsum = np.asarray(tsum, dtype=np.int64)
+        keep = tn > 0
+        return pd.DataFrame({
+            key: np.asarray(kvals)[keep], "n": n[keep],
+            "trimmed_n": tn[keep], "trimmed_sum": tsum[keep],
+            "trimmed_mean_scaled":
+                (np.int64(scale) * tsum[keep]) // tn[keep],
+        })
+
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(value_col, kind="mergesort")
         v = s[value_col].to_numpy(dtype=np.int64)
-        w = s["__w"].to_numpy(dtype=np.int64)
-        cum = np.cumsum(w)
-        tw = int(cum[-1])
-        target = (tw + 1) // 2
-        med = int(v[int(np.searchsorted(cum, target))])
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "total_w": [np.int64(tw)],
-                             "wmedian": [np.int64(med)]})
+        c = s["__c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        cut = (n * trim_pn) // trim_pd
+        lo, hi = cut, n - cut           # keep ranks (lo, hi]
+        p = cum - c                     # run-start cumulative counts
+        kept = np.maximum(
+            0, np.minimum(cum, hi) - np.maximum(p, lo))
+        return _emit([g[key].iloc[0]], [n], [hi - lo],
+                     [int((v * kept).sum())])
 
     def block_pick(df: pd.DataFrame, starts: np.ndarray,
                    ends: np.ndarray) -> pd.DataFrame:
@@ -430,26 +440,31 @@ def grouped_weighted_median(ds, key: str, value_col: str,
                - np.repeat(cum_excl, sizes) + np.repeat(starts, sizes))
         kv = df[key].to_numpy()[idx]
         v = df[value_col].to_numpy(dtype=np.int64)[idx]
-        w = df["__w"].to_numpy(dtype=np.int64)[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
         segid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
         order = np.lexsort((v, segid))
-        v, w = v[order], w[order]
-        cumg = np.cumsum(w)
+        v, c = v[order], c[order]
+        cumg = np.cumsum(c)
         seg_end = cum_excl + sizes
         base = np.where(cum_excl > 0, cumg[cum_excl - 1], 0)
-        tw = cumg[seg_end - 1] - base
-        target = base + (tw + 1) // 2
-        med = v[np.searchsorted(cumg, target)]
-        return pd.DataFrame({key: kv[cum_excl],
-                             "total_w": tw.astype(np.int64),
-                             "wmedian": med.astype(np.int64)})
+        n = cumg[seg_end - 1] - base
+        cut = (n * trim_pn) // trim_pd
+        lo = np.repeat(base + cut, sizes)
+        hi = np.repeat(base + n - cut, sizes)
+        p = cumg - c
+        kept = np.maximum(0, np.minimum(cumg, hi) - np.maximum(p, lo))
+        tsum = np.add.reduceat(v * kept, cum_excl)
+        return _emit(kv[cum_excl], n, n - 2 * cut, tsum)
 
     import pyarrow as pa
 
     key_dtype = (pa.schema([arrow_schema(ds).field(key)])
                  .empty_table().to_pandas()[key].dtype)
     out_empty = pd.DataFrame({key: pd.Series(dtype=key_dtype),
-                              "total_w": pd.Series(dtype="int64"),
-                              "wmedian": pd.Series(dtype="int64")})
+                              "n": pd.Series(dtype="int64"),
+                              "trimmed_n": pd.Series(dtype="int64"),
+                              "trimmed_sum": pd.Series(dtype="int64"),
+                              "trimmed_mean_scaled":
+                                  pd.Series(dtype="int64")})
     return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
                               block_fn=block_pick)

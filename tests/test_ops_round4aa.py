@@ -164,3 +164,127 @@ def test_spectral_census_degradation(ray_session):
     assert out["ok"].tolist() == [True, False]
     assert out.loc[0, "dom_bin"] == 16
     assert out.loc[1, "error"] is not None
+
+
+# ---------------------------------------------------------- trimmed mean
+
+def test_trimmed_mean_closed_form(ray_session):
+    from raqc_ray.ops.quantile_exact import grouped_trimmed_mean
+
+    # key 1: values 0..9, 10% trim -> drop 0 and 9 -> sum 1+..+8 = 36
+    df = pd.DataFrame({"k": [1] * 10, "v": list(range(10))})
+    out = grouped_trimmed_mean(_ds(df, 3), "k", "v", 1, 10).to_pandas()
+    assert out["n"].iloc[0] == 10
+    assert out["trimmed_n"].iloc[0] == 8
+    assert out["trimmed_sum"].iloc[0] == 36
+    assert out["trimmed_mean_scaled"].iloc[0] == 10**6 * 36 // 8
+
+
+def test_trimmed_mean_tiny_and_tie_groups(ray_session):
+    from raqc_ray.ops.quantile_exact import grouped_trimmed_mean
+
+    # 50% trim: n=2 -> cut=1 -> keep window empty -> dropped;
+    # n=4 -> cut=2 -> also empty -> dropped: result has no rows
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 2, 2],
+                       "v": [5, 7, 3, 3, 3, 3]})
+    out = grouped_trimmed_mean(_ds(df, 2), "k", "v", 1, 2).to_pandas()
+    assert len(out) == 0
+
+    # 25% trim on n=4 all-equal values: cut=1, trimmed sum 2*3
+    df2 = pd.DataFrame({"k": [2] * 4, "v": [3, 3, 3, 3]})
+    out2 = grouped_trimmed_mean(_ds(df2, 2), "k", "v", 1,
+                                4).to_pandas()
+    assert out2["trimmed_n"].tolist() == [2]
+    assert out2["trimmed_sum"].tolist() == [6]
+
+
+def test_trimmed_mean_vs_pandas(ray_session):
+    from raqc_ray.ops.quantile_exact import grouped_trimmed_mean
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({"k": rng.integers(0, 40, 6000),
+                       "v": rng.integers(-500, 500, 6000)})
+    out = (grouped_trimmed_mean(_ds(df, 8), "k", "v", 1, 10)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def ref(g):
+        v = np.sort(g["v"].to_numpy())
+        n = len(v)
+        cut = n // 10
+        kept = v[cut:n - cut]
+        return int(kept.sum())
+
+    exp = df.groupby("k").apply(ref, include_groups=False)
+    assert out["trimmed_sum"].tolist() == exp.tolist()
+
+
+# ----------------------------------------------------------------- theil
+
+def test_theil_closed_forms(ray_session):
+    from raqc_ray.ops.inequality import grouped_theil
+
+    # equal values -> theil 0; one-holds-all (approx) -> near ln(n)
+    df = pd.DataFrame({
+        "k": ["eq"] * 4 + ["con"] * 4,
+        "v": [5, 5, 5, 5, 1, 1, 1, 10**6],
+    })
+    out = (grouped_theil(_ds(df, 2), "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    con, eq = out.iloc[0], out.iloc[1]
+    assert eq["theil"] == 0.0
+    assert con["theil"] == pytest.approx(np.log(4), rel=0.01)
+    # zero/negative values are filtered (domain contract)
+    df2 = pd.DataFrame({"k": ["a"] * 3, "v": [0, -5, 7]})
+    out2 = grouped_theil(_ds(df2, 2), "k", "v").to_pandas()
+    assert out2["n"].iloc[0] == 1 and out2["theil"].iloc[0] == 0.0
+
+
+def test_theil_layout_invariant(ray_session):
+    from raqc_ray.ops.inequality import grouped_theil
+
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame({"k": rng.integers(0, 15, 4000),
+                       "v": rng.integers(1, 1000, 4000)})
+    outs = [(grouped_theil(_ds(df, p), "k", "v").to_pandas()
+             .sort_values("k").reset_index(drop=True))
+            for p in (1, 7)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ------------------------------------------------------------- volatility
+
+def test_abs_jump_closed_form(ray_session):
+    from raqc_ray.ops.lagprod import grouped_abs_jump_stats
+
+    # key 1: cents 100,300,200 -> jumps 200,100 -> sum 300 max 200
+    df = pd.DataFrame({"k": [1, 1, 1, 2],
+                       "t": [1, 2, 3, 1],
+                       "id": [1, 2, 3, 4],
+                       "val": [1.0, 3.0, 2.0, 9.0]})
+    out = grouped_abs_jump_stats(_ds(df, 2), "k", "t", "id",
+                                 "val").to_pandas()
+    assert out["k"].tolist() == [1]       # singleton key 2 dropped
+    assert out["n_pairs"].iloc[0] == 2
+    assert out["sum_abs_jump"].iloc[0] == 300
+    assert out["max_abs_jump"].iloc[0] == 200
+
+
+def test_abs_jump_layout_and_skew(ray_session):
+    from raqc_ray.ops.lagprod import grouped_abs_jump_stats
+
+    rng = np.random.default_rng(61)
+    n = 5000
+    k = np.where(rng.random(n) < 0.6, 1, rng.integers(2, 30, n))
+    df = pd.DataFrame({"k": k, "t": rng.integers(0, 10 ** 7, n),
+                       "id": np.arange(n),
+                       "val": rng.random(n) * 40})
+    outs = [(grouped_abs_jump_stats(_ds(df, p), "k", "t", "id", "val")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+            for p in (1, 10)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    s = df[df["k"] == 1].sort_values(["t", "id"])
+    vi = np.floor(s["val"].to_numpy() * 100 + 0.5).astype(np.int64)
+    j = np.abs(np.diff(vi))
+    row = outs[0][outs[0]["k"] == 1].iloc[0]
+    assert row["sum_abs_jump"] == j.sum()
+    assert row["max_abs_jump"] == j.max()

@@ -1,5 +1,5 @@
-"""Round-4 session-j ops #3: weighted median, CUSUM changepoint
-location, multi-lag ACF numerators — closed-form planted fixtures,
+"""Round-4 session-j ops #3: CUSUM changepoint location,
+multi-lag ACF numerators — closed-form planted fixtures,
 layout invariance, hot-key skew."""
 
 import numpy as np
@@ -11,67 +11,6 @@ def _ds(df, parts=4):
     import ray.data as rd
 
     return rd.from_pandas(df).repartition(parts)
-
-
-# --------------------------------------------------------- weighted median
-
-def test_weighted_median_closed_form(ray_session):
-    from raqc_ray.ops.quantile_exact import grouped_weighted_median
-
-    # key a: values 1,2,3 weights 1,1,10 -> median 3 (cum 1,2,12; half=6)
-    # key b: values 5,6 weights 3,3 -> lower median 5 (2*3 >= 6)
-    # key c: single zero-weight row -> dropped entirely
-    df = pd.DataFrame({
-        "k": ["a", "a", "a", "b", "b", "c"],
-        "v": [1, 2, 3, 5, 6, 9],
-        "w": [1, 1, 10, 3, 3, 0],
-    })
-    out = (grouped_weighted_median(_ds(df, 3), "k", "v", "w")
-           .to_pandas().sort_values("k").reset_index(drop=True))
-    assert out["k"].tolist() == ["a", "b"]
-    assert out["total_w"].tolist() == [12, 6]
-    assert out["wmedian"].tolist() == [3, 5]
-
-
-def test_weighted_median_vs_pandas(ray_session):
-    from raqc_ray.ops.quantile_exact import grouped_weighted_median
-
-    rng = np.random.default_rng(23)
-    n = 8000
-    df = pd.DataFrame({
-        "k": rng.integers(0, 60, n),
-        "v": rng.integers(-100, 100, n),
-        "w": rng.integers(0, 5, n),
-    })
-    out = (grouped_weighted_median(_ds(df, 9), "k", "v", "w")
-           .to_pandas().sort_values("k").reset_index(drop=True))
-
-    def ref(g):
-        g = g[g["w"] > 0].sort_values("v")
-        if not len(g):
-            return None
-        cw = g["w"].cumsum().to_numpy()
-        tw = cw[-1]
-        return g["v"].to_numpy()[np.searchsorted(cw, (tw + 1) // 2)]
-
-    exp = (df.groupby("k").apply(ref, include_groups=False)
-           .dropna().astype("int64"))
-    assert out["wmedian"].tolist() == exp.tolist()
-
-
-def test_weighted_median_layout_invariant(ray_session):
-    from raqc_ray.ops.quantile_exact import grouped_weighted_median
-
-    rng = np.random.default_rng(29)
-    df = pd.DataFrame({
-        "k": rng.integers(0, 20, 5000),
-        "v": rng.integers(0, 1000, 5000),
-        "w": rng.integers(1, 10, 5000),
-    })
-    outs = [(grouped_weighted_median(_ds(df, p), "k", "v", "w")
-             .to_pandas().sort_values("k").reset_index(drop=True))
-            for p in (1, 11)]
-    pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
 # ------------------------------------------------------ changepoint locate

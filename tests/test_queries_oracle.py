@@ -158,9 +158,11 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q206_bm25_documents", "q207_running_distinct_events",
             "q208_burstiness_events", "q209_weighted_sample_documents",
             "q210_calibration_events", "q211_rrf_documents",
-            "q212_weighted_median_lineitem", "q213_changepoint_events",
+            "q213_changepoint_events",
             "q214_acf_events", "q215_decontam_documents",
-            "q216_funnel_latency_events", "q217_audiospec_documents"]
+            "q216_funnel_latency_events", "q217_audiospec_documents",
+            "q218_trimmed_mean_lineitem", "q219_theil_events",
+            "q220_volatility_events"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
