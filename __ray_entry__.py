@@ -4975,22 +4975,6 @@ def q214_acf_events(sf_dir: str):
             .sort_values(["event_type", "lag"]).reset_index(drop=True))
 
 
-def q215_decontam_documents(sf_dir: str):
-    """Benchmark decontamination census (ops/decontam
-    .contamination_census, GPT-3 appendix-C style): docs sharing a
-    3-token shingle with the eval set (doc_id % 97 == 0) — broadcast
-    sorted-hash benchmark, searchsorted membership, violation-sized
-    output; shingle-TEXT SQL oracle (q26 hash-invariance contract)."""
-    from raqc_ray.ops.decontam import contamination_census
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    df = _typed_pandas(contamination_census(docs, "doc_id", "text",
-                                            bench_mod=97, k=3))
-    for c in ("doc_id", "n_shingles", "n_overlap"):
-        df[c] = df[c].astype("int64")
-    return (df[["doc_id", "n_shingles", "n_overlap"]]
-            .sort_values("doc_id").reset_index(drop=True))
-
 
 def q216_funnel_latency_events(sf_dir: str):
     """Per-user conversion latency (ops/funnel.funnel_latency): first
@@ -5163,13 +5147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_sessions_events": q32_sessions_events,
         "q33_topk_orders_per_cust": q33_topk_orders_per_cust,
         # q34/q37 demoted (stable green since r2; the join family keeps
-        # q28/q31 in-window and the window family keeps q23) for the
-        # session-j flagships: q215 — the GPT-3-style benchmark
-        # DECONTAMINATION census (the canonical LLM eval-leakage op)
-        # and q206 — Okapi BM25 ranked retrieval (the IR scoring
-        # complement of the TF-IDF table).  Both stay fully
-        # pytest+local-oracle gated below either way.
-        "q215_decontam_documents": q215_decontam_documents,
+        # q28/q31 in-window and the window family keeps q23) for two
+        # LLM-pipeline flagships: q101 — the GPT-3-style benchmark
+        # DECONTAMINATION census (the canonical eval-leakage op,
+        # out-of-window green since its batch) and q206 — Okapi BM25
+        # ranked retrieval (session j; the IR scoring complement of
+        # the TF-IDF table).  All four stay fully pytest+local-oracle
+        # gated below either way.
+        "q101_contamination_documents": q101_contamination_documents,
         "q206_bm25_documents": q206_bm25_documents,
         # q38 demoted (audio codec op, driver-green since r1) for
         # q193 — the within-image duplicate-tile census through the
@@ -5286,7 +5271,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_redact_documents": q99_redact_documents,
         "q100_dedup_survivorship_documents":
             q100_dedup_survivorship_documents,
-        "q101_contamination_documents": q101_contamination_documents,
         "q102_repetition_documents": q102_repetition_documents,
         "q103_ngram_vocab_by_source": q103_ngram_vocab_by_source,
         "q104_upsample_documents": q104_upsample_documents,
@@ -9012,41 +8996,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s_lag AS BIGINT) AS s_lag
             FROM u WHERE n_pairs > 0
             ORDER BY event_type, lag
-        """,
-        "q215_decontam_documents": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(
-                           COALESCE(text, ''), '\\s+'),
-                           x -> x <> '') AS t
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       CASE WHEN len(t) >= 3 THEN
-                           list_distinct([t[i] || chr(1) || t[i+1]
-                                          || chr(1) || t[i+2]
-                                          for i in range(1, len(t) - 1)])
-                       WHEN len(t) >= 1 THEN
-                           [array_to_string(t, chr(1))]
-                       ELSE [] END AS shingles
-                FROM toks
-            ), bench AS (
-                SELECT DISTINCT unnest(shingles) AS s FROM sh
-                WHERE doc_id % 97 = 0
-            ), ex AS (
-                SELECT doc_id, unnest(shingles) AS s FROM sh
-                WHERE doc_id % 97 <> 0
-            ), sizes AS (
-                SELECT doc_id, len(shingles) AS n_shingles FROM sh
-                WHERE doc_id % 97 <> 0
-            ), o AS (
-                SELECT e.doc_id, COUNT(*) AS n_overlap
-                FROM ex e JOIN bench USING (s) GROUP BY e.doc_id
-            )
-            SELECT o.doc_id,
-                   CAST(sizes.n_shingles AS BIGINT) AS n_shingles,
-                   CAST(o.n_overlap AS BIGINT) AS n_overlap
-            FROM o JOIN sizes USING (doc_id) ORDER BY doc_id
         """,
         "q216_funnel_latency_events": """
             WITH a AS (

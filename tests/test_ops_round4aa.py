@@ -1,5 +1,5 @@
-"""Round-4 session-j ops #4: benchmark decontamination, conversion
-latency, audio spectral census — planted fixtures, degradation,
+"""Round-4 session-j ops #4: conversion latency, audio spectral
+census, trimmed mean, Theil, volatility — planted fixtures, degradation,
 layout invariance."""
 
 import numpy as np
@@ -11,67 +11,6 @@ def _ds(df, parts=4):
     import ray.data as rd
 
     return rd.from_pandas(df).repartition(parts)
-
-
-# -------------------------------------------------------- decontamination
-
-def test_contamination_planted(ray_session):
-    from raqc_ray.ops.decontam import contamination_census
-
-    # doc 0 is the benchmark (0 % 5 == 0); doc 7 copies one of its
-    # 3-gram spans, doc 8 shares nothing, doc 9 copies the whole text
-    docs = pd.DataFrame({
-        "doc_id": [0, 7, 8, 9],
-        "text": ["alpha beta gamma delta",
-                 "x y alpha beta gamma z",
-                 "p q r s t",
-                 "alpha beta gamma delta"],
-    })
-    out = (contamination_census(_ds(docs, 2), bench_mod=5, k=3)
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    assert out["doc_id"].tolist() == [7, 9]
-    # doc 7: shingles {xy a, y a b, a b g, b g z} -> 1 overlap of 4
-    assert out.loc[0, "n_shingles"] == 4
-    assert out.loc[0, "n_overlap"] == 1
-    # doc 9: identical text -> both shingles overlap
-    assert out.loc[1, "n_shingles"] == 2
-    assert out.loc[1, "n_overlap"] == 2
-
-
-def test_contamination_short_docs_and_empty_bench(ray_session):
-    from raqc_ray.ops.decontam import contamination_census
-
-    # benchmark doc is SHORT (2 tokens -> whole-list shingle);
-    # doc 3 repeats it exactly, doc 4 contains it only as a prefix
-    # (different whole-list shingle -> no match)
-    docs = pd.DataFrame({
-        "doc_id": [0, 3, 4],
-        "text": ["hello world", "hello world", "hello world again"],
-    })
-    out = (contamination_census(_ds(docs, 2), bench_mod=5, k=3)
-           .to_pandas())
-    assert out["doc_id"].tolist() == [3]
-    assert out["n_overlap"].tolist() == [1]
-
-    # empty benchmark -> nothing flagged
-    docs2 = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b c"]})
-    out2 = contamination_census(_ds(docs2, 2), bench_mod=5,
-                                k=3).to_pandas()
-    assert len(out2) == 0
-
-
-def test_contamination_layout_invariant(ray_session):
-    from raqc_ray.ops.decontam import contamination_census
-
-    rng = np.random.default_rng(43)
-    vocab = np.array([f"w{i}" for i in range(30)])
-    texts = [" ".join(rng.choice(vocab, size=8)) for _ in range(400)]
-    docs = pd.DataFrame({"doc_id": np.arange(400), "text": texts})
-    outs = [(contamination_census(_ds(docs, p), bench_mod=7, k=3)
-             .to_pandas().sort_values("doc_id")
-             .reset_index(drop=True)) for p in (1, 8)]
-    pd.testing.assert_frame_equal(outs[0], outs[1])
-    assert len(outs[0]) > 0  # dense vocab guarantees collisions
 
 
 # ------------------------------------------------------- conversion latency

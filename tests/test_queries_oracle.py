@@ -159,7 +159,7 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q208_burstiness_events", "q209_weighted_sample_documents",
             "q210_calibration_events", "q211_rrf_documents",
             "q213_changepoint_events",
-            "q214_acf_events", "q215_decontam_documents",
+            "q214_acf_events",
             "q216_funnel_latency_events", "q217_audiospec_documents",
             "q218_trimmed_mean_lineitem", "q219_theil_events",
             "q220_volatility_events"]
