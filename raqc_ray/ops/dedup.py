@@ -255,6 +255,24 @@ def ngram_jaccard_pairs(docs_ds, k_shingle: int = 3, threshold: float = 0.5,
         docs_ds, num_perm=num_perm, bands=bands, k_shingle=k_shingle,
         threshold=max(0.1, threshold - 0.2),  # slack: est is approximate
     ).to_pandas()
+    return verify_jaccard_candidates(docs_ds, cand, k_shingle,
+                                     threshold)
+
+
+def verify_jaccard_candidates(docs_ds, cand: pd.DataFrame,
+                              k_shingle: int, threshold: float):
+    """Distributed EXACT-Jaccard verification of a candidate pair list
+    (columns ``doc_a``/``doc_b``) — the factored second half of
+    :func:`ngram_jaccard_pairs`, shared with the prefix-filter exact
+    join (`ops/setjoin`).  Candidate-sized broadcast membership map,
+    shingle sets fan out to their pairs, one intersection per pair on
+    workers; returns ``(doc_a, doc_b, jaccard)`` with jaccard ≥
+    ``threshold``."""
+    import ray
+    import ray.data as rd
+
+    from raqc_ray.ops.groupscan import scan_sorted_groups
+
     empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                           "doc_b": pd.Series(dtype="int64"),
                           "jaccard": pd.Series(dtype="float64")})
