@@ -5095,6 +5095,23 @@ def q220_volatility_events(sf_dir: str):
             .sort_values("user_id").reset_index(drop=True))
 
 
+def q221_setjoin_documents(sf_dir: str):
+    """Exact prefix-filter set-similarity self-join (ops/setjoin
+    .prefix_jaccard_join, SSJoin/PPJoin family): provably-complete
+    n-gram Jaccard pairs at threshold 0.4 — the exact complement of
+    q26's LSH-candidate path (same exact/approx pairing as q20/q21)."""
+    from raqc_ray.ops.setjoin import prefix_jaccard_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(prefix_jaccard_join(docs, k_shingle=3,
+                                           threshold=0.4))
+    for c in ("doc_a", "doc_b"):
+        df[c] = df[c].astype("int64")
+    df["jaccard"] = df["jaccard"].astype("float64")
+    return (df[["doc_a", "doc_b", "jaccard"]]
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5369,6 +5386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q218_trimmed_mean_lineitem": q218_trimmed_mean_lineitem,
         "q219_theil_events": q219_theil_events,
         "q220_volatility_events": q220_volatility_events,
+        "q221_setjoin_documents": q221_setjoin_documents,
     }
 
 
@@ -9087,6 +9105,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(j) AS BIGINT) AS max_abs_jump
             FROM l WHERE j IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "q221_setjoin_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), sh AS (
+                -- shingle identity (see q26): set-Jaccard is invariant
+                -- under the engine's injective shingle hash
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN
+                           list_distinct([t[i] || chr(1) || t[i+1] || chr(1)
+                                          || t[i+2]
+                                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, chr(1))] END AS shingles
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i2.doc_a, i2.doc_b,
+                   ROUND(CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i), 6)
+                       AS jaccard
+            FROM inter i2
+            JOIN sizes sa ON sa.doc_id = i2.doc_a
+            JOIN sizes sb ON sb.doc_id = i2.doc_b
+            WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.4
+            ORDER BY i2.doc_a, i2.doc_b
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
