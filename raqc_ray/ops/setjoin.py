@@ -27,11 +27,13 @@ Two global orders are provided:
   land in prefixes as a rare one — fine for fixture-scale and
   low-redundancy corpora, quadratic-bucket risk on stopword-heavy ones.
 - ``order="df"``: ascending document frequency (the PPJoin ordering).
-  Three shuffles — explode all shingles, groupby-count df, hash-join df
-  back, re-group per doc to cut the prefix under (df, tok) order — but
-  prefix tokens are then the RAREST shingles of each doc, which is what
-  keeps candidate buckets small on skewed vocabularies.  This is the
-  100-TB path.
+  Two extra sorts of the narrow exploded token stream — sort by tok to
+  annotate df (= segment length; a hash ``groupby(tok).count()`` over
+  the vocabulary-cardinality key set measured 40× slower), sort by doc
+  to cut the prefix under (df, tok) order, both via the sorted-block
+  scan — and prefix tokens are then the RAREST shingles of each doc,
+  which is what keeps candidate buckets small on skewed vocabularies.
+  This is the 100-TB path.
 
 Both orders return byte-identical results (exactness does not depend on
 the order; only pruning power does) — asserted in tests.
@@ -78,12 +80,19 @@ class _PrefixEmitter:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from raqc_ray.ops.dedup import _shingle_hashes, _token_hash
 
+        # hash each UNIQUE token once per batch (MinHasher's vocab
+        # trick — the vocabulary is far smaller than the token stream)
+        token_lists = [t.split() for t in df["text"].fillna("")]
+        vocab: dict[str, int] = {}
+        for toks in token_lists:
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = _token_hash(t)
         toks_out: list[np.ndarray] = []
         dids: list[np.ndarray] = []
         sizes: list[np.ndarray] = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            toks = text.split()
-            th = np.fromiter((_token_hash(t) for t in toks),
+        for doc_id, toks in zip(df["doc_id"], token_lists):
+            th = np.fromiter((vocab[t] for t in toks),
                              dtype=np.uint64, count=len(toks))
             sh = _shingle_hashes(th, self.k)  # unique, ascending
             n = sh.size
@@ -170,28 +179,50 @@ def prefix_jaccard_join(docs_ds, k_shingle: int = 3,
 
 
 def _df_ordered_prefix(docs_ds, k_shingle: int, threshold: float):
-    """Prefix index rows under ascending-(df, tok) order: explode all
-    shingles, count document frequency per shingle, join df back, and
-    cut each doc's prefix under the (df, tok) sort."""
-    import ray.data as rd
+    """Prefix index rows under ascending-(df, tok) order, in two
+    sorted-block scans (no hash aggregate, no join):
 
+    1. sort the exploded (tok, doc_id, size) stream by ``tok`` and
+       annotate each row with its token's document frequency = segment
+       length (a ``groupby(tok).count()`` would hash-shuffle a
+       vocabulary-cardinality key set — measured 40× slower than the
+       sort at 1.9M near-unique tokens);
+    2. sort by ``doc_id`` and cut each doc's prefix under the (df, tok)
+       order — one vectorized ``np.lexsort`` per block, no per-group
+       Python.
+    """
     from raqc_ray.ops.groupscan import scan_sorted_groups
-    from raqc_ray.ops.join import hash_join
 
     full = docs_ds.map_batches(
         _PrefixEmitter(k_shingle, threshold, all_tokens=True),
-        batch_format="pandas",
-    ).materialize()  # reused twice: df count + join left side
-    dfreq = full.groupby("tok").count().map_batches(
-        lambda d: d.rename(columns={"count()": "df"}),
         batch_format="pandas")
-    joined = hash_join(full, dfreq, on="tok")
+
+    ann_empty = pd.DataFrame({"tok": pd.Series(dtype="int64"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "size": pd.Series(dtype="int64"),
+                              "df": pd.Series(dtype="int64")})
+
+    def ann_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["tok", "doc_id", "size"]].copy()
+        out["df"] = np.int64(len(g))
+        return out
+
+    def ann_block(interior: pd.DataFrame, starts: np.ndarray,
+                  ends: np.ndarray) -> pd.DataFrame:
+        # min_group=1 → the qualifying segments tile the whole interior
+        lens = (ends - starts).astype(np.int64)
+        out = interior[["tok", "doc_id", "size"]].copy()
+        out["df"] = np.repeat(lens, lens)
+        return out
+
+    ann = scan_sorted_groups(full, "tok", ann_group, ann_empty,
+                             min_group=1, block_fn=ann_block)
 
     empty = pd.DataFrame({"tok": pd.Series(dtype="int64"),
                           "doc_id": pd.Series(dtype="int64"),
                           "size": pd.Series(dtype="int64")})
 
-    def cut_prefix(g: pd.DataFrame) -> pd.DataFrame:
+    def cut_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["df", "tok"], kind="stable")
         p = _prefix_len(len(g), threshold)
         out = g.iloc[:p]
@@ -201,6 +232,27 @@ def _df_ordered_prefix(docs_ds, k_shingle: int, threshold: float):
             "size": out["size"].to_numpy(np.int64),
         })
 
+    def cut_block(interior: pd.DataFrame, starts: np.ndarray,
+                  ends: np.ndarray) -> pd.DataFrame:
+        lens = (ends - starts).astype(np.int64)
+        n = int(lens.sum())
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        tokv = interior["tok"].to_numpy(np.int64)
+        dfv = interior["df"].to_numpy(np.int64)
+        perm = np.lexsort((tokv, dfv, seg))  # primary seg, then df, tok
+        starts2 = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts2, lens)
+        plen = np.maximum(
+            np.int64(1),
+            lens - np.ceil(threshold * lens).astype(np.int64) + 1)
+        keep = rank < np.repeat(plen, lens)
+        sel = interior.iloc[perm[keep]]
+        return pd.DataFrame({
+            "tok": sel["tok"].to_numpy(np.int64),
+            "doc_id": sel["doc_id"].to_numpy(np.int64),
+            "size": sel["size"].to_numpy(np.int64),
+        })
+
     return scan_sorted_groups(
-        joined.select_columns(["doc_id", "tok", "size", "df"]),
-        "doc_id", cut_prefix, empty, min_group=1)
+        ann.select_columns(["doc_id", "tok", "size", "df"]),
+        "doc_id", cut_group, empty, min_group=1, block_fn=cut_block)
