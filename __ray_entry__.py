@@ -5112,6 +5112,23 @@ def q221_setjoin_documents(sf_dir: str):
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
+def q222_bigram_nll_documents(sf_dir: str):
+    """Corpus-trained bigram-LM perplexity census (ops/ngramlm
+    .bigram_nll_census, CCNet/Gopher-style quality filter): per-doc
+    average negative log-likelihood under the Laplace-smoothed bigram
+    model trained on the same corpus — full SQL oracle (count joins +
+    LN), canonical position-order summation for layout invariance."""
+    from raqc_ray.ops.ngramlm import bigram_nll_census
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _typed_pandas(bigram_nll_census(docs))
+    for c in ("doc_id", "n_trans"):
+        df[c] = df[c].astype("int64")
+    df["avg_nll"] = df["avg_nll"].astype("float64")
+    return (df[["doc_id", "n_trans", "avg_nll"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5387,6 +5404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_theil_events": q219_theil_events,
         "q220_volatility_events": q220_volatility_events,
         "q221_setjoin_documents": q221_setjoin_documents,
+        "q222_bigram_nll_documents": q222_bigram_nll_documents,
     }
 
 
@@ -9140,6 +9158,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i2.doc_b
             WHERE CAST(i2.i AS DOUBLE) / (sa.n + sb.n - i2.i) >= 0.4
             ORDER BY i2.doc_a, i2.doc_b
+        """,
+        "q222_bigram_nll_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                         '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), big AS (
+                -- parallel equal-length unnests zip in DuckDB
+                SELECT doc_id,
+                       unnest([t[i] for i in range(1, len(t))]) AS u,
+                       unnest([t[i + 1] for i in range(1, len(t))]) AS w
+                FROM toks WHERE len(t) >= 2
+            ), cuw AS (
+                SELECT u, w, COUNT(*) AS c FROM big GROUP BY 1, 2
+            ), cu AS (
+                SELECT u, COUNT(*) AS c FROM big GROUP BY 1
+            ), v AS (
+                SELECT COUNT(DISTINCT tk) AS nv
+                FROM (SELECT unnest(t) AS tk FROM toks)
+            )
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_trans,
+                   ROUND(SUM(LN(cu.c + v.nv) - LN(cuw.c + 1))
+                         / COUNT(*), 6) AS avg_nll
+            FROM big g
+            JOIN cuw ON g.u = cuw.u AND g.w = cuw.w
+            JOIN cu ON g.u = cu.u
+            CROSS JOIN v
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.
