@@ -5218,7 +5218,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q35/q36 semijoin/antijoin demoted (stable green since r2,
         # q28 keeps a join in the window; both stay pytest-gated)
         "q171_exposure_documents": q171_exposure_documents,
-        "q172_letterbox_documents": q172_letterbox_documents,
+        # session-k: q222 bigram-LM perplexity census promoted (the
+        # CCNet-style quality-filter flagship, full SQL oracle);
+        # q172 letterbox demoted (image family keeps q171/q174/q183/
+        # q189/q192/q193/q194 in-window; q172 stays pytest+local-gated)
+        "q222_bigram_nll_documents": q222_bigram_nll_documents,
         # session-f image-stage gates #2 (color census + sharpness);
         # one free slot used, q27 exact-cosine demoted (documented
         # O(n²) audit op, stable green since r2, stays pytest-gated)
@@ -5233,6 +5237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # since r1, q33 keeps grouped top-k in-window)
         "q179_movwind_documents": q179_movwind_documents,
         # ---- past the driver's 50-key window (pytest-gated only) ----
+        "q172_letterbox_documents": q172_letterbox_documents,
         "q34_interval_join_events": q34_interval_join_events,
         "q37_running_events": q37_running_events,
         "q22_topk_orders": q22_topk_orders,
@@ -5404,7 +5409,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_theil_events": q219_theil_events,
         "q220_volatility_events": q220_volatility_events,
         "q221_setjoin_documents": q221_setjoin_documents,
-        "q222_bigram_nll_documents": q222_bigram_nll_documents,
     }
 
 
