@@ -5129,6 +5129,29 @@ def q222_bigram_nll_documents(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q223_pca_rerank_topk(sf_dir: str):
+    """PCA-coarse + exact-rerank ANN (ops/ann.pca_rerank_topk): the
+    third point on the exact↔approx dial (q20 brute / q21 IVF / this).
+    Returned scores are exact full-space cosine; candidate recall is
+    the dial (recall ≥ 0.9 pytest-gated; pool=corpus ⇒ ≡ q20) — no SQL
+    oracle (eigendecomposition), driver records rows-only."""
+    from raqc_ray.ops.ann import pca_rerank_topk
+
+    qdf = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .filter(expr="vec_id < 8")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(qdf["embedding"].to_list())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pca_rerank_topk(ds, queries, k=5, k_components=16,
+                          pool=100).to_pandas()
+    out["score"] = out["score"].round(4)
+    return (out[["query_id", "vec_id", "score", "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5409,6 +5432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_theil_events": q219_theil_events,
         "q220_volatility_events": q220_volatility_events,
         "q221_setjoin_documents": q221_setjoin_documents,
+        "q223_pca_rerank_topk": q223_pca_rerank_topk,
     }
 
 

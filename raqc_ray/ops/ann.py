@@ -141,3 +141,117 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pandas"
     )
+
+
+# ------------------------------------------------------ PCA + re-rank path
+
+
+def pca_rerank_topk(emb_ds, queries: np.ndarray, k: int = 10,
+                    k_components: int = 8, pool: int | None = None):
+    """Two-stage ANN: PCA coarse scan + exact full-space re-rank — the
+    third point on the exact↔approx dial (q20 brute / q21 IVF / this).
+
+    Stage 1 (coarse): embeddings are ℓ2-normalized and projected onto
+    an UNCENTERED orthonormal basis A = [mean-direction ⊥ top-(k-1)
+    covariance eigenvectors] (the rank-1 mean correction makes
+    ``(q@Aᵀ)·(e@Aᵀ) = q A Aᵀ e ≈ q·e`` — centered projections would
+    inject a per-candidate ``-m·e`` bias into the ranking).  Each block
+    emits its local top-``pool`` per query on the k-dim dot — a
+    (dim→k)-cheaper matmul; only (nq × pool) id rows ever move.
+
+    Stage 2 (exact): the candidate-id set (nq × pool, driver-small) is
+    broadcast; one more streaming pass scores ONLY candidate rows with
+    the exact full-dim cosine and keeps the global top-k.
+
+    Recall < 1 by design (dial = k_components / pool); the re-rank
+    makes every returned score exact.  Same result schema as
+    ``brute_topk``: (query_id, vec_id, score, rank)."""
+    from .dedup import _emb_matrix
+    from .embcov import pca_model
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = q.shape[1]
+    if pool is None:
+        pool = max(5 * k, 20)
+
+    def norm_block(b: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(b["embedding"], dim))
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float64()), dim)})
+
+    nds = emb_ds.map_batches(norm_block, batch_format="pyarrow"
+                             ).materialize()  # reused: fit + coarse + rerank
+
+    mean, comps, _ = pca_model(nds, "embedding", dim,
+                               k=max(1, k_components - 1))
+    # orthonormal uncentered basis: mean direction first, eigenvectors
+    # Gram-Schmidt'd against it
+    rows = []
+    mn = np.linalg.norm(mean)
+    if mn > 1e-12:
+        rows.append(mean / mn)
+    for v in comps:
+        for u in rows:
+            v = v - (v @ u) * u
+        nv = np.linalg.norm(v)
+        if nv > 1e-9:
+            rows.append(v / nv)
+    basis = np.stack(rows[:k_components])  # (kc, dim)
+
+    qproj = q @ basis.T  # (nq, kc)
+    bref = ray.put((qproj, basis.T))
+
+    def coarse(b: pa.Table) -> pa.Table:
+        qp, bt = ray.get(bref)
+        emb = _emb_matrix(b["embedding"], dim)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sim = qp @ (emb @ bt).T  # (nq, batch) in k-dim space
+        kk = min(pool, sim.shape[1])
+        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            out_q.extend([qi] * kk)
+            out_v.extend(ids[top[qi]].tolist())
+            out_s.extend(sim[qi, top[qi]].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    cand = (nds.map_batches(coarse, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(lambda g: _merge_topk(g, pool),
+                        batch_format="pandas")).to_pandas()
+    # (query_id, vec_id) candidate pairs — nq × pool, driver-small
+    cand_pairs = set(zip(cand["query_id"].astype(int),
+                         cand["vec_id"].astype(int)))
+    cand_ids = np.unique(cand["vec_id"].to_numpy(np.int64))
+    pref = ray.put((q, cand_ids, cand_pairs))
+
+    def exact(b: pa.Table) -> pa.Table:
+        qm, cids, pairs = ray.get(pref)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, cids)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        emb = _normalize(_emb_matrix(b["embedding"], qm.shape[1])[keep])
+        ids = ids[keep]
+        sim = qm @ emb.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            for ci in range(len(ids)):
+                if (qi, int(ids[ci])) in pairs:
+                    out_q.append(qi)
+                    out_v.append(int(ids[ci]))
+                    out_s.append(float(sim[qi, ci]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    return (nds.map_batches(exact, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(lambda g: _merge_topk(g, k),
+                        batch_format="pandas"))

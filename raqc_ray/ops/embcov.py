@@ -204,3 +204,73 @@ def pca_top(ds, emb_col: str, dim: int, k: int = 4,
                         float(w[idx]) / trace if trace else 0.0))
     return pd.DataFrame(out, columns=["comp", "pos", "loading",
                                       "eigval", "evr"])
+
+
+# ------------------------------------------------------------- projection
+
+
+def pca_model(ds, emb_col: str, dim: int, k: int = 8,
+              scale: int = 10_000):
+    """Fit a PCA model for PROJECTION: returns
+    ``(mean, components, eigvals)`` with ``mean`` the (dim,) corpus
+    mean (exact int64 sums / (n*scale), same quantized discipline as
+    the covariance), ``components`` the (k, dim) sign-fixed top-k
+    eigenvector matrix from :func:`pca_top`, ``eigvals`` (k,).
+
+    Fit is two data passes (mean partials + the covariance partials),
+    both constant-size shuffles; everything else is driver-side dim²
+    work — corpus-size-independent."""
+    from ray.data.aggregate import Sum
+
+    rows = pca_top(ds, emb_col, dim, k=k, scale=scale)
+    comps = np.zeros((k, dim), dtype=np.float64)
+    eig = np.zeros(k, dtype=np.float64)
+    c = rows["comp"].to_numpy(np.int64) - 1
+    p = rows["pos"].to_numpy(np.int64) - 1
+    comps[c, p] = rows["loading"].to_numpy(np.float64)
+    eig[c[p == 0]] = rows["eigval"].to_numpy(np.float64)[p == 0]
+
+    def mean_partials(b: pa.Table) -> pd.DataFrame:
+        emb = _emb_matrix(b[emb_col], dim)
+        q = np.floor(emb * scale).astype(np.int64)
+        return pd.DataFrame({
+            "i": np.arange(dim + 1, dtype=np.int64),
+            "s": np.concatenate([np.asarray([q.shape[0]], dtype=np.int64),
+                                 q.sum(axis=0, dtype=np.int64)])})
+
+    m = (ds.map_batches(mean_partials, batch_format="pyarrow")
+         .groupby("i").aggregate(Sum("s", alias_name="s"))).to_pandas()
+    m = m.sort_values("i").reset_index(drop=True)
+    n = int(m["s"].iloc[0])
+    mean = m["s"].to_numpy(np.float64)[1:] / (float(n) * float(scale))
+    return mean, comps, eig
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray,
+                emb_col: str = "embedding", id_col: str = "vec_id",
+                out_col: str = "proj"):
+    """Project every embedding onto the fitted components:
+    ``proj = (e - mean) @ components.T`` — one broadcast (``ray.put``
+    of the (k+1) × dim model, once) and one matmul per block; output
+    is ``(id_col, out_col)`` with ``out_col`` a fixed-size-list<double>
+    of length k.  The dim→k reduction that feeds LSH / coarse ANN."""
+    import ray
+
+    from .dedup import _emb_matrix as _em
+
+    dim = components.shape[1]
+    kk = components.shape[0]
+    ref = ray.put((np.ascontiguousarray(mean, dtype=np.float64),
+                   np.ascontiguousarray(components.T, dtype=np.float64)))
+
+    def proj(b: pa.Table) -> pa.Table:
+        mn, vt = ray.get(ref)
+        emb = _em(b[emb_col], dim)
+        pm = (emb - mn) @ vt  # (batch, k)
+        return pa.table({
+            id_col: b[id_col],
+            out_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(pm.ravel(), pa.float64()), kk),
+        })
+
+    return ds.map_batches(proj, batch_format="pyarrow")
