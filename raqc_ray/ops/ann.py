@@ -35,11 +35,11 @@ def _partial_topk(batch: pa.Table, qref, k: int) -> pa.Table:
     sim = q @ emb.T  # (nq, batch)
     kk = min(k, sim.shape[1])
     top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-    out_q, out_v, out_s = [], [], []
-    for qi in range(sim.shape[0]):
-        out_q.extend([qi] * kk)
-        out_v.extend(ids[top[qi]].tolist())
-        out_s.extend(sim[qi, top[qi]].tolist())
+    # vectorized emission (no per-query Python loop — it dominates at
+    # large nq): (nq, kk) index grids raveled once
+    out_q = np.repeat(np.arange(sim.shape[0], dtype=np.int64), kk)
+    out_v = ids[top].ravel().astype(np.int64, copy=False)
+    out_s = np.take_along_axis(sim, top, axis=1).ravel()
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
@@ -146,8 +146,43 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
 # ------------------------------------------------------ PCA + re-rank path
 
 
+def pca_fit_basis(emb_ds, dim: int, k_components: int = 8) -> np.ndarray:
+    """Fit the (k_components, dim) uncentered orthonormal coarse basis
+    for :func:`pca_rerank_topk` over ℓ2-NORMALIZED embeddings: the mean
+    direction first, then the top covariance eigenvectors Gram-Schmidt'd
+    against it.  Fit ONCE per corpus (two constant-shuffle passes) and
+    reuse across query batches — refitting per search is where a PCA-ANN
+    stack loses to brute force at small query counts."""
+    from .embcov import pca_model
+
+    def norm_block(b: pa.Table) -> pa.Table:
+        from .dedup import _emb_matrix
+
+        emb = _normalize(_emb_matrix(b["embedding"], dim))
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float64()), dim)})
+
+    nds = emb_ds.map_batches(norm_block, batch_format="pyarrow")
+    mean, comps, _ = pca_model(nds, "embedding", dim,
+                               k=max(1, k_components - 1))
+    rows = []
+    mn = np.linalg.norm(mean)
+    if mn > 1e-12:
+        rows.append(mean / mn)
+    for v in comps:
+        for u in rows:
+            v = v - (v @ u) * u
+        nv = np.linalg.norm(v)
+        if nv > 1e-9:
+            rows.append(v / nv)
+    return np.stack(rows[:k_components])
+
+
 def pca_rerank_topk(emb_ds, queries: np.ndarray, k: int = 10,
-                    k_components: int = 8, pool: int | None = None):
+                    k_components: int = 8, pool: int | None = None,
+                    basis: np.ndarray | None = None):
     """Two-stage ANN: PCA coarse scan + exact full-space re-rank — the
     third point on the exact↔approx dial (q20 brute / q21 IVF / this).
 
@@ -165,93 +200,96 @@ def pca_rerank_topk(emb_ds, queries: np.ndarray, k: int = 10,
 
     Recall < 1 by design (dial = k_components / pool); the re-rank
     makes every returned score exact.  Same result schema as
-    ``brute_topk``: (query_id, vec_id, score, rank)."""
+    ``brute_topk``: (query_id, vec_id, score, rank).
+
+    ``basis``: pass a pre-fit :func:`pca_fit_basis` result to amortize
+    the two fit passes across query batches — the fit-once/search-many
+    contract.  With ``basis=None`` the fit runs inline (fine for large
+    query batches; at small nq brute force wins, see BASELINE.md)."""
     from .dedup import _emb_matrix
-    from .embcov import pca_model
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     dim = q.shape[1]
     if pool is None:
         pool = max(5 * k, 20)
 
-    def norm_block(b: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(b["embedding"], dim))
-        return pa.table({
-            "vec_id": b["vec_id"],
-            "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(emb.ravel(), pa.float64()), dim)})
+    if basis is None:
+        # inline fit: normalize once, materialize, reuse for the fit's
+        # two passes plus coarse + exact (coarse/exact re-normalize —
+        # idempotent here)
+        def norm_block(b: pa.Table) -> pa.Table:
+            emb = _normalize(_emb_matrix(b["embedding"], dim))
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.ravel(), pa.float64()), dim)})
 
-    nds = emb_ds.map_batches(norm_block, batch_format="pyarrow"
-                             ).materialize()  # reused: fit + coarse + rerank
-
-    mean, comps, _ = pca_model(nds, "embedding", dim,
-                               k=max(1, k_components - 1))
-    # orthonormal uncentered basis: mean direction first, eigenvectors
-    # Gram-Schmidt'd against it
-    rows = []
-    mn = np.linalg.norm(mean)
-    if mn > 1e-12:
-        rows.append(mean / mn)
-    for v in comps:
-        for u in rows:
-            v = v - (v @ u) * u
-        nv = np.linalg.norm(v)
-        if nv > 1e-9:
-            rows.append(v / nv)
-    basis = np.stack(rows[:k_components])  # (kc, dim)
+        src = emb_ds.map_batches(norm_block, batch_format="pyarrow"
+                                 ).materialize()
+        basis = pca_fit_basis(src, dim, k_components)  # (kc, dim)
+    else:
+        # prefit basis (fit-once/search-many): stream the raw dataset —
+        # no normalize-materialize copy of the corpus
+        src = emb_ds
+    basis = np.ascontiguousarray(basis, dtype=np.float64)
 
     qproj = q @ basis.T  # (nq, kc)
     bref = ray.put((qproj, basis.T))
 
     def coarse(b: pa.Table) -> pa.Table:
         qp, bt = ray.get(bref)
-        emb = _emb_matrix(b["embedding"], dim)
+        emb = _normalize(_emb_matrix(b["embedding"], dim))
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         sim = qp @ (emb @ bt).T  # (nq, batch) in k-dim space
         kk = min(pool, sim.shape[1])
         top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sim.shape[0]):
-            out_q.extend([qi] * kk)
-            out_v.extend(ids[top[qi]].tolist())
-            out_s.extend(sim[qi, top[qi]].tolist())
+        out_q = np.repeat(np.arange(sim.shape[0], dtype=np.int64), kk)
+        out_v = ids[top].ravel().astype(np.int64, copy=False)
+        out_s = np.take_along_axis(sim, top, axis=1).ravel()
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})
 
-    cand = (nds.map_batches(coarse, batch_format="pyarrow")
+    cand = (src.map_batches(coarse, batch_format="pyarrow")
             .groupby("query_id")
             .map_groups(lambda g: _merge_topk(g, pool),
                         batch_format="pandas")).to_pandas()
-    # (query_id, vec_id) candidate pairs — nq × pool, driver-small
-    cand_pairs = set(zip(cand["query_id"].astype(int),
-                         cand["vec_id"].astype(int)))
+    # (query_id, vec_id) candidate pairs — nq × pool, driver-small;
+    # membership as a dense (nq, n_cand_ids) bit matrix over the sorted
+    # unique candidate ids so the scoring pass is loop-free
     cand_ids = np.unique(cand["vec_id"].to_numpy(np.int64))
-    pref = ray.put((q, cand_ids, cand_pairs))
+    member = np.zeros((q.shape[0], len(cand_ids)), dtype=bool)
+    member[cand["query_id"].to_numpy(np.int64),
+           np.searchsorted(cand_ids,
+                           cand["vec_id"].to_numpy(np.int64))] = True
+    pref = ray.put((q, cand_ids, member))
 
     def exact(b: pa.Table) -> pa.Table:
-        qm, cids, pairs = ray.get(pref)
+        qm, cids, mem = ray.get(pref)
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, cids)
+        pos = np.searchsorted(cids, ids)
+        pos[pos >= len(cids)] = 0
+        keep = cids[pos] == ids
         if not keep.any():
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
         emb = _normalize(_emb_matrix(b["embedding"], qm.shape[1])[keep])
         ids = ids[keep]
-        sim = qm @ emb.T
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sim.shape[0]):
-            for ci in range(len(ids)):
-                if (qi, int(ids[ci])) in pairs:
-                    out_q.append(qi)
-                    out_v.append(int(ids[ci]))
-                    out_s.append(float(sim[qi, ci]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
-                         "score": pa.array(out_s, pa.float64())})
+        mask = mem[:, pos[keep]]  # (nq, kept) candidate membership
+        qi, ci = np.nonzero(mask)
+        if len(qi) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        sim = qm @ emb.T  # (nq, kept) exact full-dim cosine
+        return pa.table({"query_id": pa.array(qi.astype(np.int64),
+                                              pa.int64()),
+                         "vec_id": pa.array(ids[ci].astype(np.int64),
+                                            pa.int64()),
+                         "score": pa.array(sim[qi, ci], pa.float64())})
 
-    return (nds.map_batches(exact, batch_format="pyarrow")
+    return (src.map_batches(exact, batch_format="pyarrow")
             .groupby("query_id")
             .map_groups(lambda g: _merge_topk(g, k),
                         batch_format="pandas"))
