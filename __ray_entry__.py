@@ -2913,6 +2913,7 @@ def q138_chi2_events(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "ts"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["ts"])  # NaT would alias to a fake dow
         day = (df["ts"].to_numpy().astype("datetime64[us]")
                .astype(np.int64) // 86_400_000_000)
         return pd.DataFrame({
@@ -7284,6 +7285,7 @@ def oracle_sql() -> dict[str, str]:
                        ((CAST(epoch_us(ts) // 86400000000 AS BIGINT)
                          + 3) % 7) + 1 AS dow
                 FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
             ), c AS (
                 SELECT event_type, dow, COUNT(*) AS o
                 FROM t GROUP BY event_type, dow
@@ -8780,7 +8782,9 @@ def oracle_sql() -> dict[str, str]:
         "q205_mi_documents": """
             WITH c AS (
                 SELECT lang, source, COUNT(*) AS o
-                FROM documents GROUP BY lang, source
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY lang, source
             ), ra AS (
                 SELECT lang, SUM(o) AS r FROM c GROUP BY lang
             ), cb AS (
@@ -8903,7 +8907,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE n_chars > 0
             ), s AS (
                 SELECT doc_id, source, n_chars FROM h
-                ORDER BY LN((hv + 1) / 2147483648.0) / n_chars DESC,
+                ORDER BY ROUND(LN((hv + 1) / 2147483648.0) / n_chars,
+                               9) DESC,
                          doc_id
                 LIMIT 100
             )

@@ -41,7 +41,13 @@ def calibration_curve(ds, label_col: str, cents_col: str,
         return df[df[cents_col].to_numpy() >= 0]
 
     m = ds.map_batches(nonneg, batch_format="pandas").materialize()
-    mx = int(m.max(cents_col))
+    mx = m.max(cents_col)
+    if mx is None:  # zero non-negative rows: empty curve, declared schema
+        return rd.from_pandas(pd.DataFrame({
+            c: pd.Series(dtype="int64")
+            for c in ("bucket", "n", "n_pos", "sum_cents",
+                      "mean_cents", "pos_rate_ppm")}))
+    mx = int(mx)
     width = np.int64(mx + 1)
     nb = np.int64(n_buckets)
 

@@ -44,12 +44,19 @@ def mutual_information(ds, a_col: str, b_col: str, round_to: int = 6):
 
     RAQC analog: SURVEY §2.9 F1 is within-column drift; MI/G is the
     information-theoretic cross-column dependence audit (chi-square's
-    complement — robust when expected counts are small)."""
+    complement — robust when expected counts are small).
+
+    Domain: rows with a null in EITHER column are excluded (explicit
+    filter, mirrored by the oracle's ``IS NOT NULL`` WHERE) — the
+    statistic is over the observed joint distribution, and a null
+    category would otherwise be silently dropped by the pandas
+    combiner but kept by SQL ``GROUP BY``."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[a_col, b_col]].copy()
+        d = df[[a_col, b_col]].dropna()
+        d = d.copy()
         d["__o"] = np.ones(len(d), dtype=np.int64)
         return d.groupby([a_col, b_col], sort=False, as_index=False).sum()
 
@@ -82,12 +89,15 @@ def chi_square_independence(ds, a_col: str, b_col: str,
     """Single-row Dataset ``(n, cells, dof, chi2)``: the scaled
     chi-square statistic of independence between ``a_col`` and
     ``b_col`` (``chi2`` per the module's exact floor convention,
-    ``dof = (|A|−1)(|B|−1)``, ``cells`` = observed non-zero cells)."""
+    ``dof = (|A|−1)(|B|−1)``, ``cells`` = observed non-zero cells).
+    Null-key rows are excluded (same non-null domain contract as
+    :func:`mutual_information`, oracle-mirrored)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[a_col, b_col]].copy()
+        d = df[[a_col, b_col]].dropna()
+        d = d.copy()
         d["__o"] = np.ones(len(d), dtype=np.int64)
         return d.groupby([a_col, b_col], sort=False, as_index=False).sum()
 

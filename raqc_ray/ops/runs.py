@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .groupscan import scan_sorted_groups
 
@@ -184,8 +185,14 @@ def burstiness_stats(ds, key: str, ts: str, tiebreak: str,
     surface (event-stream temporal-quality screen: scraper retry
     storms and replayed logs are bursty; synthetic/beaconed streams
     are periodic)."""
+    from ._join_util import arrow_schema
+
+    # key dtype from the input schema (same pattern as
+    # cusum.grouped_changepoint) — string keys work in the block path
+    key_dtype = (pa.schema([arrow_schema(ds).field(key)])
+                 .empty_table().to_pandas()[key].dtype)
     out_empty = pd.DataFrame({
-        key: pd.Series(dtype="int64"),
+        key: pd.Series(dtype=key_dtype),
         "n_gaps": pd.Series(dtype="int64"),
         "gap_sum_s": pd.Series(dtype="int64"),
         "gap_sum2_s": pd.Series(dtype="int64"),
@@ -222,7 +229,7 @@ def burstiness_stats(ds, key: str, ts: str, tiebreak: str,
     def block_fn(interior: pd.DataFrame, gs_: np.ndarray,
                  ge_: np.ndarray) -> pd.DataFrame:
         s = interior.sort_values([key, ts, tiebreak], kind="mergesort")
-        k = s[key].to_numpy(dtype=np.int64)
+        k = s[key].to_numpy()
         t = s[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
         n = len(s)
         d = (t[1:] - t[:-1]) // 1_000_000

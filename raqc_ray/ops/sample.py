@@ -182,7 +182,10 @@ def weighted_sample_n(ds, key_col: str, weight_col: str, n: int,
 
     The engine orders by the monotone-equivalent ``ln(u)/w``
     descending (ties → key ascending) — the same double expression the
-    DuckDB oracle computes, so ranking agrees bit-for-bit.  Plan:
+    DuckDB oracle computes, ROUNDED to 9 dp before ordering on both
+    sides (numpy ``log`` and DuckDB ``LN`` may differ in the last ulp;
+    rounding first makes the rank-n boundary platform-independent, the
+    repo's round-before-order discipline — cf. ``bm25_topk``).  Plan:
     per-block top-n prune (sort + head inside ``map_batches``) so the
     global sort moves ≤ n rows per block, then ``sort().limit(n)``.
     Unlike :func:`weighted_hash_sample` (Bernoulli, EXPECTED rate)
@@ -198,8 +201,8 @@ def weighted_sample_n(ds, key_col: str, weight_col: str, n: int,
         out = df[w > 0.0].copy()
         keys = out[key_col].to_numpy().astype(np.int64)
         hv = _lehmer(keys, salt)
-        out["__es_key"] = (np.log((hv + np.int64(1)) / 2147483648.0)
-                           / w[w > 0.0])
+        out["__es_key"] = np.round(
+            np.log((hv + np.int64(1)) / 2147483648.0) / w[w > 0.0], 9)
         return (out.sort_values(["__es_key", key_col],
                                 ascending=[False, True],
                                 kind="mergesort").head(n))

@@ -21,12 +21,16 @@ candidate on workers.
 
 Two global orders are provided:
 
-- ``order="hash"`` (default): the shingle hash value itself.  One
+- ``order="hash"``: the shingle hash value itself.  One
   shuffle (the token-bucket sort).  Hash order is uniform-random over
   the vocabulary, so a high-document-frequency shingle is as likely to
   land in prefixes as a rare one — fine for fixture-scale and
-  low-redundancy corpora, quadratic-bucket risk on stopword-heavy ones.
-- ``order="df"``: ascending document frequency (the PPJoin ordering).
+  low-redundancy corpora, quadratic-bucket risk on stopword-heavy ones
+  (opt-in when the corpus is known low-redundancy and the extra two
+  sorts matter).
+- ``order="df"`` (DEFAULT — VERDICT r4 #4: at 100-TB the df order is
+  the only safe default; callers should not discover skew via a raised
+  ``max_bucket``): ascending document frequency (the PPJoin ordering).
   Two extra sorts of the narrow exploded token stream — sort by tok to
   annotate df (= segment length; a hash ``groupby(tok).count()`` over
   the vocabulary-cardinality key set measured 40× slower), sort by doc
@@ -142,7 +146,7 @@ def _bucket_pairs_block(interior: pd.DataFrame, starts: np.ndarray,
 
 
 def prefix_jaccard_join(docs_ds, k_shingle: int = 3,
-                        threshold: float = 0.5, order: str = "hash",
+                        threshold: float = 0.5, order: str = "df",
                         max_bucket: int = 100_000):
     """Exact n-gram Jaccard self-join over ``documents(doc_id, text)``.
 

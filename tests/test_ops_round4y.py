@@ -272,6 +272,42 @@ def test_calibration_closed_form(ray_session):
     assert out["mean_cents"].iloc[0] == 4
 
 
+def test_calibration_all_negative_empty(ray_session):
+    """ADVICE r4: zero non-negative rows must yield an EMPTY curve
+    with the declared schema, not TypeError(int(None))."""
+    from raqc_ray.ops.calibration import calibration_curve
+
+    df = pd.DataFrame({"cents": np.array([-5, -1, -99], dtype=np.int64),
+                       "lab": np.array([0, 1, 0], dtype=np.int64)})
+    out = calibration_curve(_ds(df, 2), "lab", "cents")
+    # empty to_pandas drops columns (engine-wide quirk) — assert on the
+    # Dataset schema
+    assert out.count() == 0
+    assert set(out.schema().names) >= {"bucket", "n", "n_pos",
+                                       "sum_cents", "mean_cents",
+                                       "pos_rate_ppm"}
+
+
+def test_burstiness_string_key(ray_session):
+    """ADVICE r4: key dtype derives from the Arrow schema — string
+    keys must survive the vectorized block path."""
+    from raqc_ray.ops.runs import burstiness_stats
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "b"],
+        "ts": [base, base + pd.Timedelta(seconds=10),
+               base + pd.Timedelta(seconds=20),
+               base, base, base + pd.Timedelta(seconds=20)],
+        "id": [1, 2, 3, 4, 5, 6],
+    })
+    out = (burstiness_stats(_ds(df, 3), "k", "ts", "id").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["gap_sum_s"].tolist() == [20, 20]
+    assert out["gap_sum2_s"].tolist() == [200, 400]
+
+
 def test_calibration_drops_negative_and_layout(ray_session):
     from raqc_ray.ops.calibration import calibration_curve
 

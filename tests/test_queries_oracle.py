@@ -183,7 +183,8 @@ ROWS_ONLY_KEYS = ["q16_langid_documents", "q17_minhash_dedup_documents",
                   "q21_ivf_ann_topk", "q24_rolling_fp_documents",
                   "q25_validate_documents", "q73_dedup_corpus_documents",
                   "q80_heavy_hitters_documents", "q81_kmeans_embeddings",
-                  "q162_compress_documents", "q187_pca_embeddings"]
+                  "q162_compress_documents", "q187_pca_embeddings",
+                  "q223_pca_rerank_topk"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
@@ -198,6 +199,11 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     o = set(entry_mod.oracle_sql())
     assert o <= q
     assert set(SQL_KEYS) == o
+    # completeness: EVERY queries() key runs under this replica gate —
+    # either oracle-checked (SQL_KEYS) or rows-only (ROWS_ONLY_KEYS);
+    # a new key that registers in neither fails here (VERDICT r4 #3)
+    assert set(SQL_KEYS) | set(ROWS_ONLY_KEYS) == q, (
+        sorted((set(SQL_KEYS) | set(ROWS_ONLY_KEYS)) ^ q))
 
 
 def test_entry_smoke(entry_mod):

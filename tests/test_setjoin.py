@@ -107,7 +107,49 @@ def test_layout_invariance(corpus):
 def test_hot_bucket_guard(corpus):
     ds = rd.from_pandas(corpus)
     with pytest.raises(Exception, match="max_bucket"):
-        prefix_jaccard_join(ds, threshold=0.5, max_bucket=2).to_pandas()
+        prefix_jaccard_join(ds, threshold=0.5, order="hash",
+                            max_bucket=2).to_pandas()
+
+
+def _stopword_corpus(n=80, seed=5):
+    """Adversarially skewed vocabulary: every doc opens with the same
+    12-token boilerplate (its 3-gram shingles hit df = n) followed by a
+    10-16-token unique tail — the stopword-heavy regime where
+    hash-order prefixes produce an n-sized bucket but df-order (PPJoin)
+    prefixes stay inside the rare tail shingles.  One near-dup pair is
+    planted (doc 1 = doc 0 with a one-token tail edit)."""
+    rng = np.random.default_rng(seed)
+    boiler = ("terms of service apply to all content on this page "
+              "please read")
+    texts = []
+    for i in range(n):
+        tail = " ".join(f"tail{i}x{j}"
+                        for j in range(rng.integers(10, 17)))
+        texts.append(f"{boiler} {tail}")
+    toks = texts[0].split()
+    toks[-1] = "edited"
+    texts[1] = " ".join(toks)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+def test_df_default_survives_stopword_skew(ray_session):
+    """VERDICT r4 #4: the df (PPJoin) DEFAULT must pass a skewed
+    stopword-heavy corpus without tripping max_bucket, where the
+    hash order trips it at the same setting."""
+    docs = _stopword_corpus()
+    ds = rd.from_pandas(docs).repartition(5)
+    # df order (the default) — rare tail shingles fill the prefixes
+    got = _canon(prefix_jaccard_join(ds, threshold=0.6,
+                                     max_bucket=20).to_pandas())
+    want = _canon(_exact_bruteforce(docs, 3, 0.6))
+    assert len(want) > 0  # the planted pair qualifies
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # hash order at the same cap: boilerplate shingles land in
+    # prefixes and the bucket guard fires
+    with pytest.raises(Exception, match="max_bucket"):
+        prefix_jaccard_join(ds, threshold=0.6, order="hash",
+                            max_bucket=20).to_pandas()
 
 
 def test_empty_and_singleton(ray_session):
