@@ -5153,6 +5153,55 @@ def q223_pca_rerank_topk(sf_dir: str):
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def q224_ols_events(sf_dir: str):
+    """Grouped two-predictor OLS (ops/regression.grouped_ols2):
+    purchase value (cents) regressed on hour-of-day and epoch-day per
+    event type — exact int64 moment sums (9 per key, lean keys×blocks
+    exchange), vectorized Cramer solve whose float epilogue mirrors
+    the SQL oracle token-for-token (round-6 both sides)."""
+    from raqc_ray.ops.regression import grouped_ols2
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["event_type", "ts", "value"])
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "k": df["event_type"].to_numpy(),
+            "x1": (t // 3_600_000_000) % 24,
+            "x2": t // 86_400_000_000,
+            "y": np.floor(df["value"].to_numpy(dtype=np.float64)
+                          * 100.0 + 0.5).astype(np.int64),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_ols2(pds, "k", "x1", "x2", "y"))
+    df["n"] = df["n"].astype("int64")
+    for c in ("b0", "b1", "b2"):
+        df[c] = df[c].astype("float64")
+    df = df.rename(columns={"k": "event_type"})
+    return (df[["event_type", "n", "b0", "b1", "b2"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def q225_vocab_overlap_documents(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard overlap (ops/vocabsim
+    .source_vocab_overlap): block-deduped (token, source) carriers,
+    ONE token sort, presence-matrix Gram matmul per block — no
+    vocabulary-cardinality hash aggregate; |sources|²-sized partials
+    only.  Full SQL oracle (DISTINCT pairs self-join)."""
+    from raqc_ray.ops.vocabsim import source_vocab_overlap
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    df = _typed_pandas(source_vocab_overlap(docs, "source", "text"))
+    for c in ("v_a", "v_b", "n_inter", "n_union"):
+        df[c] = df[c].astype("int64")
+    df["jaccard"] = df["jaccard"].astype("float64")
+    return (df[["src_a", "src_b", "v_a", "v_b", "n_inter", "n_union",
+                "jaccard"]]
+            .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5447,6 +5496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_theil_events": q219_theil_events,
         "q220_volatility_events": q220_volatility_events,
         "q223_pca_rerank_topk": q223_pca_rerank_topk,
+        "q224_ols_events": q224_ols_events,
+        "q225_vocab_overlap_documents": q225_vocab_overlap_documents,
     }
 
 
@@ -9236,6 +9287,90 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN v
             GROUP BY g.doc_id
             ORDER BY g.doc_id
+        """,
+        "q224_ols_events": """
+            WITH e AS (
+                SELECT event_type AS k,
+                       (CAST(epoch_us(ts) // 3600000000 AS BIGINT)) % 24
+                           AS x1,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x2,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+            ), m AS (
+                SELECT k, COUNT(*) AS n,
+                       SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+                       SUM(x1*x1) AS sx1x1, SUM(x1*x2) AS sx1x2,
+                       SUM(x2*x2) AS sx2x2,
+                       SUM(x1*y) AS sx1y, SUM(x2*y) AS sx2y
+                FROM e GROUP BY k HAVING COUNT(*) >= 3
+            ), c AS (
+                SELECT k, n,
+                       CAST(n AS DOUBLE) AS nf,
+                       CAST(sx1 AS DOUBLE) AS fsx1,
+                       CAST(sx2 AS DOUBLE) AS fsx2,
+                       CAST(sy AS DOUBLE) AS fsy,
+                       CAST(sx1x1 AS DOUBLE)
+                           - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS c11,
+                       CAST(sx1x2 AS DOUBLE)
+                           - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS c12,
+                       CAST(sx2x2 AS DOUBLE)
+                           - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS c22,
+                       CAST(sx1y AS DOUBLE)
+                           - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS c1y,
+                       CAST(sx2y AS DOUBLE)
+                           - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS c2y
+                FROM m
+            ), s AS (
+                SELECT k, n, nf, fsx1, fsx2, fsy, c11, c12, c22,
+                       c1y, c2y, c11 * c22 - c12 * c12 AS det
+                FROM c
+            ), b AS (
+                SELECT k, n, nf, fsx1, fsx2, fsy,
+                       (c1y * c22 - c2y * c12) / det AS b1,
+                       (c2y * c11 - c1y * c12) / det AS b2
+                FROM s WHERE det <> 0
+            )
+            SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+                   ROUND((fsy - b1 * fsx1 - b2 * fsx2) / nf, 6) AS b0,
+                   ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
+            FROM b ORDER BY event_type
+        """,
+        "q225_vocab_overlap_documents": """
+            WITH toks AS (
+                SELECT DISTINCT source, tok FROM (
+                    SELECT source,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE text IS NOT NULL
+                ) WHERE tok <> ''
+            ), sizes AS (
+                SELECT source, COUNT(*) AS v FROM toks GROUP BY source
+            ), inter AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       COUNT(*) AS n_inter
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT sa.source AS src_a, sb.source AS src_b,
+                   CAST(sa.v AS BIGINT) AS v_a,
+                   CAST(sb.v AS BIGINT) AS v_b,
+                   CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+                   CAST(sa.v + sb.v - COALESCE(i.n_inter, 0) AS BIGINT)
+                       AS n_union,
+                   ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                         / (sa.v + sb.v - COALESCE(i.n_inter, 0)), 6)
+                       AS jaccard
+            FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+            LEFT JOIN inter i
+              ON i.src_a = sa.source AND i.src_b = sb.source
+            ORDER BY 1, 2
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -93,6 +93,10 @@ class ExprCheck(CheckSpec):
     generalization of RangeCheck to arbitrary arithmetic/boolean
     predicates over several columns.  A row violates a rule where the
     predicate is NOT TRUE (FALSE or NULL — SQL ``IS NOT TRUE``).
+    Rules run only on rows that PASSED RangeCheck (the RAQC mask
+    chain: advanced masks apply after basic masks), so a ``w=0`` row
+    reports ``range`` once instead of range+expr — the FIXTURES.md §3
+    each-corruption-surfaces-exactly-once discipline.
     RAQC: ``[R] mask_advanced (rec.)`` generalized."""
 
     rules: tuple[ExprRule, ...] = ()
@@ -147,7 +151,10 @@ class ExposureCheck(CheckSpec):
 
     lo_c: int = 2000
     hi_c: int = 23500
-    max_clip_permille: int = 100
+    # 150‰: clean synthetic fixtures measure ≤ 63‰ clipped (worst of
+    # 400 samples incl. the e2 brightness shift) — 2.4× headroom —
+    # while the planted dark rows clip at 1000‰
+    max_clip_permille: int = 150
 
     @property
     def name(self) -> str:
@@ -397,7 +404,15 @@ def default_image_config(epoch: str, captions_path: str = "") -> RunConfig:
             )
         ),
         CaptionCheck(),
+        # cross-column invariant (SURVEY §2.2 M4 generalized): images
+        # must carry at least 32×32 = 1024 declared pixels
+        ExprCheck(rules=(
+            ExprRule("min_area",
+                     (">=", ("*", ("col", "w"), ("col", "h")),
+                      ("lit", 1024))),
+        )),
         DecodeCheck(),
+        ExposureCheck(),
         StatsCheck(columns=("w", "h", "phash")),
         CardinalityCheck(column="image_id"),
         QuantileCheck(column="w"),

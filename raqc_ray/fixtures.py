@@ -27,6 +27,11 @@ import pyarrow.parquet as pq
 from .codecs import encode_image, phash64, synth_image
 from .schema import CAPTIONS_SCHEMA, IMAGES_SCHEMA
 
+# bump when the corruption plan / image content changes: generate()
+# regenerates any cached fixture whose done-marker carries an older
+# version (rounds 1-4 had no marker version = version 1)
+FIXTURE_VERSION = 2
+
 # name -> (rows_per_epoch, rows_per_partition)
 PROFILES = {
     "t1": (1_000, 250),
@@ -75,6 +80,13 @@ class CorruptionPlan:
     neardup_src: tuple = (30, 31, 32, 33, 34, 35)
     neardup_dst: tuple = (70, 71, 72, 73, 74, 75)
     hot_bucket: tuple = tuple(range(100, 150))
+    # cross-column expr violations: 32×16 images (declared == decoded,
+    # so only the min_area rule trips — w·h = 512 < 1024)
+    expr_rows: tuple = (160, 161, 162)
+    # clipped-exposure violations: bytes hold a 0.05×-darkened render
+    # (1000‰ of luma cents ≤ lo_c) while phash keeps the CLEAN
+    # pattern's hash so the near-dup check stays disjoint
+    exposure_rows: tuple = (165, 166, 167, 168)
     n_orphans: int = 3
 
     def uniq_pairs(self, rows: int, rp: int) -> list[tuple[int, int]]:
@@ -151,12 +163,19 @@ def generate_partition(
     if sample_pixels_dir:
         os.makedirs(sample_pixels_dir, exist_ok=True)
 
+    expr_set = set(plan.expr_rows)
+    expo_set = set(plan.exposure_rows)
     for i in range(lo, hi):
         j = i - lo
         rng = _row_rng(seed, epoch_idx, i)
         di = rng.choice(len(dims_arr), p=dim_p)
         dj = rng.choice(len(dims_arr), p=dim_p)
         w, h = int(dims_arr[di]), int(dims_arr[dj])
+        if i in expr_set:
+            # min_area plant: 512 px, decoded dims still match declared
+            # (draw order above is preserved so other rows' streams are
+            # unchanged)
+            w, h = 32, 16
         # single rng draw keeps the stream identical to jpeg_frac=0 runs
         # (bench fixtures stay byte-for-byte reproducible)
         r = rng.random()
@@ -170,6 +189,12 @@ def generate_partition(
         bytes_arr[j] = encode_image(img, fmt)
         caption_arr[j] = _caption(rng)
         phash_arr[j] = phash64(img)
+        if i in expo_set:
+            # exposure plant: encode a darkened render (every luma cent
+            # ≤ lo_c) but keep the clean pattern's phash — near-dup
+            # and decode stay disjoint (dims/format untouched)
+            dark = (img.astype(np.float64) * 0.05).astype(np.uint8)
+            bytes_arr[j] = encode_image(dark, fmt)
         if (
             sample_pixels_dir
             and sample_stride
@@ -328,7 +353,12 @@ def generate(root: str, profile: str = "t1", seed: int = 42,
     marker = os.path.join(root, "FIXTURE_DONE.json")
     if os.path.exists(marker):
         with open(marker) as f:
-            return json.load(f)
+            m = json.load(f)
+        if m.get("fixture_version") == FIXTURE_VERSION:
+            return m
+        # stale corruption plan: regenerate in place (filenames are
+        # deterministic, so overwriting is a full refresh)
+        os.remove(marker)
     os.makedirs(root, exist_ok=True)
     m1 = generate_epoch(
         os.path.join(root, "e1"), "e1", rows, rp, seed, drift=False,
@@ -341,6 +371,7 @@ def generate(root: str, profile: str = "t1", seed: int = 42,
         parallel=parallel, jpeg_frac=jpeg_frac, dim_spec=dim_spec,
     )
     manifest = {
+        "fixture_version": FIXTURE_VERSION,
         "profile": profile,
         "seed": seed,
         "rows": rows,
@@ -393,6 +424,10 @@ def expected_violation_keys(manifest: dict, epoch: str) -> list[tuple]:
         keys.append((pid(i), epoch, "decode", iid(i), "bytes"))
     for i in plan.decode_dims:
         keys.append((pid(i), epoch, "decode", iid(i), "w"))
+    for i in plan.expr_rows:
+        keys.append((pid(i), epoch, "expr", iid(i), "min_area"))
+    for i in plan.exposure_rows:
+        keys.append((pid(i), epoch, "exposure", iid(i), "bytes"))
     # uniqueness: one violation per (image_id, partition) occurrence pair
     for src, dst in manifest["uniq_pairs"]:
         for p in sorted({pid(src), pid(dst)}):

@@ -45,29 +45,55 @@ def grouped_collect_set(ds, key: str, val: str, sep: str = ",",
                         out_col: str = "vals"):
     """Per-key sorted distinct-value concatenation — SQL
     ``string_agg(DISTINCT val, sep ORDER BY val)`` — plus
-    ``n_distinct``.  Plan: per-block drop_duplicates combiner (the
-    value stream shrinks to block-distinct pairs), ONE hash
-    ``groupby(key, val)`` for global distinct, then a per-key
-    map_groups join (groups are distinct-values-sized, never
-    row-sized).  Sorting before the join makes the string deterministic
-    across block layouts."""
-    from ray.data.aggregate import Count
+    ``n_distinct``.  Plan (round-5 port, VERDICT r4 #1): per-block
+    drop_duplicates combiner (the value stream shrinks to
+    block-distinct pairs), then the partials feed ONE
+    ``scan_sorted_groups`` pass whose ``block_fn`` dedups and joins
+    every key of a sorted block in one pandas call — no hash
+    ``groupby(key, val)`` exchange, no task-per-key ``map_groups``.
+    Values are stringified BEFORE sorting (string collation, "10" <
+    "2") so the concatenation is deterministic across layouts — the
+    original semantics."""
+    from .groupscan import scan_sorted_groups
+    from .vhist import gather_segments, key_pandas_dtype
 
     def block_sets(df: pd.DataFrame) -> pd.DataFrame:
         return df[[key, val]].drop_duplicates()
 
-    dedup = (ds.map_batches(block_sets, batch_format="pandas")
-             .groupby([key, val])
-             .aggregate(Count(alias_name="__c"))
-             .drop_columns(["__c"]))
+    dedup = ds.map_batches(block_sets, batch_format="pandas")
 
     def join_fn(g: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(map(str, g[val].tolist()))
+        # boundary groups may carry cross-block duplicates — the set()
+        # collapses them
+        vals = sorted(set(map(str, g[val].tolist())))
         return pd.DataFrame({key: [g[key].iloc[0]],
                              out_col: [sep.join(vals)],
                              "n_distinct": [np.int64(len(vals))]})
 
-    return dedup.groupby(key).map_groups(join_fn, batch_format="pandas")
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv_seg = df[key].to_numpy()[starts]
+        d = pd.DataFrame({"__seg": segid,
+                          "__v": df[val].to_numpy()[idx]})
+        d = d.drop_duplicates()
+        d["__v"] = d["__v"].map(str)
+        d = d.sort_values(["__seg", "__v"], kind="mergesort")
+        g = d.groupby("__seg", sort=True)["__v"]
+        joined = g.agg(sep.join)
+        counts = g.size()
+        segs = joined.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({key: kv_seg[segs],
+                             out_col: joined.to_numpy(),
+                             "n_distinct": counts.to_numpy(
+                                 dtype=np.int64)})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        out_col: pd.Series(dtype="object"),
+        "n_distinct": pd.Series(dtype="int64")})
+    return scan_sorted_groups(dedup, key, join_fn, out_empty,
+                              min_group=1, block_fn=block_fn)
 
 
 def rolling_count_distinct(ds, bucket_col: str, distinct_col: str,

@@ -3,14 +3,19 @@ distribution-health stat a training-data pipeline tracks per source /
 per user / per shard (a collapsed entropy flags template spam or a
 broken upstream filter).
 
-Plan: the same distributed value-histogram as
-:mod:`raqc_ray.ops.quantile_exact` — per-block ``(key, value) → count``
-combiner, ONE hash groupby Sum, then a per-key ``map_groups`` over the
-histogram rows (distinct-values-sized, never row-sized) computes
-``−Σ (c/n)·ln(c/n)``.  Counts are exact int64 (associative), so the
+Plan (round-5 port, VERDICT r4 #1): per-block ``(key, value) → count``
+combiner partials feed :func:`raqc_ray.ops.groupscan
+.scan_sorted_groups` directly — ONE sort of the histogram-sized
+stream, then a vectorized ``block_fn`` computes every key's entropy in
+one numpy pass.  Entropy needs GLOBAL per-distinct-value counts, so
+duplicate partial rows are merged in-segment (``vhist.merge_runs`` —
+equal values are adjacent after the in-segment value sort) instead of
+via the old ``groupby([key, value])`` hash aggregate + task-per-key
+``map_groups`` (measured 170× slower at 10M rows / 100k keys,
+BASELINE.md).  Counts are exact int64 (associative), so the
 probabilities are bit-identical across block layouts; the output is
-rounded (``round_to``) to absorb libm ln() last-ulp differences between
-engines.
+rounded (``round_to``) to absorb libm ln() last-ulp differences
+between engines.
 
 RAQC analog: none (SURVEY §2.5 stops at cardinality); §2 LLM-pipeline
 surface.
@@ -21,23 +26,26 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .vhist import (gather_segments, key_pandas_dtype, merge_runs,
+                    seg_bounds_of)
+
 
 def grouped_entropy(ds, key: str, value_col: str, round_to: int = 6):
     """Dataset ``(key, n, n_distinct, entropy)`` — natural-log Shannon
     entropy of the ``value_col`` distribution per key."""
-    from ray.data.aggregate import Sum
+    from .groupscan import scan_sorted_groups
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
         d = df[[key, value_col]].copy()
         d["__c"] = np.ones(len(d), dtype=np.int64)
         return d.groupby([key, value_col], sort=False, as_index=False).sum()
 
-    hist = (ds.map_batches(block_counts, batch_format="pandas")
-            .groupby([key, value_col])
-            .aggregate(Sum("__c", alias_name="__c")))
+    hist = ds.map_batches(block_counts, batch_format="pandas")
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["__c"].to_numpy(dtype=np.float64)
+        # boundary groups carry unmerged partials — merge first
+        c = (g.groupby(value_col)["__c"].sum()
+             .to_numpy(dtype=np.float64))
         n = c.sum()
         p = c / n
         ent = float(-(p * np.log(p)).sum())
@@ -46,4 +54,27 @@ def grouped_entropy(ds, key: str, value_col: str, round_to: int = 6):
                              "n_distinct": [np.int64(len(c))],
                              "entropy": [round(ent, round_to)]})
 
-    return hist.groupby(key).map_groups(finish, batch_format="pandas")
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv_seg = df[key].to_numpy()[starts]
+        v = df[value_col].to_numpy()[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
+        order = np.lexsort((v, segid))
+        _, seg_m, _, c_m = merge_runs(segid, v[order], c[order])
+        sm_starts, sm_sizes = seg_bounds_of(seg_m, len(sizes))
+        n = np.add.reduceat(c_m, sm_starts).astype(np.float64)
+        p = c_m / np.repeat(n, sm_sizes)
+        ent = -np.add.reduceat(p * np.log(p), sm_starts)
+        return pd.DataFrame({key: kv_seg,
+                             "n": n.astype(np.int64),
+                             "n_distinct": sm_sizes,
+                             "entropy": np.round(ent, round_to)})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "n": pd.Series(dtype="int64"),
+        "n_distinct": pd.Series(dtype="int64"),
+        "entropy": pd.Series(dtype="float64")})
+    return scan_sorted_groups(hist, key, finish, out_empty,
+                              min_group=1, block_fn=block_fn)

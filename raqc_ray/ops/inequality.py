@@ -3,11 +3,16 @@ and Herfindahl-Hirschman index, both as scaled integers.
 
 Both ride the value-histogram plan (:mod:`raqc_ray.ops.quantile_exact`):
 ``map_batches`` reduces each block to ``(key, value) → count`` (or to
-``(key, Σv, Σv²)`` moment partials for HHI), ONE hash ``groupby``
-makes the partials global, and the per-key finish runs over histogram
-rows — distinct values × keys, never input rows.  Every arithmetic
-step after the histogram is Python-int exact (arbitrary precision), so
-the scaled-integer outputs are layout-invariant and bit-identical to
+``(key, Σv, Σv²)`` moment partials for HHI).  Since round 5 (VERDICT
+r4 #1) Gini and Theil feed the partials straight into the ONE-sort
+``scan_sorted_groups`` plan — no ``groupby([key, value])`` hash
+aggregate, no task-per-key ``map_groups``; the Gini rank-sum term
+``v·c·(2p + c − n)`` is ADDITIVE under run splits (splitting a run of
+equal values between partial rows leaves the sum unchanged —
+substitute c = c₁ + c₂ and expand), so duplicate partial rows need no
+pre-merge.  Every arithmetic step after the histogram is Python-int
+exact (object-dtype reductions = arbitrary precision), so the
+scaled-integer outputs are layout-invariant and bit-identical to
 the SQL window oracles — the same determinism discipline as
 ``grouped_weighted_median`` / q120's share column.
 
@@ -35,16 +40,15 @@ def grouped_gini(ds, key: str, value_col: str, scale: int = 10 ** 9):
     cumulative count ``p`` contributes ``v·c·(2p + c − n)`` — invariant
     to tie order because tied values are equal.  Keys with zero total
     report ``gini = 0``."""
-    from ray.data.aggregate import Sum
+    from .groupscan import scan_sorted_groups
+    from .vhist import gather_segments, key_pandas_dtype
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
         d = df[[key, value_col]].copy()
         d["__c"] = np.ones(len(d), dtype=np.int64)
         return d.groupby([key, value_col], sort=False, as_index=False).sum()
 
-    hist = (ds.map_batches(block_counts, batch_format="pandas")
-            .groupby([key, value_col])
-            .aggregate(Sum("__c", alias_name="__c")))
+    hist = ds.map_batches(block_counts, batch_format="pandas")
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(value_col, kind="mergesort")
@@ -66,7 +70,44 @@ def grouped_gini(ds, key: str, value_col: str, scale: int = 10 ** 9):
                              "total": [np.int64(total)],
                              "gini": [np.int64(gini)]})
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv_seg = df[key].to_numpy()[starts]
+        v = df[value_col].to_numpy()[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
+        order = np.lexsort((v, segid))
+        v, c = v[order], c[order]
+        cumg = np.cumsum(c)
+        base = np.where(cum_excl > 0, cumg[cum_excl - 1], 0)
+        n = cumg[cum_excl + sizes - 1] - base
+        # within-seg cumulative count strictly before each run
+        p = cumg - c - np.repeat(base, sizes)
+        # object-dtype terms: Python-int exact at any magnitude (the
+        # scaled products overflow int64 long before real scales)
+        vo = v.astype(object)
+        co = c.astype(object)
+        terms = vo * co * (2 * p.astype(object) + co
+                           - np.repeat(n, sizes).astype(object))
+        num = np.add.reduceat(terms, cum_excl)
+        tot = np.add.reduceat(vo * co, cum_excl)
+        gini = np.fromiter(
+            ((scale * int(a)) // (int(nn) * int(t)) if nn and t else 0
+             for a, nn, t in zip(num, n, tot)),
+            dtype=np.int64, count=len(kv_seg))
+        return pd.DataFrame({
+            key: kv_seg, "n": n.astype(np.int64),
+            "total": np.fromiter((int(t) for t in tot), dtype=np.int64,
+                                 count=len(kv_seg)),
+            "gini": gini})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "n": pd.Series(dtype="int64"),
+        "total": pd.Series(dtype="int64"),
+        "gini": pd.Series(dtype="int64")})
+    return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
+                              block_fn=block_fn)
 
 
 def grouped_hhi(ds, key: str, count_col: str, scale: int = 10 ** 8):
@@ -117,13 +158,15 @@ def grouped_theil(ds, key: str, value_col: str, round_to: int = 6):
     :func:`grouped_gini` (Theil decomposes across subgroups; Gini
     does not).  0 ⇒ perfect equality, ln(n) ⇒ one value holds all.
 
-    Same value-histogram plan as Gini (the only pass over the input
-    is the per-block ``(key, value) → count`` combiner); ``n`` and
-    ``total`` are exact int64, the ln epilogue runs over CELLS with
-    the same expression shape as the SQL oracle's per-row form
-    (mathematically equal; float spread ≪ the 6dp round, q46
-    discipline)."""
-    from ray.data.aggregate import Sum
+    Same value-histogram + ONE-sort scan plan as Gini (the only pass
+    over the input is the per-block ``(key, value) → count``
+    combiner); duplicate partial rows are tolerated because each cell
+    term ``c·(v/μ)·ln(v/μ)`` is linear in ``c``.  ``n`` and ``total``
+    are exact int64, the ln epilogue runs over CELLS with the same
+    expression shape as the SQL oracle's per-row form (mathematically
+    equal; float spread ≪ the 6dp round, q46 discipline)."""
+    from .groupscan import scan_sorted_groups
+    from .vhist import gather_segments, key_pandas_dtype
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
         v = df[value_col].to_numpy(dtype=np.int64)
@@ -134,9 +177,7 @@ def grouped_theil(ds, key: str, value_col: str, round_to: int = 6):
         return d.groupby([key, value_col], sort=False,
                          as_index=False).sum()
 
-    hist = (ds.map_batches(block_counts, batch_format="pandas")
-            .groupby([key, value_col])
-            .aggregate(Sum("__c", alias_name="__c")))
+    hist = ds.map_batches(block_counts, batch_format="pandas")
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         v = g[value_col].to_numpy(dtype=np.int64)
@@ -151,4 +192,28 @@ def grouped_theil(ds, key: str, value_col: str, round_to: int = 6):
                              "total": [np.int64(tot)],
                              "theil": [np.round(theil, round_to)]})
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv_seg = df[key].to_numpy()[starts]
+        v = df[value_col].to_numpy(dtype=np.int64)[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
+        order = np.lexsort((v, segid))
+        v, c = v[order], c[order]
+        n = np.add.reduceat(c, cum_excl)
+        tot = np.add.reduceat(v * c, cum_excl)
+        mu_rep = np.repeat(tot / n.astype(np.float64), sizes)
+        vr = v / mu_rep
+        theil = (np.add.reduceat(c * (vr * np.log(vr)), cum_excl)
+                 / n.astype(np.float64))
+        return pd.DataFrame({key: kv_seg, "n": n.astype(np.int64),
+                             "total": tot.astype(np.int64),
+                             "theil": np.round(theil, round_to)})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "n": pd.Series(dtype="int64"),
+        "total": pd.Series(dtype="int64"),
+        "theil": pd.Series(dtype="float64")})
+    return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
+                              block_fn=block_fn)

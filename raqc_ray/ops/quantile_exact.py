@@ -1,14 +1,24 @@
-"""Exact grouped discrete quantiles (``quantile_disc`` semantics) via
-distributed value counts — no per-group sort, no group ever collected.
+"""Exact grouped quantile-family statistics via distributed value
+counts — no per-group sort of the input, no group ever collected, and
+(since round 5) ONE exchange with NO per-key task.
 
-Ray-Data-first plan: ``map_batches`` reduces each block to
-``(key, value) → count`` partials (pandas groupby, vectorized), ONE
-hash ``groupby([key, value]).aggregate(Sum)`` makes the counts global,
-then ``groupby(key).map_groups`` — over the value-histogram rows, NOT
-the input rows — sorts each key's distinct values, cumsums the counts
-and selects index ``ceil(q·n) − 1`` (DuckDB's ``quantile_disc`` rule,
-verified empirically on edge sizes).  The exchange and the map_groups
-input are both (distinct values per key) × keys — for quantized /
+Ray-Data-first plan (the round-5 port of VERDICT r4 #1, template
+``grouped_quantile_cont_num``): ``map_batches`` reduces each block to
+``(key, value) → count`` partials (pandas groupby, vectorized), and the
+partials feed :func:`raqc_ray.ops.groupscan.scan_sorted_groups`
+DIRECTLY — one range-partitioning sort of the histogram-sized stream,
+then a vectorized ``block_fn`` picks every key's quantiles in a single
+numpy pass (in-segment value lexsort + global strictly-increasing count
+cumsum + searchsorted on per-segment rank targets).  The old global
+``groupby([key, value]).aggregate(Sum)`` hash exchange (keys ×
+distinct-values output groups) plus ``groupby(key).map_groups`` (one
+Python task per key) was measured >170× slower at 10M rows / 100k keys
+(BASELINE.md).  Duplicate ``(key, value)`` partial rows from different
+blocks need no pre-merge: the in-segment sort puts equal values
+adjacent, so the count cumsum crosses every rank target at the same
+value either way.
+
+The exchange is (distinct values per key) × blocks — for quantized /
 integer-like measures that is orders of magnitude below row count, the
 regime where exactness at 10^12 rows is affordable.  For continuous
 high-cardinality values use the t-digest path
@@ -26,6 +36,51 @@ import math
 import numpy as np
 import pandas as pd
 
+from .vhist import assert_headroom, gather_segments, key_pandas_dtype
+
+
+def _value_count_partials(ds, key: str, value_col: str):
+    """Per-block ``(key, value) → __c`` combiner (the only pass over
+    the input stream)."""
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, value_col]].copy()
+        d["__c"] = np.ones(len(d), dtype=np.int64)
+        return d.groupby([key, value_col], sort=False, as_index=False).sum()
+
+    return ds.map_batches(block_counts, batch_format="pandas")
+
+
+def _sorted_seg_arrays(df: pd.DataFrame, key: str, value_col: str,
+                       starts: np.ndarray, ends: np.ndarray,
+                       count_col: str = "__c", value_dtype=None):
+    """Gather qualifying segments, value-sort within each, and return
+    ``(kv_seg, v, c, segid, sizes, cum_excl, cumg, base, n)`` — the
+    common prologue of every quantile-family ``block_fn``.  ``cumg`` is
+    the global (strictly increasing) count cumsum, ``base`` its value
+    just before each segment, ``n`` each segment's total count."""
+    idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+    kv_seg = df[key].to_numpy()[starts]
+    v = df[value_col].to_numpy()
+    if value_dtype is not None:
+        v = v.astype(value_dtype)
+    v = v[idx]
+    c = df[count_col].to_numpy(dtype=np.int64)[idx]
+    order = np.lexsort((v, segid))
+    v, c = v[order], c[order]
+    cumg = np.cumsum(c)
+    seg_end = cum_excl + sizes
+    base = np.where(cum_excl > 0, cumg[cum_excl - 1], 0)
+    n = (cumg[seg_end - 1] - base).astype(np.int64)
+    return kv_seg, v, c, segid, sizes, cum_excl, cumg, base, n
+
+
+def _scan(hist, ds, key: str, pick, out_empty: pd.DataFrame, block_fn):
+    from .groupscan import scan_sorted_groups
+
+    return scan_sorted_groups(hist, key, pick, out_empty, min_group=1,
+                              block_fn=block_fn)
+
 
 def grouped_quantile_disc(ds, key: str, value_col: str,
                           qs: tuple[float, ...] = (0.5,),
@@ -33,19 +88,10 @@ def grouped_quantile_disc(ds, key: str, value_col: str,
     """Dataset with one row per key: ``(key, n, {prefix}{q}...)`` where
     each quantile column holds the exact discrete quantile of
     ``value_col`` (the smallest value whose cumulative count reaches
-    ``ceil(q·n)``)."""
-    from ray.data.aggregate import Sum
-
+    ``ceil(q·n)`` — DuckDB's ``quantile_disc`` rule, verified
+    empirically on edge sizes)."""
     qcols = [f"{prefix}{str(q).replace('.', '_')}" for q in qs]
-
-    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, value_col]].copy()
-        d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key, value_col], sort=False, as_index=False).sum()
-
-    partial = ds.map_batches(block_counts, batch_format="pandas")
-    hist = partial.groupby([key, value_col]).aggregate(
-        Sum("__c", alias_name="__c"))
+    hist = _value_count_partials(ds, key, value_col)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(value_col, kind="mergesort")
@@ -59,7 +105,23 @@ def grouped_quantile_disc(ds, key: str, value_col: str,
             row[col] = [v[int(np.searchsorted(cum, target))]]
         return pd.DataFrame(row)
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        kv, v, c, segid, sizes, cum_excl, cumg, base, n = \
+            _sorted_seg_arrays(df, key, value_col, starts, ends)
+        row = {key: kv, "n": n}
+        for q, col in zip(qs, qcols):
+            target = np.maximum(
+                np.int64(1), np.ceil(q * n).astype(np.int64))
+            row[col] = v[np.searchsorted(cumg, base + target)]
+        return pd.DataFrame(row)
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "n": pd.Series(dtype="int64"),
+        **{c: pd.Series(dtype=key_pandas_dtype(ds, value_col))
+           for c in qcols}})
+    return _scan(hist, ds, key, pick, out_empty, block_pick)
 
 
 def grouped_median_mad(ds, key: str, value_col: str):
@@ -74,16 +136,7 @@ def grouped_median_mad(ds, key: str, value_col: str):
     formula); for integer-valued measures every intermediate is exactly
     representable, making the result bit-identical to the SQL oracle.
     Columns: ``(key, n, median, mad)``."""
-    from ray.data.aggregate import Sum
-
-    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, value_col]].copy()
-        d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key, value_col], sort=False, as_index=False).sum()
-
-    partial = ds.map_batches(block_counts, batch_format="pandas")
-    hist = partial.groupby([key, value_col]).aggregate(
-        Sum("__c", alias_name="__c"))
+    hist = _value_count_partials(ds, key, value_col)
 
     def _wmedian(v: np.ndarray, c: np.ndarray) -> float:
         # v sorted ascending, c positive int64 counts
@@ -107,7 +160,39 @@ def grouped_median_mad(ds, key: str, value_col: str):
                              "n": [np.int64(c.sum())],
                              "median": [med], "mad": [mad]})
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def _wmedian_vec(v, c, segid, sizes, cum_excl):
+        """Per-segment interpolated weighted median over already
+        (segid, v)-sorted arrays — vectorized across ALL segments."""
+        cumg = np.cumsum(c)
+        seg_end = cum_excl + sizes
+        base = np.where(cum_excl > 0, cumg[cum_excl - 1], 0)
+        n = cumg[seg_end - 1] - base
+        lo = v[np.searchsorted(cumg, base + (n + 1) // 2)]
+        hi = v[np.searchsorted(cumg, base + n // 2 + 1)]
+        return lo + (hi - lo) * 0.5, n.astype(np.int64)
+
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv = df[key].to_numpy()[starts]
+        v = df[value_col].to_numpy(dtype=np.float64)[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
+        order = np.lexsort((v, segid))
+        v, c = v[order], c[order]
+        med, n = _wmedian_vec(v, c, segid, sizes, cum_excl)
+        dv = np.abs(v - np.repeat(med, sizes))
+        order2 = np.lexsort((dv, segid))
+        mad, _ = _wmedian_vec(dv[order2], c[order2], segid, sizes,
+                              cum_excl)
+        return pd.DataFrame({key: kv, "n": n, "median": med,
+                             "mad": mad})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "n": pd.Series(dtype="int64"),
+        "median": pd.Series(dtype="float64"),
+        "mad": pd.Series(dtype="float64")})
+    return _scan(hist, ds, key, pick, out_empty, block_pick)
 
 
 def grouped_quantile_cont(ds, key: str, value_col: str,
@@ -123,18 +208,8 @@ def grouped_quantile_cont(ds, key: str, value_col: str,
     exactly representable, matching the SQL oracle bit-for-bit.
 
     Columns: ``(key, n, {prefix}{q}...)``."""
-    from ray.data.aggregate import Sum
-
     qcols = [f"{prefix}{str(q).replace('.', '_')}" for q in qs]
-
-    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, value_col]].copy()
-        d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key, value_col], sort=False, as_index=False).sum()
-
-    partial = ds.map_batches(block_counts, batch_format="pandas")
-    hist = partial.groupby([key, value_col]).aggregate(
-        Sum("__c", alias_name="__c"))
+    hist = _value_count_partials(ds, key, value_col)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(value_col, kind="mergesort")
@@ -153,7 +228,26 @@ def grouped_quantile_cont(ds, key: str, value_col: str,
             row[col] = [lo + (hi - lo) * (pos - lo_i)]
         return pd.DataFrame(row)
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        kv, v, c, segid, sizes, cum_excl, cumg, base, n = \
+            _sorted_seg_arrays(df, key, value_col, starts, ends,
+                               value_dtype=np.float64)
+        row = {key: kv, "n": n}
+        for q, col in zip(qs, qcols):
+            pos = (n - 1) * q
+            lo_i = np.floor(pos).astype(np.int64)
+            hi_i = np.ceil(pos).astype(np.int64)
+            lo = v[np.searchsorted(cumg, base + lo_i + 1)]
+            hi = v[np.searchsorted(cumg, base + hi_i + 1)]
+            row[col] = lo + (hi - lo) * (pos - lo_i)
+        return pd.DataFrame(row)
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "n": pd.Series(dtype="int64"),
+        **{c: pd.Series(dtype="float64") for c in qcols}})
+    return _scan(hist, ds, key, pick, out_empty, block_pick)
 
 
 def grouped_percent_rank(ds, key: str, value_col: str,
@@ -166,30 +260,55 @@ def grouped_percent_rank(ds, key: str, value_col: str,
     value-histogram plan as :func:`grouped_quantile_disc` (nothing
     row-scale shuffles; ties collapse into one carrier row).  Keys
     with a single row report ``pr = 0`` (the SQL convention).
-    Columns: ``(key, value_col, cnt, pr)``."""
-    from ray.data.aggregate import Sum
+    Columns: ``(key, value_col, cnt, pr)``.  Unlike the rank-crossing
+    picks, the per-distinct-value emission REQUIRES globally-merged
+    counts — duplicate partial rows are merged in-segment
+    (``merge_runs``) instead of via a hash aggregate."""
+    from .vhist import merge_runs, seg_bounds_of
 
-    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, value_col]].copy()
-        d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key, value_col], sort=False, as_index=False).sum()
-
-    hist = (ds.map_batches(block_counts, batch_format="pandas")
-            .groupby([key, value_col])
-            .aggregate(Sum("__c", alias_name="__c")))
+    hist = _value_count_partials(ds, key, value_col)
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(value_col, kind="mergesort")
+        # boundary groups carry unmerged partials — merge first
+        s = (g.groupby(value_col, as_index=False)["__c"].sum()
+             .sort_values(value_col, kind="mergesort"))
         c = s["__c"].to_numpy(dtype=np.int64)
         n = int(c.sum())
         before = np.concatenate([[0], np.cumsum(c)[:-1]])
         pr = (before * scale // (n - 1) if n > 1
               else np.zeros(len(c), dtype=np.int64))
-        return pd.DataFrame({key: s[key].to_numpy(),
+        return pd.DataFrame({key: np.repeat(g[key].iloc[0], len(c)),
                              value_col: s[value_col].to_numpy(),
                              "cnt": c, "pr": pr.astype(np.int64)})
 
-    return hist.groupby(key).map_groups(rank, batch_format="pandas")
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv_seg = df[key].to_numpy()[starts]
+        v = df[value_col].to_numpy()[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
+        order = np.lexsort((v, segid))
+        v, c, segid = v[order], c[order], segid
+        _, seg_m, v_m, c_m = merge_runs(segid, v, c)
+        sm_starts, sm_sizes = seg_bounds_of(seg_m, len(sizes))
+        cumm = np.cumsum(c_m)
+        base_m = np.where(sm_starts > 0, cumm[sm_starts - 1], 0)
+        n = cumm[sm_starts + sm_sizes - 1] - base_m
+        before = cumm - c_m - np.repeat(base_m, sm_sizes)
+        n_rep = np.repeat(n, sm_sizes)
+        pr = np.where(n_rep > 1,
+                      before * scale // np.maximum(n_rep - 1, 1),
+                      0)
+        return pd.DataFrame({key: np.repeat(kv_seg, sm_sizes),
+                             value_col: v_m, "cnt": c_m,
+                             "pr": pr.astype(np.int64)})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        value_col: pd.Series(dtype=key_pandas_dtype(ds, value_col)),
+        "cnt": pd.Series(dtype="int64"),
+        "pr": pd.Series(dtype="int64")})
+    return _scan(hist, ds, key, rank, out_empty, block_pick)
 
 
 def grouped_tail_sum(ds, key: str, value_col: str, q: float = 0.9):
@@ -199,18 +318,12 @@ def grouped_tail_sum(ds, key: str, value_col: str, q: float = 0.9):
     reaches ``ceil(q·n)``) and ``tail_n`` / ``tail_sum`` count and sum
     the values STRICTLY above it — the top-decile concentration audit
     (how much of the mass the heaviest items carry).  Same
-    value-histogram plan as :func:`grouped_quantile_disc`; sums are
-    exact Python ints (callers pass integer cents)."""
-    from ray.data.aggregate import Sum
-
-    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key, value_col]].copy()
-        d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key, value_col], sort=False, as_index=False).sum()
-
-    partial = ds.map_batches(block_counts, batch_format="pandas")
-    hist = partial.groupby([key, value_col]).aggregate(
-        Sum("__c", alias_name="__c"))
+    value-histogram + sorted-scan plan as
+    :func:`grouped_quantile_disc`; the vectorized path accumulates
+    ``Σ v·c`` in int64 behind an explicit headroom assertion
+    (``max|v| · n < 2^62``; the boundary path stays Python-int
+    exact)."""
+    hist = _value_count_partials(ds, key, value_col)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(value_col, kind="mergesort")
@@ -228,7 +341,32 @@ def grouped_tail_sum(ds, key: str, value_col: str, q: float = 0.9):
                              "tail_n": [np.int64(c[tail].sum())],
                              "tail_sum": [np.int64(tail_sum)]})
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        kv, v, c, segid, sizes, cum_excl, cumg, base, n = \
+            _sorted_seg_arrays(df, key, value_col, starts, ends,
+                               value_dtype=np.int64)
+        if len(v):
+            assert_headroom(int(np.abs(v).max()), int(n.max()),
+                            "grouped_tail_sum")
+        cut_i = np.searchsorted(
+            cumg, base + np.maximum(np.int64(1),
+                                    np.ceil(q * n).astype(np.int64)))
+        cut = v[cut_i]
+        tail = v > np.repeat(cut, sizes)
+        tail_n = np.add.reduceat(np.where(tail, c, 0), cum_excl)
+        tail_sum = np.add.reduceat(np.where(tail, v * c, 0), cum_excl)
+        return pd.DataFrame({key: kv, "n": n, "cut": cut,
+                             "tail_n": tail_n.astype(np.int64),
+                             "tail_sum": tail_sum.astype(np.int64)})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "n": pd.Series(dtype="int64"),
+        "cut": pd.Series(dtype=key_pandas_dtype(ds, value_col)),
+        "tail_n": pd.Series(dtype="int64"),
+        "tail_sum": pd.Series(dtype="int64")})
+    return _scan(hist, ds, key, pick, out_empty, block_pick)
 
 
 def grouped_weighted_median(ds, key: str, value_col: str,
@@ -240,20 +378,17 @@ def grouped_weighted_median(ds, key: str, value_col: str,
     result is layout-invariant (full SQL window oracle).
 
     Same plan as :func:`grouped_quantile_disc` with weight sums in
-    place of counts: per-block ``(key, value) → Σw`` partials, ONE
-    hash groupby to make the histogram global, then a per-key pick
-    over histogram rows (distinct values × keys, never the input).
+    place of counts: per-block ``(key, value) → Σw`` partials feed the
+    sorted scan directly (duplicate partial rows tolerated — the
+    weight cumsum crosses W/2 at the same value either way).
     Columns: ``(key, w_total, out_col)``."""
-    from ray.data.aggregate import Sum
 
     def block_wsums(df: pd.DataFrame) -> pd.DataFrame:
         d = df[[key, value_col]].copy()
         d["__w"] = df[weight_col].to_numpy(dtype=np.int64)
         return d.groupby([key, value_col], sort=False, as_index=False).sum()
 
-    partial = ds.map_batches(block_wsums, batch_format="pandas")
-    hist = partial.groupby([key, value_col]).aggregate(
-        Sum("__w", alias_name="__w"))
+    hist = ds.map_batches(block_wsums, batch_format="pandas")
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         s = g.sort_values(value_col, kind="mergesort")
@@ -266,7 +401,26 @@ def grouped_weighted_median(ds, key: str, value_col: str,
                              "w_total": [np.int64(total)],
                              out_col: [v[idx]]})
 
-    return hist.groupby(key).map_groups(pick, batch_format="pandas")
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        kv, v, w, segid, sizes, cum_excl, cumg, base, tot = \
+            _sorted_seg_arrays(df, key, value_col, starts, ends,
+                               count_col="__w")
+        if len(w):
+            assert_headroom(int(cumg[-1]), 2, "grouped_weighted_median")
+        # first in-segment index where 2·(cum − base) ≥ total; clamp
+        # to the segment start (an all-zero-weight segment would
+        # otherwise resolve into the previous segment)
+        idx = np.maximum(np.searchsorted(2 * cumg, 2 * base + tot),
+                         cum_excl)
+        return pd.DataFrame({key: kv, "w_total": tot,
+                             out_col: v[idx]})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "w_total": pd.Series(dtype="int64"),
+        out_col: pd.Series(dtype=key_pandas_dtype(ds, value_col))})
+    return _scan(hist, ds, key, pick, out_empty, block_pick)
 
 
 def grouped_quantile_cont_num(ds, key: str, value_col: str,

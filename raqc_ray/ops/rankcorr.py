@@ -52,28 +52,63 @@ def _value_ranks(ds, key: str, col: str, rank_col: str,
     """(key, col, rank_col) from the RAW stream: centered doubled
     average rank (``2·below + c − n``) or plain doubled average rank
     (``2·below + c + 1``) of each distinct ``col`` value within its
-    key."""
-    from ray.data.aggregate import Sum
+    key.
+
+    Round-5 port (VERDICT r4 #1): block count partials feed ONE
+    ``scan_sorted_groups`` pass; duplicate ``(key, col)`` partial rows
+    are merged in-segment (ranks need the global per-value count)
+    instead of via the old hash ``groupby([key, col])`` aggregate +
+    task-per-key ``map_groups``."""
+    from .groupscan import scan_sorted_groups
+    from .vhist import (gather_segments, key_pandas_dtype, merge_runs,
+                        seg_bounds_of)
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
         d = df[[key, col]].copy()
         d["__c"] = np.ones(len(d), dtype=np.int64)
         return d.groupby([key, col], sort=False, as_index=False).sum()
 
-    marg = (ds.map_batches(block_counts, batch_format="pandas")
-            .groupby([key, col]).aggregate(Sum("__c", alias_name="__m")))
+    marg = ds.map_batches(block_counts, batch_format="pandas")
 
     def ranks(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(col, kind="mergesort")
-        c = s["__m"].to_numpy(dtype=np.int64)
+        # boundary groups carry unmerged partials — merge first
+        s = (g.groupby(col, as_index=False)["__c"].sum()
+             .sort_values(col, kind="mergesort"))
+        c = s["__c"].to_numpy(dtype=np.int64)
         n = int(c.sum())
         below = np.concatenate([[0], np.cumsum(c)[:-1]])
         r = 2 * below + c - n if centered else 2 * below + c + 1
-        return pd.DataFrame({key: s[key].to_numpy(),
+        return pd.DataFrame({key: np.repeat(g[key].iloc[0], len(c)),
                              col: s[col].to_numpy(),
                              rank_col: r.astype(np.int64)})
 
-    return marg.groupby(key).map_groups(ranks, batch_format="pandas")
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv_seg = df[key].to_numpy()[starts]
+        v = df[col].to_numpy()[idx]
+        c = df["__c"].to_numpy(dtype=np.int64)[idx]
+        order = np.lexsort((v, segid))
+        _, seg_m, v_m, c_m = merge_runs(segid, v[order], c[order])
+        sm_starts, sm_sizes = seg_bounds_of(seg_m, len(sizes))
+        cumm = np.cumsum(c_m)
+        base = np.where(sm_starts > 0, cumm[sm_starts - 1], 0)
+        n = cumm[sm_starts + sm_sizes - 1] - base
+        below = cumm - c_m - np.repeat(base, sm_sizes)
+        if centered:
+            r = 2 * below + c_m - np.repeat(n, sm_sizes)
+        else:
+            r = 2 * below + c_m + 1
+        return pd.DataFrame({key: np.repeat(kv_seg, sm_sizes),
+                             col: v_m,
+                             rank_col: r.astype(np.int64)})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        col: pd.Series(dtype=key_pandas_dtype(ds, col)),
+        rank_col: pd.Series(dtype="int64")})
+    return scan_sorted_groups(marg, key, ranks, out_empty, min_group=1,
+                              block_fn=block_fn)
 
 
 def _join_regime(ds, key: str, cols: list[str], rank_tables):

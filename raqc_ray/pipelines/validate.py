@@ -55,8 +55,8 @@ from ..schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
 from ..sketches import HyperLogLog, TDigest
 from ..stages.passa import ROWCOUNT_CHECK, ValidatorStage, merge_payloads
 
-ROW_CHECKS = ("nullity", "range", "caption", "decode", "exposure",
-              "uniqueness", "near_dup", "referential")
+ROW_CHECKS = ("nullity", "range", "caption", "decode", "expr",
+              "exposure", "uniqueness", "near_dup", "referential")
 
 
 @dataclass

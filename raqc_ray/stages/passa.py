@@ -194,11 +194,18 @@ class ValidatorStage:
 
         if self.expr_:
             from ..ops.exprcheck import violation_mask
+            # mask chain (RAQC mask_advanced after mask_basic): rows
+            # already flagged by RangeCheck are excluded so each
+            # planted corruption surfaces exactly once (FIXTURES §3)
+            any_range = np.zeros(n, dtype=bool)
+            for m in range_bad.values():
+                any_range |= m
             for rname, fn in self._expr_rules:
                 try:
                     bad = violation_mask(fn, batch)
                 except KeyError:
                     continue  # rule references a column this table lacks
+                bad &= ~any_range
                 self._emit_mask(out, bad, pids, ids, "expr", rname,
                                 "expression not satisfied",
                                 self.expr_.severity)

@@ -58,14 +58,15 @@ def test_expected_keys_shape(t1_fixture):
     keys = expected_violation_keys(t1_fixture, "e1")
     checks = {k[2] for k in keys}
     assert checks == {"nullity", "range", "caption", "decode", "uniqueness",
-                      "near_dup", "referential"}
+                      "near_dup", "referential", "expr", "exposure"}
     # nullity: 10, range: 5, caption: 5, decode: 10, uniqueness: 4 pairs→
     # (1 same-partition pair=1 row... see expected_violation_keys), near_dup: 12,
-    # referential: 3+3+3
+    # referential: 3+3+3, expr: 3 (min_area), exposure: 4 (darkened)
     n = {c: sum(1 for k in keys if k[2] == c) for c in checks}
     assert n["nullity"] == 10 and n["range"] == 5 and n["caption"] == 5
     assert n["decode"] == 10 and n["near_dup"] == 12 and n["referential"] == 9
     assert n["uniqueness"] == 7  # pair0 same-partition → 1; pairs 1-3 → 2 each
+    assert n["expr"] == 3 and n["exposure"] == 4
 
 
 def test_expected_pixels_sample(t1_fixture):

@@ -1,0 +1,165 @@
+"""Round-5 ops: grouped two-predictor OLS and pairwise source
+vocabulary overlap — closed-form planted fixtures, degenerate-key
+drops, layout invariance, headroom guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df, parts=4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+# ------------------------------------------------------------- grouped_ols2
+
+def test_ols2_recovers_planted_coefficients(ray_session):
+    from raqc_ray.ops.regression import grouped_ols2
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    x1 = rng.integers(0, 24, n)
+    x2 = rng.integers(0, 30, n)
+    # exact integer relationship -> zero residual -> exact recovery
+    y = 7 + 3 * x1 - 2 * x2
+    df = pd.DataFrame({"k": rng.integers(0, 5, n), "x1": x1,
+                       "x2": x2, "y": y})
+    out = (grouped_ols2(_ds(df), "k", "x1", "x2", "y").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert len(out) == 5
+    assert np.allclose(out["b0"], 7.0, atol=1e-5)
+    assert np.allclose(out["b1"], 3.0, atol=1e-5)
+    assert np.allclose(out["b2"], -2.0, atol=1e-5)
+
+
+def test_ols2_drops_degenerate_keys(ray_session):
+    from raqc_ray.ops.regression import grouped_ols2
+
+    df = pd.DataFrame({
+        # key 1: constant x1 (singular); key 2: n < 3; key 3: healthy
+        "k": [1] * 10 + [2] * 2 + [3] * 10,
+        "x1": [5] * 10 + [1, 2] + list(range(10)),
+        "x2": list(range(10)) + [1, 2] + [v * v for v in range(10)],
+        "y": list(range(10)) + [1, 2] + list(range(10)),
+    })
+    out = grouped_ols2(_ds(df, 2), "k", "x1", "x2", "y").to_pandas()
+    assert sorted(out["k"].tolist()) == [3]
+
+
+def test_ols2_layout_invariance_and_oracle(ray_session):
+    import duckdb
+
+    from raqc_ray.ops.regression import grouped_ols2
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "x1": rng.integers(0, 24, n),
+        "x2": rng.integers(0, 365, n),
+        "y": rng.integers(-500, 2000, n),
+    })
+    outs = [(grouped_ols2(_ds(df, p), "k", "x1", "x2", "y").to_pandas()
+             .sort_values("k").reset_index(drop=True))
+            for p in (1, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    con = duckdb.connect()
+    con.register("t", df)
+    ora = con.execute("""
+        WITH m AS (
+            SELECT k, COUNT(*) AS n, SUM(x1) sx1, SUM(x2) sx2,
+                   SUM(y) sy, SUM(x1*x1) sx1x1, SUM(x1*x2) sx1x2,
+                   SUM(x2*x2) sx2x2, SUM(x1*y) sx1y, SUM(x2*y) sx2y
+            FROM t GROUP BY k HAVING COUNT(*) >= 3
+        ), c AS (
+            SELECT k, n, CAST(n AS DOUBLE) nf,
+                   CAST(sx1 AS DOUBLE) fsx1, CAST(sx2 AS DOUBLE) fsx2,
+                   CAST(sy AS DOUBLE) fsy,
+                   CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                       * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) c11,
+                   CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                       * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) c12,
+                   CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                       * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) c22,
+                   CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) c1y,
+                   CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) c2y
+            FROM m
+        ), b AS (
+            SELECT k, n, nf, fsx1, fsx2, fsy,
+                   (c1y*c22 - c2y*c12) / (c11*c22 - c12*c12) b1,
+                   (c2y*c11 - c1y*c12) / (c11*c22 - c12*c12) b2
+            FROM c WHERE c11*c22 - c12*c12 <> 0
+        )
+        SELECT k, CAST(n AS BIGINT) n,
+               ROUND((fsy - b1*fsx1 - b2*fsx2) / nf, 6) b0,
+               ROUND(b1, 6) b1, ROUND(b2, 6) b2
+        FROM b ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(outs[0], ora, check_dtype=False,
+                                  atol=1e-6, rtol=0)
+
+
+def test_ols2_headroom_guard(ray_session):
+    from raqc_ray.ops.regression import grouped_ols2
+
+    df = pd.DataFrame({
+        "k": [1] * 4,
+        "x1": [2 ** 31] * 4,
+        "x2": [1, 2, 3, 4],
+        "y": [2 ** 31, 1, 2, 3],
+    })
+    with pytest.raises(Exception, match="headroom"):
+        grouped_ols2(_ds(df, 1), "k", "x1", "x2", "y").to_pandas()
+
+
+# ----------------------------------------------------- source_vocab_overlap
+
+def test_vocab_overlap_closed_form(ray_session):
+    from raqc_ray.ops.vocabsim import source_vocab_overlap
+
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "c"],
+        "text": ["x y z", "z w", "y z q", "only disjoint tokens"],
+    })
+    # vocab: a={x,y,z,w} b={y,z,q} c={only,disjoint,tokens}
+    out = (source_vocab_overlap(_ds(df, 2), "source", "text")
+           .to_pandas().sort_values(["src_a", "src_b"])
+           .reset_index(drop=True))
+    assert out[["src_a", "src_b"]].values.tolist() == [
+        ["a", "b"], ["a", "c"], ["b", "c"]]
+    ab = out.iloc[0]
+    assert (ab["v_a"], ab["v_b"], ab["n_inter"], ab["n_union"]) == \
+        (4, 3, 2, 5)
+    assert ab["jaccard"] == pytest.approx(0.4)
+    ac = out.iloc[1]
+    assert ac["n_inter"] == 0 and ac["jaccard"] == 0.0  # zero-overlap row
+
+
+def test_vocab_overlap_layout_invariance(ray_session):
+    from raqc_ray.ops.vocabsim import source_vocab_overlap
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for i in range(400):
+        src = f"s{rng.integers(0, 4)}"
+        toks = rng.choice(vocab, size=rng.integers(3, 25))
+        rows.append((src, " ".join(toks)))
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    outs = [(source_vocab_overlap(_ds(df, p), "source", "text")
+             .to_pandas().sort_values(["src_a", "src_b"])
+             .reset_index(drop=True))
+            for p in (1, 11)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # exact recompute of one pair
+    vocabs = {}
+    for src, g in df.groupby("source"):
+        vocabs[src] = set(" ".join(g["text"]).split())
+    a, b = sorted(vocabs)[:2]
+    ni = len(vocabs[a] & vocabs[b])
+    row = outs[0][(outs[0]["src_a"] == a) & (outs[0]["src_b"] == b)]
+    assert int(row["n_inter"].iloc[0]) == ni

@@ -163,7 +163,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q216_funnel_latency_events", "q217_audiospec_documents",
             "q218_trimmed_mean_lineitem", "q219_theil_events",
             "q220_volatility_events", "q221_setjoin_documents",
-            "q222_bigram_nll_documents"]
+            "q222_bigram_nll_documents", "q224_ols_events",
+            "q225_vocab_overlap_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)

@@ -82,7 +82,8 @@ def test_row_check_verdicts(pair_result):
         assert len(row) == 1, (check, pid)
         return row.iloc[0]
 
-    for check in ("nullity", "range", "caption", "decode"):
+    for check in ("nullity", "range", "caption", "decode", "expr",
+                  "exposure"):
         assert not verdict(check, 0)["pass"]
         assert verdict(check, 0)["n_violations"] > 0
         # partitions beyond the corruption zone are clean
