@@ -79,6 +79,49 @@ def broadcast_join(left_ds, small_df, on, right_on=None,
     return left_ds.map_batches(merge, batch_format="pandas")
 
 
+def broadcast_join_arrow(left_ds, small_table, on):
+    """Map-side inner join against a SMALL side held as an ARROW
+    table: unlike :func:`broadcast_join` (pandas ``merge``, which
+    re-deserializes and re-hashes the small side per task — measured
+    as the wall of the rank-mapping stage at 2M+ small-side rows),
+    the Arrow table is read ZERO-COPY from the object store and the
+    per-batch join runs in Acero (``pyarrow.Table.join``) — a C++
+    hash build over memory the task never copies.
+
+    Contract: inner join, ``on`` columns present both sides, no
+    non-key name collisions (the rank-mapping shape).  Output column
+    order is left-columns-then-new-right-columns, matching
+    ``broadcast_join``."""
+    import pyarrow as pa
+    import ray
+
+    if isinstance(on, str):
+        on = [on]
+    on = list(on)
+    if isinstance(small_table, pa.Table):
+        tbl = small_table
+    else:  # pandas fallback
+        tbl = pa.Table.from_pandas(small_table, preserve_index=False)
+    ref = ray.put(tbl)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        small = ray.get(ref)
+        # Acero needs identical key types; cast the small side once
+        # per task (cheap, key columns only)
+        casts = {}
+        for k in on:
+            lt = batch.schema.field(k).type
+            if small.schema.field(k).type != lt:
+                casts[k] = lt
+        if casts:
+            small = pa.table({
+                c: (small[c].cast(casts[c]) if c in casts else small[c])
+                for c in small.column_names})
+        return batch.join(small, keys=on, join_type="inner")
+
+    return left_ds.map_batches(merge, batch_format="pyarrow")
+
+
 def semi_join(left_ds, right_ds, on, right_on=None,
               num_partitions: int | None = None):
     """Distributed semi join: left rows with >= 1 key match on the

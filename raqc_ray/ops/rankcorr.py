@@ -17,8 +17,10 @@ Shared plan (two regimes, size-triggered like ``checks/neardup``):
 3. **broadcast regime** (default): the rank tables are small, so they
    broadcast via :func:`raqc_ray.ops.join.broadcast_join` (``ray.put``
    once, zero-copy per task) and the raw stream maps straight to
-   per-block per-key moment partials — 8-ish rows per block, one tiny
-   final groupby.  NO row-scale shuffle anywhere.  (Measured: the
+   per-block per-key moment partials, re-summed per key by the
+   sorted-block ``vhist.grouped_sums`` plan (Ray's native Sum
+   aggregate measured 141 s at 1.28M partials / 20k keys —
+   BASELINE.md round-5).  NO row-scale shuffle anywhere.  (Measured: the
    previous joint-histogram plan shuffled ~9M partial rows for a 10M
    spearman input and spent 930 s in Ray's aggregate reduce; the
    broadcast plan removes that stage entirely — BASELINE.md round-4
@@ -133,15 +135,28 @@ def _join_regime(ds, key: str, cols: list[str], rank_tables):
 
 def _map_ranks(ds, key: str, rank_tables, broadcast_limit: int):
     """Attach rank columns to the raw stream (broadcast regime) or to
-    the joint histogram (join regime).  Returns (ds, count_col|None)."""
-    from .join import broadcast_join
+    the joint histogram (join regime).  Returns (ds, count_col|None).
+
+    Broadcast regime uses the ARROW-native map-side join
+    (``broadcast_join_arrow``): the rank table is read zero-copy from
+    the object store and each batch joins in Acero — the pandas
+    ``merge`` variant re-deserialized and re-hashed the 2M+-row table
+    per task and was measured as ~95% of the spearman wall at 10M
+    rows (BASELINE.md round-5)."""
+    import pyarrow as pa
+
+    from .join import broadcast_join_arrow
 
     mats = [(col, rt.materialize()) for col, rt in rank_tables]
     total = sum(rt.count() for _, rt in mats)
     if total <= broadcast_limit:
         out = ds
         for col, rt in mats:
-            out = broadcast_join(out, rt.to_pandas(), on=[key, col])
+            tbl = pa.concat_tables(
+                [b for b in rt.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+            ) if rt.count() else pa.Table.from_pandas(rt.to_pandas())
+            out = broadcast_join_arrow(out, tbl, on=[key, col])
         return out, None
     cols = [col for col, _ in mats]
     return _join_regime(ds, key, cols, mats)
@@ -153,7 +168,7 @@ def grouped_spearman(ds, key: str, x_col: str, y_col: str,
     (x, y) with average-rank tie handling.  Keys where either column
     is constant report ``rho = 0.0`` (zero variance — the SQL
     NULLIF-to-0 convention)."""
-    from ray.data.aggregate import Sum
+    from .vhist import grouped_sums
 
     # materialize: the two marginal passes and the moment pass must
     # see ONE consistent execution of the upstream lineage
@@ -175,10 +190,11 @@ def grouped_spearman(ds, key: str, x_col: str, y_col: str,
         })
         return d.groupby(key, sort=False, as_index=False).sum()
 
-    agg = (j.map_batches(moments, batch_format="pandas")
-           .groupby(key)
-           .aggregate(*[Sum(c, alias_name=c)
-                        for c in ("n", "sxx", "syy", "sxy")]))
+    # per-key re-sum of the block partials via the sorted-block plan —
+    # Ray's native Sum aggregate measured 141 s at 1.28M partials /
+    # 20k keys (BASELINE.md round-5); this is ~2 s
+    agg = grouped_sums(j.map_batches(moments, batch_format="pandas"),
+                       key, ("n", "sxx", "syy", "sxy"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         rows = {key: df[key], "n": [], "rho": []}
@@ -202,7 +218,7 @@ def grouped_auc(ds, key: str, label_col: str, score_col: str,
     the DOUBLED average rank of the score within the key and ``ΣR₂₊``
     sums it over positive rows.  Keys lacking either class report
     ``auc = 0``.  ``label_col`` must be 0/1 int."""
-    from ray.data.aggregate import Sum
+    from .vhist import grouped_sums
 
     ds = ds.materialize()
     rk = _value_ranks(ds, key, score_col, "__r2", centered=False)
@@ -220,11 +236,8 @@ def grouped_auc(ds, key: str, label_col: str, score_col: str,
         })
         return d.groupby(key, sort=False, as_index=False).sum()
 
-    agg = (j.map_batches(moments, batch_format="pandas")
-           .groupby(key)
-           .aggregate(Sum("n_pos", alias_name="n_pos"),
-                      Sum("n_neg", alias_name="n_neg"),
-                      Sum("sr2", alias_name="sr2")))
+    agg = grouped_sums(j.map_batches(moments, batch_format="pandas"),
+                       key, ("n_pos", "n_neg", "sr2"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         rows = {key: df[key], "n_pos": [], "n_neg": [], "auc": []}

@@ -5,9 +5,9 @@ keys-sized aggregates.
 
 Plan: each block reduces to per-key INTEGER moment partials (n, Σx1,
 Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y — 9 int64 sums, vectorized
-pandas groupby), ONE lean hash ``groupby(key)`` re-sums them (the
-exchange is keys × blocks rows of 10 ints — the GOOD hash-aggregate
-regime, unlike the banned keys × distinct-values histogram exchange),
+pandas groupby), the keys × blocks partial stream is re-summed per
+key by the sorted-block ``vhist.grouped_sums`` plan (Ray's native Sum
+aggregate pays Python-level per-group cost — BASELINE.md round-5),
 and a vectorized finish solves the centered 2×2 system per key with
 Cramer's rule.  The float epilogue (CAST exact int sums to DOUBLE,
 centered covariances, determinant, coefficients, R²) mirrors the SQL
@@ -41,7 +41,8 @@ def grouped_ols2(ds, key: str, x1: str, x2: str, y: str,
     must be integer-valued (cents/counts); keys with ``n < 3`` or a
     singular centered system are dropped."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from .vhist import grouped_sums
 
     cols = ["n", "sx1", "sx2", "sy", "sx1x1", "sx1x2", "sx2x2",
             "sx1y", "sx2y"]
@@ -63,9 +64,11 @@ def grouped_ols2(ds, key: str, x1: str, x2: str, y: str,
         })
         return d.groupby(key, sort=False, as_index=False).sum()
 
-    agg = (ds.map_batches(block_moments, batch_format="pandas")
-           .groupby(key)
-           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    # per-key re-sum of the keys × blocks partial stream via the
+    # sorted-block plan (Ray's native Sum aggregate pays Python-level
+    # per-group cost — BASELINE.md round-5 measurement)
+    agg = grouped_sums(
+        ds.map_batches(block_moments, batch_format="pandas"), key, cols)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n"].to_numpy(dtype=np.float64)

@@ -86,6 +86,43 @@ def seg_bounds_of(segid: np.ndarray, n_segs: int):
     return starts, (ends - starts).astype(np.int64)
 
 
+def grouped_sums(ds, key, cols, out_dtypes=None):
+    """Per-key int64 column sums via the ONE-sort sorted-block plan —
+    the replacement for ``groupby(key).aggregate(Sum...)`` on
+    partial-row streams: Ray's native hash aggregate pays Python-level
+    per-group cost (measured 141 s for 1.28M partial rows / 20k keys /
+    4 Sums — 7 ms per group — vs ~2 s for this plan, BASELINE.md
+    round-5).  ``ds`` is typically a keys × blocks partial stream;
+    ``cols`` are summed exactly (int64, associative, layout-invariant).
+    Returns one row per key with columns ``[key, *cols]``."""
+    import numpy as np
+    import pandas as pd
+
+    from .groupscan import scan_sorted_groups
+
+    cols = list(cols)
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             **{c: [np.int64(g[c].sum())]
+                                for c in cols}})
+
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        row = {key: df[key].to_numpy()[starts]}
+        for c in cols:
+            row[c] = np.add.reduceat(
+                df[c].to_numpy(dtype=np.int64)[idx], cum_excl)
+        return pd.DataFrame(row)
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        **{c: pd.Series(dtype="int64") for c in cols}})
+    return scan_sorted_groups(ds, key, group_fn, out_empty,
+                              min_group=1, block_fn=block_fn)
+
+
 def assert_headroom(max_abs: int, multiplier: int, op: str,
                     bound: int = 2 ** 62):
     """Loud error instead of silent int64 overflow: asserts
