@@ -5,10 +5,10 @@ pairs, not rows.
 Plan: (1) ``map_batches`` drops duplicate ``(key, x)`` pairs inside
 each block — on real streams (events per user, docs per domain) this
 shrinks the exchange by the per-block repeat factor before anything
-moves; (2) ``groupby([key, x]).aggregate(Count)`` hash-shuffles the
-surviving pairs to global uniqueness; (3) the second
-``groupby(key).aggregate(Count)`` runs over one row per unique pair —
-input-sized nothing, all-to-all only on pair keys. This is the exact
+moves; (2) ONE range-partitioning sort of the surviving pairs
+(``scan_sorted_groups``) — each key segment's distinct count is its
+number of equal-value runs, counted vectorized per block (round 5;
+previously two hash aggregates). This is the exact
 complement of the HLL sketch path (`raqc_ray/sketches/hll.py`): use
 HLL inside the validation pipeline where ±2% suffices at 10^12 rows,
 and this operator where exactness is the contract (dedup accounting,
@@ -27,18 +27,45 @@ import pandas as pd
 def grouped_count_distinct(ds, key: str, distinct_col: str,
                            out_col: str = "n_distinct"):
     """Dataset with columns ``(key, out_col)`` — exact distinct count
-    of ``distinct_col`` per ``key``."""
-    from ray.data.aggregate import Count
+    of ``distinct_col`` per ``key``.
+
+    Round-5 plan: block-deduped pairs feed ONE
+    ``scan_sorted_groups`` sort; each segment's distinct count is its
+    number of equal-value runs (``vhist.merge_runs``), counted
+    vectorized for every key of a block at once.  Replaces the old
+    TWO hash aggregates (``groupby([key, x])`` then
+    ``groupby(key)``) — one exchange instead of two, and no
+    per-group Python in Ray's aggregate path."""
+    from .groupscan import scan_sorted_groups
+    from .vhist import (gather_segments, key_pandas_dtype, merge_runs,
+                        seg_bounds_of)
 
     def block_dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df[[key, distinct_col]].drop_duplicates()
 
     pairs = ds.map_batches(block_dedup, batch_format="pandas")
-    uniq = pairs.groupby([key, distinct_col]).aggregate(
-        Count(alias_name="__c__")
-    )
-    out = uniq.groupby(key).aggregate(Count(alias_name=out_col))
-    return out.select_columns([key, out_col])
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out_col: [np.int64(
+                                 g[distinct_col].nunique())]})
+
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        v = df[distinct_col].to_numpy()[idx]
+        order = np.lexsort((v, segid))
+        _, seg_m, _, _ = merge_runs(segid, v[order],
+                                    np.ones(len(v), dtype=np.int64))
+        _, sm_sizes = seg_bounds_of(seg_m, len(sizes))
+        return pd.DataFrame({key: df[key].to_numpy()[starts],
+                             out_col: sm_sizes})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        out_col: pd.Series(dtype="int64")})
+    return scan_sorted_groups(pairs, key, group_fn, out_empty,
+                              min_group=1, block_fn=block_fn)
 
 
 def grouped_collect_set(ds, key: str, val: str, sep: str = ",",
