@@ -56,8 +56,16 @@ def covariance_matrix(ds, emb_col: str, dim: int, scale: int = 10_000):
     jj = (iu1 + 1).astype(np.int64)
 
     def partials(b: pa.Table) -> pd.DataFrame:
+        from .vhist import assert_headroom
+
         emb = _emb_matrix(b[emb_col], dim)
         q = np.floor(emb * scale).astype(np.int64)
+        if q.size:
+            # documented per-block bound made loud: Σ_rows q_i·q_j ≤
+            # max|q|² · block_rows (the global re-sum is Sum over
+            # int64 partials — adversarial scales must rescale)
+            assert_headroom(int(np.abs(q).max()) ** 2, q.shape[0],
+                            "covariance_matrix")
         gram = q.T @ q  # (dim, dim) int64, one matmul per block
         s = q.sum(axis=0, dtype=np.int64)
         i = np.concatenate([ii, np.arange(1, dim + 1, dtype=np.int64),

@@ -52,6 +52,7 @@ def grouped_twap(ds, key: str, ts_col: str, id_col: str,
     nullable timestamps/values filter upstream."""
     from ._join_util import arrow_schema
     from .groupscan import scan_sorted_groups
+    from .vhist import assert_headroom
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -67,6 +68,11 @@ def grouped_twap(ds, key: str, ts_col: str, id_col: str,
     pds = ds.map_batches(prep, batch_format="pandas")
 
     def _emit(kvals, tu, vi, starts, ends):
+        if len(vi):
+            # documented bound made loud: |Σ v·dt| ≤ max|v|·span
+            assert_headroom(int(np.abs(vi).max()),
+                            int(tu.max() - tu.min()) or 1,
+                            "grouped_twap")
         d = np.zeros(len(tu), dtype=np.int64)
         d[:-1] = tu[1:] - tu[:-1]
         d[ends - 1] = 0  # no duration across segment edges / last row

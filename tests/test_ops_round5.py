@@ -116,6 +116,40 @@ def test_ols2_headroom_guard(ray_session):
         grouped_ols2(_ds(df, 1), "k", "x1", "x2", "y").to_pandas()
 
 
+# ------------------------------------------------- shared headroom guard
+
+def test_twap_headroom_guard(ray_session):
+    """VERDICT r4 #8: the documented TWAP bound (max|v_scaled| ·
+    span_us < 2^62) now raises loudly instead of wrapping."""
+    from raqc_ray.ops.twap import grouped_twap
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "k": [1, 1, 1],
+        "ts": [base, base + pd.Timedelta(days=400),
+               base + pd.Timedelta(days=800)],
+        "id": [1, 2, 3],
+        # 2^35 cents x ~7e13 us span >= 2^62
+        "v": [float(2 ** 35) / 100.0] * 3,
+    })
+    with pytest.raises(Exception, match="headroom"):
+        grouped_twap(_ds(df, 1), "k", "ts", "id", "v").to_pandas()
+
+
+def test_embcov_headroom_guard(ray_session):
+    """covariance_matrix per-block Gram bound raises loudly when
+    max|q|^2 x block rows exceeds int64 headroom."""
+    import ray.data as rd
+
+    from raqc_ray.ops.embcov import covariance_matrix
+
+    emb = [np.full(4, 6e11, dtype=np.float64) for _ in range(8)]
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(8),
+                                      "embedding": emb}))
+    with pytest.raises(Exception, match="headroom"):
+        covariance_matrix(ds, "embedding", dim=4, scale=1).to_pandas()
+
+
 # ----------------------------------------------------- source_vocab_overlap
 
 def test_vocab_overlap_closed_form(ray_session):
