@@ -5202,6 +5202,64 @@ def q225_vocab_overlap_documents(sf_dir: str):
             .sort_values(["src_a", "src_b"]).reset_index(drop=True))
 
 
+def q226_weighted_quantile_lineitem(sf_dir: str):
+    """Exact grouped WEIGHTED continuous quantiles (ops/quantile_exact
+    .grouped_weighted_quantile_cont): price-cents quantiles weighted
+    by quantity per return flag, computed over the weight histogram —
+    never the weight-expanded multiset.  Dyadic q over integer cents
+    ⇒ exact dyadic results; the oracle replays the expansion
+    literally with generate_series + percentile_cont."""
+    from raqc_ray.ops.quantile_exact import grouped_weighted_quantile_cont
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "cents": np.floor(
+                df["l_extendedprice"].to_numpy(dtype=np.float64)
+                * 100.0 + 0.5).astype(np.int64),
+            "w": df["l_quantity"].to_numpy(dtype=np.float64)
+            .astype(np.int64),
+        })
+
+    pds = li.map_batches(prep, batch_format="pandas")
+    df = _typed_pandas(grouped_weighted_quantile_cont(
+        pds, "l_returnflag", "cents", "w", qs=(0.25, 0.5)))
+    df["w_total"] = df["w_total"].astype("int64")
+    for c in ("wq0_25", "wq0_5"):
+        df[c] = df[c].astype("float64")
+    return (df[["l_returnflag", "w_total", "wq0_25", "wq0_5"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q227_top_tokens_by_source(sf_dir: str):
+    """Per-source top-3 most frequent tokens (ops/argmax
+    .grouped_topk_frequent — grouped mode generalized to k): exploded
+    token counts, ONE sort, in-segment run-merge, vectorized per-block
+    top-k epilogue.  Full ROW_NUMBER SQL oracle."""
+    from raqc_ray.ops.argmax import grouped_topk_frequent
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, toks = [], []
+        for src, text in zip(df["source"], df["text"].fillna("")):
+            ts = text.split()
+            srcs.extend([src] * len(ts))
+            toks.extend(ts)
+        return pd.DataFrame({"source": srcs, "tok": toks})
+
+    pds = docs.map_batches(explode, batch_format="pandas")
+    df = _typed_pandas(grouped_topk_frequent(pds, "source", "tok",
+                                             k=3))
+    for c in ("n", "rank"):
+        df[c] = df[c].astype("int64")
+    return (df[["source", "tok", "n", "rank"]]
+            .sort_values(["source", "rank"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5498,6 +5556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q223_pca_rerank_topk": q223_pca_rerank_topk,
         "q224_ols_events": q224_ols_events,
         "q225_vocab_overlap_documents": q225_vocab_overlap_documents,
+        "q226_weighted_quantile_lineitem": q226_weighted_quantile_lineitem,
+        "q227_top_tokens_by_source": q227_top_tokens_by_source,
     }
 
 
@@ -9371,6 +9431,49 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i
               ON i.src_a = sa.source AND i.src_b = sb.source
             ORDER BY 1, 2
+        """,
+        "q226_weighted_quantile_lineitem": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS cents,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+            ), e AS (
+                SELECT l_returnflag, cents FROM (
+                    SELECT l_returnflag, cents,
+                           unnest(generate_series(1, w)) AS i
+                    FROM t
+                )
+            )
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS w_total,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)
+                       AS wq0_25,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)
+                       AS wq0_5
+            FROM e GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q227_top_tokens_by_source": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ), nz AS (
+                SELECT * FROM toks WHERE tok <> ''
+            ), c AS (
+                SELECT source, tok, COUNT(*) AS n
+                FROM nz GROUP BY 1, 2
+            ), r AS (
+                SELECT source, tok, n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n DESC, tok ASC)
+                           AS rank
+                FROM c
+            )
+            SELECT source, tok, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3 ORDER BY source, rank
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

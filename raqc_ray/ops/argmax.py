@@ -119,3 +119,67 @@ def grouped_mode(ds, key: str, value_col: str):
         "n": pd.Series(dtype="int64")})
     return scan_sorted_groups(cnt, key, pick, out_empty, min_group=1,
                               block_fn=block_fn)
+
+
+def grouped_topk_frequent(ds, key: str, value_col: str, k: int = 3):
+    """Per-key TOP-K most frequent values with counts and 1-based
+    rank — :func:`grouped_mode` generalized to k (SQL ``ROW_NUMBER()
+    OVER (PARTITION BY key ORDER BY COUNT(*) DESC, value ASC) <= k``;
+    ties break to the smaller value, the mode convention).
+
+    Plan: identical to :func:`grouped_mode` — per-block count
+    partials, ONE sort, in-segment run-merge — with a vectorized
+    top-k epilogue: merged runs re-sorted by ``(segid, −count,
+    value)`` and ranked by a per-segment cumcount, keeping rank ≤ k.
+    Output columns: ``key``, ``value_col``, ``n``, ``rank``."""
+    from .groupscan import scan_sorted_groups
+    from .vhist import (gather_segments, key_pandas_dtype, merge_runs,
+                        seg_bounds_of)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, value_col], sort=False)
+                .size().reset_index(name="n"))
+
+    cnt = ds.map_batches(counts, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(value_col, as_index=False)["n"].sum()
+        s = s.sort_values(["n", value_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        out = s.reset_index(drop=True)
+        out.insert(0, key, g[key].iloc[0])
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    def block_fn(df: pd.DataFrame, starts: np.ndarray,
+                 ends: np.ndarray) -> pd.DataFrame:
+        idx, segid, sizes, cum_excl = gather_segments(starts, ends)
+        kv_seg = df[key].to_numpy()[starts]
+        v = df[value_col].to_numpy()[idx]
+        c = df["n"].to_numpy(dtype=np.int64)[idx]
+        order = np.lexsort((v, segid))
+        _, seg_m, v_m, c_m = merge_runs(segid, v[order], c[order])
+        # rank merged runs per segment by (count desc, value asc):
+        # runs are value-ascending, so a stable sort on -count keeps
+        # the tie order
+        order2 = np.lexsort((-c_m, seg_m))
+        seg_s = seg_m[order2]
+        new = np.ones(len(seg_s), dtype=bool)
+        new[1:] = seg_s[1:] != seg_s[:-1]
+        first = np.flatnonzero(new)
+        rank = (np.arange(len(seg_s), dtype=np.int64)
+                - np.repeat(first, np.diff(np.append(first,
+                                                     len(seg_s)))) + 1)
+        keep = rank <= k
+        sel = order2[keep]
+        return pd.DataFrame({key: kv_seg[seg_m[sel]],
+                             value_col: v_m[sel], "n": c_m[sel],
+                             "rank": rank[keep]})
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        value_col: pd.Series(dtype=key_pandas_dtype(ds, value_col)),
+        "n": pd.Series(dtype="int64"),
+        "rank": pd.Series(dtype="int64")})
+    return scan_sorted_groups(cnt, key, pick, out_empty, min_group=1,
+                              block_fn=block_fn)

@@ -423,6 +423,78 @@ def grouped_weighted_median(ds, key: str, value_col: str,
     return _scan(hist, ds, key, pick, out_empty, block_pick)
 
 
+def grouped_weighted_quantile_cont(ds, key: str, value_col: str,
+                                   weight_col: str,
+                                   qs: tuple[float, ...] = (0.5,),
+                                   prefix: str = "wq"):
+    """Exact grouped WEIGHTED continuous quantiles: the
+    ``quantile_cont`` interpolation over the weight-expanded multiset
+    (each value counted ``weight`` times) — position ``(W−1)·q`` over
+    the expansion, ``lo + (hi − lo)·frac`` — WITHOUT materializing the
+    expansion anywhere.  The weight histogram plays the count
+    histogram's role in :func:`grouped_quantile_cont`: per-block
+    ``(key, value) → Σw`` partials feed the sorted scan, and the rank
+    targets are found by searchsorted on the weight cumsum (duplicate
+    partial rows tolerated — the cumsum crosses each rank at the same
+    value either way).  Weights are positive int64; keys whose total
+    weight is 0 are dropped.  The SQL oracle replays the expansion
+    literally with ``generate_series(1, w)`` + ``percentile_cont``
+    (fixture-scale weights), pinning the convention.
+
+    Columns: ``(key, w_total, {prefix}{q}...)``."""
+    qcols = [f"{prefix}{str(q).replace('.', '_')}" for q in qs]
+
+    def block_wsums(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        m = w > 0
+        d = pd.DataFrame({key: df[key].to_numpy()[m]})
+        d[value_col] = df[value_col].to_numpy()[m]
+        d["__w"] = w[m]
+        return d.groupby([key, value_col], sort=False,
+                         as_index=False).sum()
+
+    hist = ds.map_batches(block_wsums, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(value_col, kind="mergesort")
+        v = s[value_col].to_numpy(dtype=np.float64)
+        cum = np.cumsum(s["__w"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        row = {key: [g[key].iloc[0]], "w_total": [np.int64(n)]}
+        for q, col in zip(qs, qcols):
+            pos = (n - 1) * q
+            lo_i = int(math.floor(pos))
+            hi_i = int(math.ceil(pos))
+            lo = v[int(np.searchsorted(cum, lo_i + 1))]
+            hi = v[int(np.searchsorted(cum, hi_i + 1))]
+            row[col] = [lo + (hi - lo) * (pos - lo_i)]
+        return pd.DataFrame(row)
+
+    def block_pick(df: pd.DataFrame, starts: np.ndarray,
+                   ends: np.ndarray) -> pd.DataFrame:
+        kv, v, w, segid, sizes, cum_excl, cumg, base, n = \
+            _sorted_seg_arrays(df, key, value_col, starts, ends,
+                               count_col="__w",
+                               value_dtype=np.float64)
+        row = {key: kv, "w_total": n}
+        for q, col in zip(qs, qcols):
+            pos = (n - 1) * q
+            lo_i = np.floor(pos).astype(np.int64)
+            hi_i = np.ceil(pos).astype(np.int64)
+            lo = v[np.maximum(np.searchsorted(cumg, base + lo_i + 1),
+                              cum_excl)]
+            hi = v[np.maximum(np.searchsorted(cumg, base + hi_i + 1),
+                              cum_excl)]
+            row[col] = lo + (hi - lo) * (pos - lo_i)
+        return pd.DataFrame(row)
+
+    out_empty = pd.DataFrame({
+        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        "w_total": pd.Series(dtype="int64"),
+        **{c: pd.Series(dtype="float64") for c in qcols}})
+    return _scan(hist, ds, key, pick, out_empty, block_pick)
+
+
 def grouped_quantile_cont_num(ds, key: str, value_col: str,
                               ps=((25, 100), (90, 100)),
                               prefix: str = "p"):

@@ -116,6 +116,84 @@ def test_ols2_headroom_guard(ray_session):
         grouped_ols2(_ds(df, 1), "k", "x1", "x2", "y").to_pandas()
 
 
+# -------------------------------------------- weighted quantile / topk freq
+
+def test_weighted_quantile_matches_expansion(ray_session):
+    from raqc_ray.ops.quantile_exact import grouped_weighted_quantile_cont
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame({"k": rng.integers(0, 6, n),
+                       "v": rng.integers(0, 500, n),
+                       "w": rng.integers(0, 8, n)})  # incl. zero weights
+    out = (grouped_weighted_quantile_cont(_ds(df, 7), "k", "v", "w",
+                                          qs=(0.25, 0.5))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # brute-force: literally expand the multiset
+    exp = df.loc[df.index.repeat(df["w"])]
+    for _, row in out.iterrows():
+        g = np.sort(exp[exp["k"] == row["k"]]["v"].to_numpy())
+        assert row["w_total"] == len(g)
+        assert row["wq0_25"] == pytest.approx(
+            np.quantile(g, 0.25, method="linear"))
+        assert row["wq0_5"] == pytest.approx(
+            np.quantile(g, 0.5, method="linear"))
+
+
+def test_weighted_quantile_layout_invariance(ray_session):
+    from raqc_ray.ops.quantile_exact import grouped_weighted_quantile_cont
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"k": rng.integers(0, 40, 8000),
+                       "v": rng.integers(0, 100, 8000),
+                       "w": rng.integers(1, 20, 8000)})
+    outs = [(grouped_weighted_quantile_cont(_ds(df, p), "k", "v", "w")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+            for p in (1, 17)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_topk_frequent_closed_form(ray_session):
+    from raqc_ray.ops.argmax import grouped_topk_frequent
+
+    df = pd.DataFrame({
+        "k": [1] * 10 + [2] * 4,
+        "v": ["a"] * 4 + ["b"] * 3 + ["c"] * 2 + ["d"] * 1
+             + ["x", "y", "x", "z"],
+    })
+    out = (grouped_topk_frequent(_ds(df, 3), "k", "v", k=3)
+           .to_pandas().sort_values(["k", "rank"])
+           .reset_index(drop=True))
+    k1 = out[out["k"] == 1]
+    assert k1["v"].tolist() == ["a", "b", "c"]
+    assert k1["n"].tolist() == [4, 3, 2]
+    k2 = out[out["k"] == 2]
+    # ties (y=1, z=1) break to the smaller value
+    assert k2["v"].tolist() == ["x", "y", "z"]
+    assert k2["n"].tolist() == [2, 1, 1]
+    assert k2["rank"].tolist() == [1, 2, 3]
+
+
+def test_topk_frequent_layout_and_reference(ray_session):
+    from raqc_ray.ops.argmax import grouped_topk_frequent
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"k": rng.integers(0, 25, 9000),
+                       "v": rng.integers(0, 30, 9000)})
+    outs = [(grouped_topk_frequent(_ds(df, p), "k", "v", k=2)
+             .to_pandas().sort_values(["k", "rank"])
+             .reset_index(drop=True))
+            for p in (1, 11)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # reference recompute for one key
+    kk = int(df["k"].iloc[0])
+    cnt = df[df["k"] == kk]["v"].value_counts()
+    top = sorted(((-n, v) for v, n in cnt.items()))[:2]
+    row = outs[0][outs[0]["k"] == kk]
+    assert row["v"].tolist() == [v for _, v in top]
+    assert row["n"].tolist() == [-n for n, _ in top]
+
+
 # ------------------------------------------------- shared headroom guard
 
 def test_twap_headroom_guard(ray_session):

@@ -164,7 +164,9 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q218_trimmed_mean_lineitem", "q219_theil_events",
             "q220_volatility_events", "q221_setjoin_documents",
             "q222_bigram_nll_documents", "q224_ols_events",
-            "q225_vocab_overlap_documents"]
+            "q225_vocab_overlap_documents",
+            "q226_weighted_quantile_lineitem",
+            "q227_top_tokens_by_source"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
