@@ -5260,6 +5260,22 @@ def q227_top_tokens_by_source(sf_dir: str):
             .sort_values(["source", "rank"]).reset_index(drop=True))
 
 
+def q228_unigram_kl_documents(sf_dir: str):
+    """Per-source unigram KL divergence vs the corpus blend
+    (ops/vocabsim.unigram_kl_by_source): exact int64 token counts via
+    ONE token sort (no vocabulary hash aggregate), per-source N_s
+    broadcast, float ln epilogue mirroring the oracle (round-6)."""
+    from raqc_ray.ops.vocabsim import unigram_kl_by_source
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    df = _typed_pandas(unigram_kl_by_source(docs, "source", "text"))
+    for c in ("n_tokens", "n_distinct"):
+        df[c] = df[c].astype("int64")
+    df["kl"] = df["kl"].astype("float64")
+    return (df[["source", "n_tokens", "n_distinct", "kl"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5558,6 +5574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q225_vocab_overlap_documents": q225_vocab_overlap_documents,
         "q226_weighted_quantile_lineitem": q226_weighted_quantile_lineitem,
         "q227_top_tokens_by_source": q227_top_tokens_by_source,
+        "q228_unigram_kl_documents": q228_unigram_kl_documents,
     }
 
 
@@ -9474,6 +9491,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, tok, CAST(n AS BIGINT) AS n,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 3 ORDER BY source, rank
+        """,
+        "q228_unigram_kl_documents": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ), nz AS (
+                SELECT * FROM toks WHERE tok <> ''
+            ), c AS (
+                SELECT source, tok, COUNT(*) AS c
+                FROM nz GROUP BY 1, 2
+            ), ns AS (
+                SELECT source, SUM(c) AS n FROM c GROUP BY source
+            ), ct AS (
+                SELECT tok, SUM(c) AS ctot FROM c GROUP BY tok
+            ), tot AS (
+                SELECT SUM(c) AS n FROM c
+            ), terms AS (
+                SELECT c.source,
+                       (CAST(c.c AS DOUBLE) / ns.n)
+                       * LN((CAST(c.c AS DOUBLE) / ns.n)
+                            / (CAST(ct.ctot AS DOUBLE) / tot.n)) AS t
+                FROM c JOIN ns USING (source) JOIN ct USING (tok)
+                CROSS JOIN tot
+            )
+            SELECT s.source, CAST(s.n AS BIGINT) AS n_tokens,
+                   CAST(d.nd AS BIGINT) AS n_distinct,
+                   ROUND(t.kl, 6) AS kl
+            FROM ns s
+            JOIN (SELECT source, COUNT(*) AS nd FROM c
+                  GROUP BY source) d USING (source)
+            JOIN (SELECT source, SUM(t) AS kl FROM terms
+                  GROUP BY source) t USING (source)
+            ORDER BY s.source
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -194,6 +194,59 @@ def test_topk_frequent_layout_and_reference(ray_session):
     assert row["n"].tolist() == [-n for n, _ in top]
 
 
+# --------------------------------------------------- unigram KL by source
+
+def test_unigram_kl_closed_form(ray_session):
+    from raqc_ray.ops.vocabsim import unigram_kl_by_source
+
+    # source a: {x:3, y:1} (N_a=4); source b: {x:1, y:3} (N_b=4);
+    # corpus: {x:4, y:4} (N=8) -> P_c = (.5, .5)
+    # KL(a) = .75 ln(.75/.5) + .25 ln(.25/.5); same for b by symmetry
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "b"],
+        "text": ["x x x", "y", "x", "y y y"],
+    })
+    out = (unigram_kl_by_source(_ds(df, 2), "source", "text")
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    want = 0.75 * np.log(1.5) + 0.25 * np.log(0.5)
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_tokens"].tolist() == [4, 4]
+    assert out["n_distinct"].tolist() == [2, 2]
+    assert out["kl"].tolist() == pytest.approx([want, want], abs=1e-6)
+
+
+def test_unigram_kl_identical_sources_zero(ray_session):
+    from raqc_ray.ops.vocabsim import unigram_kl_by_source
+
+    df = pd.DataFrame({
+        "source": ["a", "b", "c"],
+        "text": ["p q r s"] * 3,   # identical distributions
+    })
+    out = unigram_kl_by_source(_ds(df, 2), "source", "text").to_pandas()
+    assert (out["kl"].abs() < 1e-9).all()
+
+
+def test_unigram_kl_layout_invariance(ray_session):
+    from raqc_ray.ops.vocabsim import unigram_kl_by_source
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(500):
+        src = f"s{rng.integers(0, 4)}"
+        # skew each source's token distribution differently
+        lo = (int(src[1]) * 25) % 100
+        toks = rng.choice(vocab[lo:lo + 40],
+                          size=rng.integers(4, 20))
+        rows.append((src, " ".join(toks)))
+    df = pd.DataFrame(rows, columns=["source", "text"])
+    outs = [(unigram_kl_by_source(_ds(df, p), "source", "text")
+             .to_pandas().sort_values("source").reset_index(drop=True))
+            for p in (1, 9)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["kl"] > 0.01).all()  # skewed sources diverge
+
+
 # ------------------------------------------------- shared headroom guard
 
 def test_twap_headroom_guard(ray_session):
