@@ -5276,6 +5276,24 @@ def q228_unigram_kl_documents(sf_dir: str):
             .sort_values("source").reset_index(drop=True))
 
 
+def q229_centroid_distances_embeddings(sf_dir: str):
+    """Inter-label centroid-distance matrix (ops/embcov
+    .centroid_distances): exact int64 quantized sum vectors per
+    (block, label) — constant-size partials, output-sized driver
+    finish; float epilogue mirrors the oracle (round-6)."""
+    from raqc_ray.ops.embcov import centroid_distances
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    df = _typed_pandas(centroid_distances(emb, "label", "embedding",
+                                          dim=64))
+    for c in ("key_a", "key_b", "n_a", "n_b"):
+        df[c] = df[c].astype("int64")
+    df["dist"] = df["dist"].astype("float64")
+    df = df.rename(columns={"key_a": "label_a", "key_b": "label_b"})
+    return (df[["label_a", "label_b", "n_a", "n_b", "dist"]]
+            .sort_values(["label_a", "label_b"]).reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5575,6 +5593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q226_weighted_quantile_lineitem": q226_weighted_quantile_lineitem,
         "q227_top_tokens_by_source": q227_top_tokens_by_source,
         "q228_unigram_kl_documents": q228_unigram_kl_documents,
+        "q229_centroid_distances_embeddings":
+            q229_centroid_distances_embeddings,
     }
 
 
@@ -9525,6 +9545,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT source, SUM(t) AS kl FROM terms
                   GROUP BY source) t USING (source)
             ORDER BY s.source
+        """,
+        "q229_centroid_distances_embeddings": """
+            WITH q AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 10000) AS BIGINT) AS qv
+                FROM embeddings
+            ), s AS (
+                SELECT label, pos, SUM(qv) AS sv FROM q GROUP BY 1, 2
+            ), nn AS (
+                SELECT label, COUNT(*) AS c FROM embeddings GROUP BY 1
+            )
+            SELECT CAST(na.label AS BIGINT) AS label_a,
+                   CAST(nb.label AS BIGINT) AS label_b,
+                   CAST(na.c AS BIGINT) AS n_a,
+                   CAST(nb.c AS BIGINT) AS n_b,
+                   ROUND(SQRT(SUM(
+                       POWER(CAST(sa.sv AS DOUBLE) / na.c
+                             - CAST(sb.sv AS DOUBLE) / nb.c, 2)))
+                         / 10000, 6) AS dist
+            FROM nn na
+            JOIN nn nb ON na.label < nb.label
+            JOIN s sa ON sa.label = na.label
+            JOIN s sb ON sb.label = nb.label AND sb.pos = sa.pos
+            GROUP BY na.label, nb.label, na.c, nb.c
+            ORDER BY 1, 2
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

@@ -282,3 +282,73 @@ def pca_project(ds, mean: np.ndarray, components: np.ndarray,
         })
 
     return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def centroid_distances(ds, key: str, emb_col: str, dim: int,
+                       scale: int = 10_000, round_to: int = 6):
+    """Pairwise L2 distances between per-key QUANTIZED centroids —
+    the inter-class separation matrix (did two label clusters
+    collapse into each other after a bad re-embed?).  One row per
+    unordered key pair ``(key_a < key_b)``:
+    ``(key_a, key_b, n_a, n_b, dist)`` with
+    ``dist = sqrt(Σ_pos (s_a/n_a − s_b/n_b)²) / scale`` over the
+    exact int64 sums ``s = Σ floor(emb·scale)`` — the float epilogue
+    mirrors the SQL oracle expression shape (round-``round_to``).
+
+    Plan: per block, ONE factorize + ``np.add.at`` gives every
+    present key's sum vector (keys × dim int64 — constant-size
+    partials); the partial stream (blocks × keys × dim rows) is
+    output-sized, so the re-sum and the S×S pairwise finish run on
+    the driver.  Keys are driver-small by contract (labels/classes —
+    the `grouped_covariance_matrix` regime).  int64 headroom guarded
+    per block via ``vhist.assert_headroom``."""
+    import ray.data as rd
+
+    from .vhist import assert_headroom
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        emb = _emb_matrix(b[emb_col], dim)
+        q = np.floor(emb * scale).astype(np.int64)
+        if q.size:
+            assert_headroom(int(np.abs(q).max()), q.shape[0],
+                            "centroid_distances")
+        keys = b[key].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        s = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(s, codes, q)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({
+            key: np.repeat(np.asarray(uniq), dim),
+            "pos": np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                           len(uniq)),
+            "s": s.ravel(),
+            "n": np.repeat(n, dim),
+        })
+
+    part = (ds.map_batches(partials, batch_format="pyarrow")
+            .to_pandas())  # blocks × keys × dim — output-sized
+    if len(part) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "key_a": pd.Series(dtype="object"),
+            "key_b": pd.Series(dtype="object"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "dist": pd.Series(dtype="float64")}))
+    g = (part.groupby([key, "pos"], as_index=False)
+         .agg(s=("s", "sum"), n=("n", "sum")))
+    labels = sorted(g[key].unique())
+    mats = {}
+    ns = {}
+    for lab in labels:
+        sub = g[g[key] == lab].sort_values("pos")
+        mats[lab] = sub["s"].to_numpy(dtype=np.float64)
+        ns[lab] = int(sub["n"].iloc[0])
+    rows = []
+    for i, a in enumerate(labels):
+        for b_ in labels[i + 1:]:
+            d = mats[a] / ns[a] - mats[b_] / ns[b_]
+            dist = float(np.sqrt((d * d).sum()) / scale)
+            rows.append((a, b_, ns[a], ns[b_],
+                         np.round(dist, round_to)))
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["key_a", "key_b", "n_a", "n_b", "dist"]))

@@ -247,6 +247,51 @@ def test_unigram_kl_layout_invariance(ray_session):
     assert (outs[0]["kl"] > 0.01).all()  # skewed sources diverge
 
 
+# ------------------------------------------------- centroid distances
+
+def test_centroid_distances_closed_form(ray_session):
+    import ray.data as rd
+
+    from raqc_ray.ops.embcov import centroid_distances
+
+    # label 0 centered at (1, 0, 0, 0); label 1 at (0, 1, 0, 0);
+    # label 2 at (1, 1, 0, 0): d(0,1)=sqrt(2), d(0,2)=1, d(1,2)=1
+    rows = []
+    for lab, base in ((0, [1, 0, 0, 0]), (1, [0, 1, 0, 0]),
+                      (2, [1, 1, 0, 0])):
+        for i in range(6):
+            rows.append((lab, np.array(base, dtype=np.float64)))
+    df = pd.DataFrame(rows, columns=["label", "embedding"])
+    out = (centroid_distances(rd.from_pandas(df).repartition(3),
+                              "label", "embedding", dim=4)
+           .to_pandas().sort_values(["key_a", "key_b"])
+           .reset_index(drop=True))
+    assert out[["key_a", "key_b"]].values.tolist() == [
+        [0, 1], [0, 2], [1, 2]]
+    assert out["n_a"].tolist() == [6, 6, 6]
+    assert out["dist"].tolist() == pytest.approx(
+        [np.sqrt(2.0), 1.0, 1.0], abs=1e-6)
+
+
+def test_centroid_distances_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from raqc_ray.ops.embcov import centroid_distances
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "label": rng.integers(0, 5, 400),
+        "embedding": [rng.normal(size=8) for _ in range(400)],
+    })
+    outs = [(centroid_distances(rd.from_pandas(df).repartition(p),
+                                "label", "embedding", dim=8)
+             .to_pandas().sort_values(["key_a", "key_b"])
+             .reset_index(drop=True))
+            for p in (1, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 10  # C(5,2) pairs
+
+
 # ------------------------------------------------- shared headroom guard
 
 def test_twap_headroom_guard(ray_session):
