@@ -5294,6 +5294,54 @@ def q229_centroid_distances_embeddings(sf_dir: str):
             .sort_values(["label_a", "label_b"]).reset_index(drop=True))
 
 
+def q230_curation_pipeline_documents(sf_dir: str):
+    """END-TO-END corpus-curation composition — the canonical
+    training-data pipeline as ONE oracled query: exact-dedup
+    survivorship (md5 min-id, ops/dedup.exact_dedup) → distributed
+    semi-join back to the corpus (ops/join.semi_join) → quality gate
+    (length window + token floor, vectorized) → deterministic 50%
+    Lehmer sample (ops/sample.hash_sample) → per-source yield census.
+    Every stage is an existing production operator; the oracle
+    restates the same five stages in SQL."""
+    from raqc_ray.ops.dedup import exact_dedup
+    from raqc_ray.ops.join import semi_join
+    from raqc_ray.ops.sample import hash_sample
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "source", "text", "n_chars"])
+    surv = exact_dedup(docs).select_columns(["doc_id"])
+    kept = semi_join(docs, surv, on="doc_id")
+
+    def quality(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["text"].fillna("").map(lambda s: len(s.split()))
+        nc = df["n_chars"].to_numpy(dtype=np.int64)
+        m = (nc >= 100) & (nc <= 20_000) & (nt.to_numpy() >= 10)
+        out = df[m].copy()
+        out["n_tokens"] = nt.to_numpy()[m].astype(np.int64)
+        return out[["doc_id", "source", "n_chars", "n_tokens"]]
+
+    qual = kept.map_batches(quality, batch_format="pandas")
+    samp = hash_sample(qual, "doc_id", rate=0.5, salt=7)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "source": df["source"],
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "sum_tokens": df["n_tokens"].to_numpy(dtype=np.int64),
+            "sum_chars": df["n_chars"].to_numpy(dtype=np.int64)})
+        return d.groupby("source", sort=False, as_index=False).sum()
+
+    from raqc_ray.ops.vhist import grouped_sums
+
+    res = grouped_sums(samp.map_batches(partial, batch_format="pandas"),
+                       "source", ("n_docs", "sum_tokens", "sum_chars"))
+    df = _typed_pandas(res)
+    for c in ("n_docs", "sum_tokens", "sum_chars"):
+        df[c] = df[c].astype("int64")
+    return (df[["source", "n_docs", "sum_tokens", "sum_chars"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Key ORDER is deliberate: the correctness driver checks the first 50
     # keys (r1=26/26, r2=29/29, r3=50/84 — insertion-order prefix), so the
@@ -5595,6 +5643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q228_unigram_kl_documents": q228_unigram_kl_documents,
         "q229_centroid_distances_embeddings":
             q229_centroid_distances_embeddings,
+        "q230_curation_pipeline_documents":
+            q230_curation_pipeline_documents,
     }
 
 
@@ -9572,6 +9622,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sb ON sb.label = nb.label AND sb.pos = sa.pos
             GROUP BY na.label, nb.label, na.c, nb.c
             ORDER BY 1, 2
+        """,
+        "q230_curation_pipeline_documents": r"""
+            WITH surv AS (
+                SELECT MIN(doc_id) AS doc_id
+                FROM documents GROUP BY md5(text)
+            ), base AS (
+                SELECT d.source, d.doc_id, d.n_chars,
+                       CAST(length(regexp_extract_all(d.text, '\S+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents d JOIN surv USING (doc_id)
+            ), q AS (
+                SELECT * FROM base
+                WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 10
+            ), s AS (
+                SELECT * FROM q
+                WHERE (((doc_id + 7) * 48271) % 2147483647) * 48271
+                      % 2147483647 < 1073741823
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY source ORDER BY source
         """,
         # q16-q19, q21, q24, q25: custom hashes / LSH recall / sketch
         # payloads — not SQL-expressible; driver records rows-only checks.

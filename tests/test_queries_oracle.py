@@ -168,7 +168,8 @@ SQL_KEYS = ["q1_pricing_summary", "q2_range_violations", "q3_nullity_events",
             "q226_weighted_quantile_lineitem",
             "q227_top_tokens_by_source",
             "q228_unigram_kl_documents",
-            "q229_centroid_distances_embeddings"]
+            "q229_centroid_distances_embeddings",
+            "q230_curation_pipeline_documents"]
 
 
 @pytest.mark.parametrize("name", SQL_KEYS)
