@@ -113,27 +113,34 @@ def _value_ranks(ds, key: str, col: str, rank_col: str,
                               block_fn=block_fn)
 
 
-def _join_regime(ds, key: str, cols: list[str], rank_tables):
-    """Fallback: aggregate the joint histogram, then distributed hash
-    joins map each rank table on.  Returns (joined_ds, count_col)."""
-    from ray.data.aggregate import Sum
-
+def _join_regime(ds, key: str, cols: list[str], rank_tables,
+                 carry_cols=()):
+    """Fallback: aggregate the joint histogram (sorted-block
+    ``grouped_sums`` over the composite key — the native aggregate on
+    this many-groups pandas-block stream was the measured r4 wall),
+    then distributed hash joins map each rank table on.
+    ``carry_cols`` are part of the joint distribution (AUC's label)
+    but have no rank table to join.  Returns (joined_ds, count_col)."""
     from .join import hash_join
+    from .vhist import grouped_sums
+
+    gb = [key] + cols + list(carry_cols)
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[[key] + cols].copy()
+        d = df[gb].copy()
         d["__c"] = np.ones(len(d), dtype=np.int64)
-        return d.groupby([key] + cols, sort=False, as_index=False).sum()
+        return d.groupby(gb, sort=False, as_index=False).sum()
 
-    j = (ds.map_batches(block_counts, batch_format="pandas")
-         .groupby([key] + cols)
-         .aggregate(Sum("__c", alias_name="__c")))
+    j = grouped_sums(
+        ds.map_batches(block_counts, batch_format="pandas"),
+        gb, ("__c",))
     for col, rt in rank_tables:
         j = hash_join(j, rt, on=(key, col))
     return j, "__c"
 
 
-def _map_ranks(ds, key: str, rank_tables, broadcast_limit: int):
+def _map_ranks(ds, key: str, rank_tables, broadcast_limit: int,
+               carry_cols=()):
     """Attach rank columns to the raw stream (broadcast regime) or to
     the joint histogram (join regime).  Returns (ds, count_col|None).
 
@@ -159,7 +166,7 @@ def _map_ranks(ds, key: str, rank_tables, broadcast_limit: int):
             out = broadcast_join_arrow(out, tbl, on=[key, col])
         return out, None
     cols = [col for col, _ in mats]
-    return _join_regime(ds, key, cols, mats)
+    return _join_regime(ds, key, cols, mats, carry_cols)
 
 
 def grouped_spearman(ds, key: str, x_col: str, y_col: str,
@@ -222,7 +229,11 @@ def grouped_auc(ds, key: str, label_col: str, score_col: str,
 
     ds = ds.materialize()
     rk = _value_ranks(ds, key, score_col, "__r2", centered=False)
-    j, cnt = _map_ranks(ds, key, [(score_col, rk)], broadcast_limit)
+    # the label is part of the joint distribution the fallback
+    # histogram must keep (pre-r5 the join regime dropped it and
+    # crashed — caught by the regime-equivalence test)
+    j, cnt = _map_ranks(ds, key, [(score_col, rk)], broadcast_limit,
+                        carry_cols=(label_col,))
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
         c = (df[cnt].to_numpy(dtype=np.int64) if cnt

@@ -90,36 +90,39 @@ def grouped_sums(ds, key, cols, out_dtypes=None):
     """Per-key int64 column sums via the ONE-sort sorted-block plan —
     the replacement for ``groupby(key).aggregate(Sum...)`` on
     partial-row streams: Ray's native hash aggregate pays Python-level
-    per-group cost (measured 141 s for 1.28M partial rows / 20k keys /
-    4 Sums — 7 ms per group — vs ~2 s for this plan, BASELINE.md
-    round-5).  ``ds`` is typically a keys × blocks partial stream;
-    ``cols`` are summed exactly (int64, associative, layout-invariant).
-    Returns one row per key with columns ``[key, *cols]``."""
+    per-group cost when keys span many blocks (measured 141 s for
+    1.28M pandas-block partial rows / 20k keys / 4 Sums — vs ~1.2 s
+    for this plan, BASELINE.md round-5).  ``ds`` is typically a
+    keys × blocks partial stream; ``cols`` are summed exactly (int64,
+    associative, layout-invariant).  ``key`` may be a single column
+    name or a list (composite keys sort together).  Returns one row
+    per key with columns ``[*keys, *cols]``."""
     import numpy as np
     import pandas as pd
 
     from .groupscan import scan_sorted_groups
 
+    keys = [key] if isinstance(key, str) else list(key)
     cols = list(cols)
 
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key: [g[key].iloc[0]],
+        return pd.DataFrame({**{k: [g[k].iloc[0]] for k in keys},
                              **{c: [np.int64(g[c].sum())]
                                 for c in cols}})
 
     def block_fn(df: pd.DataFrame, starts: np.ndarray,
                  ends: np.ndarray) -> pd.DataFrame:
         idx, segid, sizes, cum_excl = gather_segments(starts, ends)
-        row = {key: df[key].to_numpy()[starts]}
+        row = {k: df[k].to_numpy()[starts] for k in keys}
         for c in cols:
             row[c] = np.add.reduceat(
                 df[c].to_numpy(dtype=np.int64)[idx], cum_excl)
         return pd.DataFrame(row)
 
     out_empty = pd.DataFrame({
-        key: pd.Series(dtype=key_pandas_dtype(ds, key)),
+        **{k: pd.Series(dtype=key_pandas_dtype(ds, k)) for k in keys},
         **{c: pd.Series(dtype="int64") for c in cols}})
-    return scan_sorted_groups(ds, key, group_fn, out_empty,
+    return scan_sorted_groups(ds, keys, group_fn, out_empty,
                               min_group=1, block_fn=block_fn)
 
 

@@ -370,6 +370,32 @@ def test_spearman_perfect_and_constant(ray_session):
     assert out.loc[2, "rho"] == 0.0
 
 
+def test_spearman_auc_join_regime_equivalence(ray_session):
+    """broadcast_limit=0 forces the join-regime fallback (now on the
+    sorted-block composite-key grouped_sums) — results must be
+    bit-identical to the broadcast regime."""
+    from raqc_ray.ops.rankcorr import grouped_auc, grouped_spearman
+
+    rng = np.random.default_rng(41)
+    n = 600
+    df = pd.DataFrame({"k": rng.integers(0, 4, n),
+                       "x": rng.integers(0, 12, n),
+                       "y": rng.integers(0, 12, n),
+                       "lab": rng.integers(0, 2, n)})
+    a = (grouped_spearman(_ds(df, 5), "k", "x", "y").to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    b = (grouped_spearman(_ds(df, 5), "k", "x", "y",
+                          broadcast_limit=0).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    a2 = (grouped_auc(_ds(df, 5), "k", "lab", "x").to_pandas()
+          .sort_values("k").reset_index(drop=True))
+    b2 = (grouped_auc(_ds(df, 5), "k", "lab", "x",
+                      broadcast_limit=0).to_pandas()
+          .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a2, b2)
+
+
 def test_spearman_layout_invariant(ray_session):
     from raqc_ray.ops.rankcorr import grouped_spearman
 
