@@ -50,6 +50,26 @@ def kcore(pairs, a_col: str = "a", b_col: str = "b", k: int = 2,
     from .graph import _degrees
     from .join import semi_join
 
+    def _typed_empty():
+        # an empty core must still DECLARE its (id, deg) schema — a
+        # fully peeled small graph otherwise surfaces as a
+        # schema-less dataset downstream (caught by the sf0.001
+        # driver smoke)
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ._join_util import arrow_schema
+
+        if pairs.schema() is None:
+            # fully empty input: even the pair table carries no
+            # schema — int64 ids are the documented fallback (graph
+            # ids are integral engine-wide)
+            id_type = pa.int64()
+        else:
+            id_type = arrow_schema(pairs).field(a_col).type
+        return rd.from_arrow(pa.schema(
+            [("id", id_type), ("deg", pa.int64())]).empty_table())
+
     edges = pairs.filter(expr=f"{a_col} != {b_col}").materialize()
     for _ in range(max_rounds):
         deg = _degrees(edges, a_col, b_col).materialize()
@@ -57,9 +77,13 @@ def kcore(pairs, a_col: str = "a", b_col: str = "b", k: int = 2,
         if n_low == 0:
             # converged (an empty edge set converges trivially: its
             # degree table is empty and nothing is below k)
-            return deg
+            return _typed_empty() if deg.count() == 0 else deg
         survivors = deg.filter(expr=f"deg >= {k}") \
-                       .select_columns(["id"])
+                       .select_columns(["id"]).materialize()
+        if survivors.count() == 0:
+            # every node peeled at once — a schema-less empty right
+            # side would crash the native semi-join
+            return _typed_empty()
         edges = semi_join(edges, survivors, on=a_col, right_on="id")
         edges = semi_join(edges, survivors, on=b_col,
                           right_on="id").materialize()

@@ -292,6 +292,28 @@ def test_centroid_distances_layout_invariance(ray_session):
     assert len(outs[0]) == 10  # C(5,2) pairs
 
 
+# --------------------------------------------------- empty-graph kcore
+
+def test_kcore_fully_peeled_declares_schema(ray_session):
+    """A graph whose k-core is empty (or an empty pair table) must
+    still return a typed (id, deg) dataset — caught by the sf0.001
+    driver smoke where the co-engagement pair table is empty."""
+    import ray.data as rd
+
+    from raqc_ray.ops.kcore import kcore
+
+    # a path graph has no 2-core
+    df = pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]})
+    out = kcore(rd.from_pandas(df), "a", "b", k=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id", "deg"}
+    # fully empty input (schema-less after the self-loop filter)
+    empty = rd.from_pandas(pd.DataFrame({"a": [5], "b": [5]}))
+    out2 = kcore(empty, "a", "b", k=2)
+    assert out2.count() == 0
+    assert set(out2.schema().names) == {"id", "deg"}
+
+
 # ------------------------------------------------- shared headroom guard
 
 def test_twap_headroom_guard(ray_session):
